@@ -1,0 +1,158 @@
+"""Deterministic image codecs on pure numpy + zlib (no external image libs).
+
+The reference lakehouse stores opaque payloads per record; the new engine's
+payload is an image column (``bytes: binary``) with ``fmt in {"png","jpeg"}``
+(BASELINE.json input_hint; FIXTURES.md §1). This container ships no image
+libraries (no PIL/opencv), so:
+
+- ``fmt == "png"``  — a REAL PNG encoder/decoder (8-bit RGB, filter type 0,
+  zlib level fixed) written here: byte-stable round trips, readable by any
+  standard PNG tool.
+- ``fmt == "jpeg"`` — a clearly-marked DETERMINISTIC STAND-IN for a lossy
+  codec (per the brief: stub the decode step behind a deterministic fake,
+  keep the Spark-side plumbing real).  It quantizes each channel to 6 bits
+  and zlib-compresses, giving a genuinely lossy round trip with
+  PSNR ≈ 46 dB (> the 40 dB gate), under magic header ``LQI1``.
+
+All functions are batch-oriented: they take/return lists or numpy arrays and
+are called from pandas UDFs / ``mapInPandas`` — never from per-row Python
+Spark UDFs.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_LOSSY_MAGIC = b"LQI1"
+# Fixed zlib level so encodes are byte-stable across runs/machines.
+_ZLEVEL = 6
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a real PNG (color type 2, filter 0)."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # One filter byte (0 = None) per scanline, then raw RGB bytes.
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = img.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), _ZLEVEL)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a PNG produced by :func:`encode_png` (filter-0, 8-bit RGB)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w, h, idat = 8, 0, 0, []
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, ctyp = struct.unpack(">IIBB", body[:10])
+            if depth != 8 or ctyp != 2:
+                raise ValueError("unsupported PNG variant")
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    raw = raw.reshape(h, 1 + w * 3)
+    if not (raw[:, 0] == 0).all():
+        raise ValueError("only filter type 0 supported")
+    return raw[:, 1:].reshape(h, w, 3).copy()
+
+
+def encode_lossy(img: np.ndarray) -> bytes:
+    """Deterministic lossy stand-in codec ('jpeg' fmt rows). 6-bit quantize."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    q = (img >> 2).astype(np.uint8)  # 6 bits per channel
+    payload = zlib.compress(q.tobytes(), _ZLEVEL)
+    return _LOSSY_MAGIC + struct.pack(">HH", w, h) + payload
+
+
+def decode_lossy(data: bytes) -> np.ndarray:
+    if data[:4] != _LOSSY_MAGIC:
+        raise ValueError("not an LQI1 payload")
+    w, h = struct.unpack(">HH", data[4:8])
+    q = np.frombuffer(zlib.decompress(data[8:]), dtype=np.uint8)
+    # Dequantize to bucket midpoint: max abs error 2 → PSNR ≈ 46 dB.
+    return ((q.reshape(h, w, 3) << 2) | 2).astype(np.uint8)
+
+
+def encode_image(img: np.ndarray, fmt: str) -> bytes:
+    return encode_png(img) if fmt == "png" else encode_lossy(img)
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Dispatch on magic bytes; raises on unknown payloads."""
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
+    if data[:4] == _LOSSY_MAGIC:
+        return decode_lossy(data)
+    raise ValueError("unknown image payload")
+
+
+def render_image(seed: int, w: int, h: int) -> np.ndarray:
+    """Deterministic synthetic (h, w, 3) uint8 image from an integer seed.
+
+    Gradient + hash-noise pattern (FIXTURES.md §1 'gradient+noise'); pure
+    numpy arithmetic keyed on the seed so any worker regenerates identical
+    pixels for a given (seed, w, h) — the basis for byte-exact PNG fixtures.
+    """
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.uint64)
+    s = np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+    # splitmix64-style per-pixel hash — stable across numpy versions.
+    v = xx * np.uint64(0x9E3779B97F4A7C15) + yy * np.uint64(0xBF58476D1CE4E5B9) + s
+    v ^= v >> np.uint64(30)
+    v *= np.uint64(0xBF58476D1CE4E5B9)
+    v ^= v >> np.uint64(27)
+    v *= np.uint64(0x94D049BB133111EB)
+    v ^= v >> np.uint64(31)
+    noise = (v & np.uint64(0x3F)).astype(np.int32)  # 0..63
+    xi = xx.astype(np.int32)
+    yi = yy.astype(np.int32)
+    gx = (xi * 255) // max(w - 1, 1)
+    gy = (yi * 255) // max(h - 1, 1)
+    # Stripe frequency/orientation derived from the seed so the coarse
+    # structure (and therefore the perceptual hash) differs per image.
+    fx = 1 + int(seed) % 7
+    fy = 1 + (int(seed) // 7) % 5
+    ph = int(seed) % 97
+    band_r = ((xi * fx + yi * fy + ph) % 64) * 3
+    band_g = ((xi * fy + yi * fx + ph * 2) % 64) * 3
+    r = np.clip(band_r + noise // 2, 0, 255)
+    g = np.clip(band_g + noise // 2, 0, 255)
+    b = np.clip(((gx + gy) >> 1) * 3 // 4 + (int(seed) % 61), 0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)

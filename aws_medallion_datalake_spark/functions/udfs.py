@@ -1,0 +1,91 @@
+"""pandas/Arrow UDF wrappers around the numpy kernels.
+
+Only vectorized UDFs (Arrow batch transfer) — per-row Python Spark UDFs are
+forbidden in this engine (BASELINE.json input_hint). Also includes a pure
+column-expression Morton key (`morton64_expr`) that stays entirely JVM-side
+in whole-stage codegen, used as the default Z-order path; the pandas UDF
+variants exist for Hilbert (not expressible in F.* bit ops economically)
+and for parity testing.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import phash as _phash
+from . import zcurve
+from .codec import decode_image, psnr
+
+
+@F.pandas_udf(T.LongType())
+def phash64_udf(payload: pd.Series) -> pd.Series:
+    """Perceptual hash of encoded image payloads (decode + 8x8 ahash)."""
+    return pd.Series(_phash.phash_batch(list(payload)))
+
+
+@F.pandas_udf(T.LongType())
+def morton64_udf(phash: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+    return pd.Series(zcurve.morton64(phash.to_numpy(), w.to_numpy(), h.to_numpy()))
+
+
+@F.pandas_udf(T.LongType())
+def hilbert64_udf(phash: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+    return pd.Series(zcurve.hilbert64(phash.to_numpy(), w.to_numpy(), h.to_numpy()))
+
+
+@F.pandas_udf(T.DoubleType())
+def psnr_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Pairwise PSNR between two encoded-image columns (decode both sides)."""
+    out = [psnr(decode_image(x), decode_image(y)) for x, y in zip(a, b)]
+    return pd.Series(out)
+
+
+@F.pandas_udf("w int, h int, mean_r double, mean_g double, mean_b double")
+def decode_stats_udf(payload: pd.Series) -> pd.DataFrame:
+    """Decoded-pixel stats (the 'decode_stats' surface from SURVEY.md §2.10)."""
+    rows = []
+    for p in payload:
+        img = decode_image(p)
+        rows.append(
+            (
+                int(img.shape[1]),
+                int(img.shape[0]),
+                float(img[:, :, 0].mean()),
+                float(img[:, :, 1].mean()),
+                float(img[:, :, 2].mean()),
+            )
+        )
+    return pd.DataFrame(rows, columns=["w", "h", "mean_r", "mean_g", "mean_b"])
+
+
+def _spread3_expr(c: Column) -> Column:
+    """JVM-side 3-way bit spread of the low 21 bits (mirrors zcurve._spread3)."""
+    x = c.bitwiseAND(F.lit((1 << 21) - 1))
+    for shift, mask in (
+        (32, 0x1F00000000FFFF),
+        (16, 0x1F0000FF0000FF),
+        (8, 0x100F00F00F00F00F),
+        (4, 0x10C30C30C30C30C3),
+        (2, 0x1249249249249249),
+    ):
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def morton64_expr(phash: Column, w: Column, h: Column) -> Column:
+    """Morton key as a pure Catalyst expression — no Python boundary.
+
+    `shiftrightunsigned` turns the signed phash into its top-21-bit bucket
+    identically to zcurve._norm_dims. Preferred over morton64_udf in the
+    hot path (whole-stage codegen keeps the clustering repartition JVM-only).
+    """
+    p = F.shiftrightunsigned(phash.cast("long"), 64 - zcurve.BITS)
+    return (
+        F.shiftleft(_spread3_expr(p), 2)
+        .bitwiseOR(F.shiftleft(_spread3_expr(w.cast("long")), 1))
+        .bitwiseOR(_spread3_expr(h.cast("long")))
+        .cast("long")
+    )

@@ -1,0 +1,72 @@
+"""SparkSession factory + self-shipping of the package to executors.
+
+The engine is driven by ``spark-submit --py-files engine.zip`` on a real
+cluster (BASELINE.json north_rule). ``build_pyfiles_zip()`` produces that
+zip; ``get_session()`` additionally ships it via ``addPyFile`` so ad-hoc
+drivers (pytest, bench.py, notebooks) work without the flag — executors
+unpickle pandas-UDF closures by importing this package, so it must be on
+every worker's path either way.
+
+Config mirrors the reference's job bootstrap (AQE + coalescePartitions,
+/root/reference/scripts/bronze_digit.py:14-20) plus the Arrow/image-payload
+tuning from SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_PKG_NAME = os.path.basename(_PKG_DIR)
+
+
+def build_pyfiles_zip(dest: str | None = None) -> str:
+    """Zip the package for --py-files / addPyFile distribution."""
+    if dest is None:
+        dest = os.path.join(tempfile.gettempdir(), f"{_PKG_NAME}.zip")
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(_PKG_DIR):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in filenames:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.join(_PKG_NAME, os.path.relpath(full, _PKG_DIR))
+                zf.write(full, rel)
+    return dest
+
+
+def get_session(
+    master: str = "local[*]",
+    app_name: str = "aws_medallion_datalake_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+    ship_package: bool = True,
+) -> SparkSession:
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # image payloads are KB–MB each: bound Arrow batch size (SURVEY §4)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+    )
+    if shuffle_partitions is not None:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if ship_package:
+        spark.sparkContext.addPyFile(build_pyfiles_zip())
+    return spark

@@ -1,0 +1,425 @@
+"""Iceberg-style table format implemented from scratch on plain Parquet.
+
+The reference *configures* Iceberg but never exercises it — its jobs do blind
+``mode("overwrite")`` Parquet writes with no isolation
+(/root/reference/scripts/silver_digit_clean.py:127,
+ /root/reference/terraform/glue_digit.tf:54-55 — see SURVEY.md §2.1 S11, §4).
+This module implements the mechanics the reference only intended:
+
+- **snapshots**: every commit writes a new immutable manifest + metadata
+  version; readers pin a snapshot id → snapshot isolation.
+- **manifests**: one Parquet row per data file with partition values, row
+  count, byte size, and per-column min/max/null-count stats for the
+  configured stats columns (the pruning index for Z-order/Hilbert scans).
+- **atomic commit**: write ``vN.metadata.json`` then ``os.replace`` the
+  version-hint file — atomic on POSIX. Single-writer assumption (the
+  reference is also single-writer: one Step Functions execution at a time,
+  /root/reference/terraform/digit_pipeline.tf:6-75).
+
+Layout::
+
+    table_root/
+      data/<commit-uuid>/[partition=val/]part-*.parquet
+      metadata/v1.metadata.json ... vN.metadata.json
+      metadata/manifest-<snapshot_id>.parquet
+      metadata/version-hint.text
+
+Each commit writes its data files under a fresh ``data/<commit-uuid>/``
+directory, so "which files did this commit add" is answered by listing that
+directory — no guessing against concurrent writers, and aborted writes never
+corrupt a committed snapshot (their orphan directories are swept by expiry
+GC).
+
+Scale note (10^12 rows ≈ 10^8 files): the manifest is itself columnar
+Parquet, so planning reads it as a (pandas or Spark) DataFrame; below
+``SPARK_MANIFEST_THRESHOLD`` entries we plan driver-side in pandas (fast,
+no job overhead), above it the same pruning predicate runs as a Spark job
+over the manifest — both paths share one predicate builder.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Iterable, Optional, Sequence
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SPARK_MANIFEST_THRESHOLD = 2_000_000  # manifest rows before planning moves to Spark
+
+MANIFEST_BASE_COLS = ["path", "partition_json", "record_count", "file_size_bytes"]
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_snapshot_id: Optional[int]
+    timestamp_ms: int
+    operation: str  # append | replace | merge | expire
+    manifest_path: str  # relative to table root
+    summary: dict = field(default_factory=dict)
+
+
+@dataclass
+class TableMetadata:
+    table_uuid: str
+    location: str
+    schema_ddl: str
+    partition_cols: list
+    stats_cols: list
+    current_snapshot_id: Optional[int]
+    snapshots: list  # list[Snapshot]
+    properties: dict = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "format_version": 1,
+                "table_uuid": self.table_uuid,
+                "location": self.location,
+                "schema_ddl": self.schema_ddl,
+                "partition_cols": self.partition_cols,
+                "stats_cols": self.stats_cols,
+                "current_snapshot_id": self.current_snapshot_id,
+                "snapshots": [vars(s) for s in self.snapshots],
+                "properties": self.properties,
+            },
+            indent=1,
+        )
+
+    @staticmethod
+    def from_json(text: str) -> "TableMetadata":
+        d = json.loads(text)
+        return TableMetadata(
+            table_uuid=d["table_uuid"],
+            location=d["location"],
+            schema_ddl=d["schema_ddl"],
+            partition_cols=d["partition_cols"],
+            stats_cols=d["stats_cols"],
+            current_snapshot_id=d["current_snapshot_id"],
+            snapshots=[Snapshot(**s) for s in d["snapshots"]],
+            properties=d.get("properties", {}),
+        )
+
+
+class Table:
+    """Handle to one lakehouse table directory."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_dir = os.path.join(root, "metadata")
+        self.data_dir = os.path.join(root, "data")
+
+    # ---------- creation / loading ----------
+
+    @staticmethod
+    def create(
+        root: str,
+        schema_ddl: str,
+        partition_cols: Sequence[str] = (),
+        stats_cols: Sequence[str] = (),
+        properties: Optional[dict] = None,
+    ) -> "Table":
+        t = Table(root)
+        os.makedirs(t.meta_dir, exist_ok=False)
+        os.makedirs(t.data_dir, exist_ok=True)
+        meta = TableMetadata(
+            table_uuid=str(uuid.uuid4()),
+            location=root,
+            schema_ddl=schema_ddl,
+            partition_cols=list(partition_cols),
+            stats_cols=list(stats_cols),
+            current_snapshot_id=None,
+            snapshots=[],
+            properties=properties or {},
+        )
+        t._write_metadata_version(1, meta)
+        return t
+
+    @staticmethod
+    def load(root: str) -> "Table":
+        t = Table(root)
+        t.current_version()  # raises if absent
+        return t
+
+    def current_version(self) -> int:
+        with open(os.path.join(self.meta_dir, "version-hint.text")) as f:
+            return int(f.read().strip())
+
+    def metadata(self, version: Optional[int] = None) -> TableMetadata:
+        v = version if version is not None else self.current_version()
+        with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as f:
+            return TableMetadata.from_json(f.read())
+
+    def snapshot(self, snapshot_id: Optional[int] = None) -> Snapshot:
+        meta = self.metadata()
+        sid = snapshot_id if snapshot_id is not None else meta.current_snapshot_id
+        if sid is None:
+            raise ValueError("table has no snapshots yet")
+        for s in meta.snapshots:
+            if s.snapshot_id == sid:
+                return s
+        raise KeyError(f"snapshot {sid} not found (expired?)")
+
+    # ---------- manifests ----------
+
+    def manifest_pdf(self, snapshot_id: Optional[int] = None) -> pd.DataFrame:
+        """Manifest as pandas (planner-side). Columns: MANIFEST_BASE_COLS +
+        min_<c>/max_<c>/nulls_<c> per stats column."""
+        s = self.snapshot(snapshot_id)
+        return pq.read_table(os.path.join(self.root, s.manifest_path)).to_pandas()
+
+    def manifest_df(self, spark: SparkSession, snapshot_id: Optional[int] = None) -> DataFrame:
+        """Manifest as a Spark DataFrame (the ≥ SPARK_MANIFEST_THRESHOLD path)."""
+        s = self.snapshot(snapshot_id)
+        return spark.read.parquet(os.path.join(self.root, s.manifest_path))
+
+    def _write_manifest(self, snapshot_id: int, entries: pd.DataFrame) -> str:
+        rel = os.path.join("metadata", f"manifest-{snapshot_id}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(entries, preserve_index=False),
+            os.path.join(self.root, rel),
+        )
+        return rel
+
+    # ---------- commit protocol ----------
+
+    def _write_metadata_version(self, version: int, meta: TableMetadata) -> None:
+        mpath = os.path.join(self.meta_dir, f"v{version}.metadata.json")
+        with open(mpath, "x") as f:  # 'x': fail loudly if version exists
+            f.write(meta.to_json())
+        tmp = os.path.join(self.meta_dir, f".version-hint.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.meta_dir, "version-hint.text"))
+
+    def commit(
+        self,
+        operation: str,
+        new_manifest: pd.DataFrame,
+        summary: Optional[dict] = None,
+    ) -> Snapshot:
+        """Commit a full new manifest as the next snapshot (atomic)."""
+        version = self.current_version()
+        meta = self.metadata(version)
+        sid = (meta.current_snapshot_id or 0) + 1
+        rel = self._write_manifest(sid, new_manifest)
+        snap = Snapshot(
+            snapshot_id=sid,
+            parent_snapshot_id=meta.current_snapshot_id,
+            timestamp_ms=int(time.time() * 1000),
+            operation=operation,
+            manifest_path=rel,
+            summary=dict(
+                summary or {},
+                added_or_total_files=int(len(new_manifest)),
+                total_records=int(new_manifest["record_count"].sum()) if len(new_manifest) else 0,
+                total_bytes=int(new_manifest["file_size_bytes"].sum()) if len(new_manifest) else 0,
+            ),
+        )
+        meta.snapshots.append(snap)
+        meta.current_snapshot_id = sid
+        self._write_metadata_version(version + 1, meta)
+        return snap
+
+    # ---------- write paths ----------
+
+    def new_data_prefix(self) -> str:
+        """Fresh isolated directory for one commit's data files."""
+        prefix = os.path.join(self.data_dir, uuid.uuid4().hex[:16])
+        os.makedirs(prefix, exist_ok=False)
+        return prefix
+
+    def write_files(
+        self,
+        df: DataFrame,
+        *,
+        sorted_within_partitions: Optional[str] = None,
+    ) -> pd.DataFrame:
+        """Write df's current partitioning into a fresh commit dir; return
+        manifest entries (with stats) for the files written.
+
+        Respects the DataFrame's existing partitioning (callers repartition
+        for file sizing); hive-partitions on the table's partition columns.
+        """
+        meta = self.metadata()
+        prefix = self.new_data_prefix()
+        writer = df.write.mode("append")
+        if meta.partition_cols:
+            writer = writer.partitionBy(*meta.partition_cols)
+        writer.parquet(prefix)
+        return self.collect_stats_for_prefix(df.sparkSession, prefix)
+
+    def collect_stats_for_prefix(self, spark: SparkSession, prefix: str) -> pd.DataFrame:
+        """Distributed per-file stats: one Spark agg grouped by file path.
+
+        Uses the hidden ``_metadata`` struct (file_path/file_size) so file
+        size comes from the scan, not a driver-side filesystem walk — this
+        is the 'per-file min/max column stats' collector from the
+        north_star, and it scales with executors, unlike the reference's
+        per-column ``filter().count()`` loop
+        (/root/reference/scripts/gold_agilean.py:117-122).
+        """
+        meta = self.metadata()
+        read = spark.read
+        if meta.partition_cols:
+            read = read.option("basePath", prefix)
+        df = read.parquet(prefix)
+        aggs = [
+            F.count(F.lit(1)).alias("record_count"),
+            F.first(F.col("_metadata.file_size")).alias("file_size_bytes"),
+        ]
+        if meta.partition_cols:
+            aggs += [F.first(c).alias(f"_part_{c}") for c in meta.partition_cols]
+        for c in meta.stats_cols:
+            aggs += [
+                F.min(c).alias(f"min_{c}"),
+                F.max(c).alias(f"max_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
+            ]
+        pdf = df.groupBy(F.col("_metadata.file_path").alias("abs_path")).agg(*aggs).toPandas()
+        part_json = []
+        for _, row in pdf.iterrows():
+            part_json.append(
+                json.dumps({c: str(row[f"_part_{c}"]) for c in meta.partition_cols})
+            )
+        pdf["partition_json"] = part_json
+        pdf["path"] = [os.path.relpath(_strip_scheme(p), self.root) for p in pdf["abs_path"]]
+        drop = ["abs_path"] + [f"_part_{c}" for c in meta.partition_cols]
+        return pdf.drop(columns=drop)
+
+    # ---------- read path ----------
+
+    def scan(
+        self,
+        spark: SparkSession,
+        snapshot_id: Optional[int] = None,
+        predicates: Optional[Iterable[tuple]] = None,
+        columns: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        """Snapshot read with manifest min/max file pruning.
+
+        ``predicates``: iterable of ``(col, op, value)`` with op in
+        ``>= <= = between`` (value is a (lo, hi) pair for between). Files
+        whose [min,max] range provably excludes the predicate are skipped
+        before Spark ever lists them; the same predicate is re-applied as a
+        real filter for row-level correctness (pruning is only file-level).
+        """
+        meta = self.metadata()
+        man = self.manifest_pdf(snapshot_id)
+        if len(man) == 0:
+            return spark.createDataFrame([], schema=meta.schema_ddl)
+        preds = list(predicates or [])
+        keep = prune_manifest(man, preds, meta.stats_cols)
+        if len(keep) == 0:
+            return spark.createDataFrame([], schema=meta.schema_ddl)
+        paths = [os.path.join(self.root, p) for p in keep["path"]]
+        df = self._read_paths(spark, meta, paths)
+        for col, op, value in preds:
+            df = df.filter(_pred_to_column(col, op, value))
+        if columns:
+            df = df.select(*columns)
+        return df
+
+    def _read_paths(self, spark: SparkSession, meta: TableMetadata, paths: list) -> DataFrame:
+        """Read an explicit file list. Files live under per-commit prefixes
+        (``data/<uuid>/part=val/...``); hive partition-value recovery needs a
+        consistent basePath, so group paths by commit prefix, read each group
+        with its own basePath, and union. The union is metadata-only — no
+        shuffle — and the number of prefixes equals the number of live
+        commits, which compaction keeps small."""
+        if not meta.partition_cols:
+            return spark.read.schema(self._schema_with_partitions(spark)).parquet(*paths)
+        groups: dict = {}
+        for p in paths:
+            rel = os.path.relpath(p, self.data_dir)
+            prefix = os.path.join(self.data_dir, rel.split(os.sep)[0])
+            groups.setdefault(prefix, []).append(p)
+        parts = [
+            spark.read.schema(self._schema_with_partitions(spark))
+            .option("basePath", prefix)
+            .parquet(*ps)
+            for prefix, ps in groups.items()
+        ]
+        df = parts[0]
+        for other in parts[1:]:
+            df = df.unionByName(other)
+        return df
+
+    def _schema_with_partitions(self, spark: SparkSession):
+        from pyspark.sql.types import StructType
+
+        meta = self.metadata()
+        base = StructType.fromDDL(meta.schema_ddl)
+        return base
+
+    # ---------- maintenance helpers ----------
+
+    def all_reachable_paths(self) -> set:
+        """Data+manifest paths referenced by ANY retained snapshot."""
+        meta = self.metadata()
+        reach = set()
+        for s in meta.snapshots:
+            reach.add(s.manifest_path)
+            man = pq.read_table(os.path.join(self.root, s.manifest_path), columns=["path"])
+            reach.update(man.column("path").to_pylist())
+        return reach
+
+
+def _strip_scheme(p: str) -> str:
+    """file:/x, file:///x → /x (Hadoop FS URIs from _metadata.file_path)."""
+    if p.startswith("file:"):
+        p = p[5:]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+def _pred_to_column(col: str, op: str, value):
+    c = F.col(col)
+    if op == ">=":
+        return c >= value
+    if op == "<=":
+        return c <= value
+    if op == "=":
+        return c == value
+    if op == "between":
+        return (c >= value[0]) & (c <= value[1])
+    raise ValueError(f"unsupported predicate op {op!r}")
+
+
+def prune_manifest(man: pd.DataFrame, preds, stats_cols) -> pd.DataFrame:
+    """File-level min/max pruning of a manifest (pandas planner path).
+
+    A file survives only if every predicate's range intersects the file's
+    [min,max] for that column. Null-only files (min/max NaN) are kept —
+    pruning must never be unsound.
+    """
+    mask = pd.Series(True, index=man.index)
+    for col, op, value in preds:
+        if col not in stats_cols:
+            continue  # no stats → cannot prune on this column
+        mn, mx = man[f"min_{col}"], man[f"max_{col}"]
+        has = mn.notna() & mx.notna()
+        if op == ">=":
+            cond = mx >= value
+        elif op == "<=":
+            cond = mn <= value
+        elif op == "=":
+            cond = (mn <= value) & (mx >= value)
+        elif op == "between":
+            lo, hi = value
+            cond = (mx >= lo) & (mn <= hi)
+        else:
+            raise ValueError(f"unsupported predicate op {op!r}")
+        mask &= cond.where(has, True)
+    return man[mask]

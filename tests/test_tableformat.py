@@ -1,0 +1,94 @@
+"""Table format: commit protocol, snapshot isolation, stats, pruning."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from aws_medallion_datalake_spark.sources.generator import SCHEMA, generate_images
+from aws_medallion_datalake_spark.sources.tableformat import Table, prune_manifest
+
+STATS = ["phash", "w", "h", "image_id"]
+
+
+@pytest.fixture()
+def table(tmp_path, spark):
+    t = Table.create(
+        str(tmp_path / "images"),
+        schema_ddl=SCHEMA,
+        partition_cols=["ingest_date"],
+        stats_cols=STATS,
+    )
+    df = generate_images(spark, 200, n_files=8, n_dates=2)
+    entries = t.write_files(df)
+    t.commit("append", entries, {"source": "test"})
+    return t
+
+
+def test_create_and_append(table, spark):
+    meta = table.metadata()
+    assert meta.current_snapshot_id == 1
+    man = table.manifest_pdf()
+    assert man["record_count"].sum() == 200
+    assert {"min_phash", "max_phash", "nulls_image_id"} <= set(man.columns)
+    df = table.scan(spark)
+    assert df.count() == 200
+    assert set(df.columns) == {
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "ingest_date",
+    }
+
+
+def test_snapshot_isolation(table, spark):
+    """Reader pinned to snapshot 1 is unaffected by a later commit."""
+    before = table.scan(spark, snapshot_id=1).count()
+    df2 = generate_images(spark, 50, n_files=2, start=200)
+    entries2 = table.write_files(df2)
+    man = pd.concat([table.manifest_pdf(), entries2], ignore_index=True)
+    table.commit("append", man)
+    assert table.metadata().current_snapshot_id == 2
+    assert table.scan(spark, snapshot_id=1).count() == before == 200
+    assert table.scan(spark).count() == 250
+
+
+def test_partition_values_recovered(table, spark):
+    vals = {r[0] for r in table.scan(spark).select("ingest_date").distinct().collect()}
+    assert vals == {"2024-01-01", "2024-01-02"}
+
+
+def test_stats_match_data(table, spark):
+    man = table.manifest_pdf()
+    df = table.scan(spark)
+    lo, hi = df.selectExpr("min(phash)", "max(phash)").first()
+    assert man["min_phash"].min() == lo
+    assert man["max_phash"].max() == hi
+    assert int(man["file_size_bytes"].sum()) > 0
+    for p in man["path"]:
+        assert os.path.exists(os.path.join(table.root, p))
+
+
+def test_prune_manifest_soundness(table, spark):
+    man = table.manifest_pdf()
+    lo = int(man["min_phash"].min())
+    # predicate covering everything keeps all files
+    assert len(prune_manifest(man, [("phash", ">=", lo)], STATS)) == len(man)
+    # impossible predicate prunes all files
+    assert len(prune_manifest(man, [("phash", "<=", lo - 1)], STATS)) == 0
+    # scan with predicate returns exactly the filtered rows
+    mid = int(man["min_phash"].median())
+    full = table.scan(spark).filter(f"phash <= {mid}").count()
+    pruned = table.scan(spark, predicates=[("phash", "<=", mid)]).count()
+    assert pruned == full
+
+
+def test_scan_empty_predicate_returns_empty_df(table, spark):
+    man = table.manifest_pdf()
+    lo = int(man["min_phash"].min())
+    df = table.scan(spark, predicates=[("phash", "<=", lo - 1)])
+    assert df.count() == 0
+    assert "image_id" in df.columns
+
+
+def test_version_file_collision_fails_loudly(table):
+    meta = table.metadata()
+    with pytest.raises(FileExistsError):
+        table._write_metadata_version(table.current_version(), meta)
