@@ -6,59 +6,111 @@ column-expression Morton key (`morton64_expr`) that stays entirely JVM-side
 in whole-stage codegen, used as the default Z-order path; the pandas UDF
 variants exist for Hilbert (not expressible in F.* bit ops economically)
 and for parity testing.
+
+UDF objects are built lazily (Spark 4 requires an active session when a
+``pandas_udf`` is instantiated) and cached per process.
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-from . import phash as _phash
-from . import zcurve
-from .codec import decode_image, psnr
 
 
-@F.pandas_udf(T.LongType())
-def phash64_udf(payload: pd.Series) -> pd.Series:
+@lru_cache(maxsize=None)
+def _phash64():
+    from . import phash as _phash
+
+    @F.pandas_udf("long")
+    def phash64(payload: pd.Series) -> pd.Series:
+        return pd.Series(_phash.phash_batch(list(payload)))
+
+    return phash64
+
+
+def phash64_udf(payload: Column) -> Column:
     """Perceptual hash of encoded image payloads (decode + 8x8 ahash)."""
-    return pd.Series(_phash.phash_batch(list(payload)))
+    return _phash64()(payload)
 
 
-@F.pandas_udf(T.LongType())
-def morton64_udf(phash: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
-    return pd.Series(zcurve.morton64(phash.to_numpy(), w.to_numpy(), h.to_numpy()))
+@lru_cache(maxsize=None)
+def _hilbert64():
+    from . import zcurve
+
+    @F.pandas_udf("long")
+    def hilbert64(phash: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        return pd.Series(zcurve.hilbert64(phash.to_numpy(), w.to_numpy(), h.to_numpy()))
+
+    return hilbert64
 
 
-@F.pandas_udf(T.LongType())
-def hilbert64_udf(phash: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
-    return pd.Series(zcurve.hilbert64(phash.to_numpy(), w.to_numpy(), h.to_numpy()))
+def hilbert64_udf(phash: Column, w: Column, h: Column) -> Column:
+    return _hilbert64()(phash, w, h)
 
 
-@F.pandas_udf(T.DoubleType())
-def psnr_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Pairwise PSNR between two encoded-image columns (decode both sides)."""
-    out = [psnr(decode_image(x), decode_image(y)) for x, y in zip(a, b)]
-    return pd.Series(out)
+@lru_cache(maxsize=None)
+def _morton64():
+    from . import zcurve
+
+    @F.pandas_udf("long")
+    def morton64(phash: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        return pd.Series(zcurve.morton64(phash.to_numpy(), w.to_numpy(), h.to_numpy()))
+
+    return morton64
 
 
-@F.pandas_udf("w int, h int, mean_r double, mean_g double, mean_b double")
-def decode_stats_udf(payload: pd.Series) -> pd.DataFrame:
-    """Decoded-pixel stats (the 'decode_stats' surface from SURVEY.md §2.10)."""
-    rows = []
-    for p in payload:
-        img = decode_image(p)
-        rows.append(
-            (
-                int(img.shape[1]),
-                int(img.shape[0]),
-                float(img[:, :, 0].mean()),
-                float(img[:, :, 1].mean()),
-                float(img[:, :, 2].mean()),
-            )
+def morton64_udf(phash: Column, w: Column, h: Column) -> Column:
+    """pandas-UDF Morton key — parity oracle for morton64_expr."""
+    return _morton64()(phash, w, h)
+
+
+@lru_cache(maxsize=None)
+def _psnr():
+    from .codec import decode_image, psnr
+
+    @F.pandas_udf("double")
+    def psnr_pairwise(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [psnr(decode_image(x), decode_image(y)) for x, y in zip(a, b)]
         )
-    return pd.DataFrame(rows, columns=["w", "h", "mean_r", "mean_g", "mean_b"])
+
+    return psnr_pairwise
+
+
+def psnr_udf(a: Column, b: Column) -> Column:
+    """Pairwise PSNR between two encoded-image columns (decodes both)."""
+    return _psnr()(a, b)
+
+
+@lru_cache(maxsize=None)
+def _decode_stats():
+    from .codec import decode_image
+
+    @F.pandas_udf("w int, h int, mean_r double, mean_g double, mean_b double")
+    def decode_stats(payload: pd.Series) -> pd.DataFrame:
+        rows = []
+        for p in payload:
+            img = decode_image(p)
+            rows.append(
+                (
+                    int(img.shape[1]),
+                    int(img.shape[0]),
+                    float(img[:, :, 0].mean()),
+                    float(img[:, :, 1].mean()),
+                    float(img[:, :, 2].mean()),
+                )
+            )
+        return pd.DataFrame(rows, columns=["w", "h", "mean_r", "mean_g", "mean_b"])
+
+    return decode_stats
+
+
+def decode_stats_udf(payload: Column) -> Column:
+    """Decoded-pixel stats (the 'decode_stats' surface from SURVEY.md §2.10)."""
+    return _decode_stats()(payload)
 
 
 def _spread3_expr(c: Column) -> Column:
@@ -82,6 +134,8 @@ def morton64_expr(phash: Column, w: Column, h: Column) -> Column:
     identically to zcurve._norm_dims. Preferred over morton64_udf in the
     hot path (whole-stage codegen keeps the clustering repartition JVM-only).
     """
+    from . import zcurve
+
     p = F.shiftrightunsigned(phash.cast("long"), 64 - zcurve.BITS)
     return (
         F.shiftleft(_spread3_expr(p), 2)

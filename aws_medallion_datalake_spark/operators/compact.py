@@ -1,0 +1,122 @@
+"""Bin-packing small-file compaction with concurrent group rewrites.
+
+The scale path the reference lacks: its writers ``coalesce(1)`` every run
+(/root/reference/scripts/silver_digit_clean.py:127 — SURVEY.md §4
+"small-file management"), accumulating one small file per partition per day
+forever. Here a planner packs manifest entries into ≈target-size rewrite
+groups (plans/binpack.py) and each group is rewritten by its own small Spark
+job; groups run concurrently from a driver thread pool — the same
+architecture as Iceberg's RewriteDataFiles action, and the part that keeps
+1000 executors busy when compacting a 10^12-row table: group jobs are
+independent, so parallelism scales with the number of groups, not with any
+single shuffle.
+
+Resumability (north_rule): each finished group appends a ``unit_done``
+lineage record (source snapshot, input files, rows/bytes, output prefix +
+stats) to the RunCheckpoint. A killed run restarted with the same
+checkpoint rewrites only the remaining groups and commits the identical
+snapshot content.
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from ..plans.binpack import CompactionGroup, CompactionPlan, plan_compaction
+from ..sources.tableformat import Snapshot, Table
+from .checkpoint import RunCheckpoint
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def _rewrite_group(
+    table: Table, spark: SparkSession, group: CompactionGroup
+) -> pd.DataFrame:
+    """Read one group's files, write n_output_files right-sized outputs."""
+    import os
+
+    paths = [os.path.join(table.root, p) for p in group.paths]
+    df = spark.read.schema(table._schema(spark)).parquet(*paths)
+    if group.n_output_files == 1:
+        df = df.coalesce(1)
+    else:
+        df = df.repartition(group.n_output_files)  # round-robin: even sizes
+    prefix = table.new_data_prefix()
+    df.write.mode("append").parquet(prefix)
+    entries = table.collect_stats_for_prefix(spark, prefix)
+    return entries
+
+
+def compact(
+    table: Table,
+    spark: SparkSession,
+    *,
+    target_file_size_bytes: int = DEFAULT_TARGET_BYTES,
+    min_input_files: int = 2,
+    parallelism: int = 8,
+    checkpoint: Optional[RunCheckpoint] = None,
+) -> Optional[Snapshot]:
+    """Compact the current snapshot; returns the new snapshot or None if
+    nothing to do. Safe to re-run; resumable via ``checkpoint``."""
+    t0 = time.time()
+    src_snapshot = table.metadata().current_snapshot_id
+    man = table.manifest_pdf()
+    plan: CompactionPlan = plan_compaction(
+        man, target_file_size_bytes, min_input_files=min_input_files
+    )
+    if not plan.groups:
+        return None
+
+    results: dict = {}
+
+    def run_group(g: CompactionGroup):
+        unit = f"group-{g.group_id}"
+        if checkpoint is not None and checkpoint.is_unit_done("compact", unit):
+            payload = checkpoint.unit_payload("compact", unit)
+            results[g.group_id] = pd.DataFrame(payload["entries"])
+            return
+        entries = _rewrite_group(table, spark, g)
+        if checkpoint is not None:
+            checkpoint.unit_done(
+                "compact",
+                unit,
+                {
+                    "source_snapshot_id": src_snapshot,
+                    "partition": g.partition_json,
+                    "input_files": list(g.paths),
+                    "input_records": g.input_records,
+                    "input_bytes": g.input_bytes,
+                    "entries": entries.to_dict("records"),
+                },
+            )
+        results[g.group_id] = entries
+
+    with ThreadPoolExecutor(max_workers=parallelism) as pool:
+        futures = [pool.submit(run_group, g) for g in plan.groups]
+        for f in futures:
+            f.result()  # surface the first failure
+
+    rewritten = plan.rewritten_paths
+    keep = man[~man["path"].isin(rewritten)]
+    new_entries = pd.concat(
+        [results[g.group_id] for g in plan.groups], ignore_index=True
+    )
+    new_man = pd.concat([keep, new_entries], ignore_index=True)
+    snap = table.commit(
+        "replace",
+        new_man,
+        {
+            "stage": "compact",
+            **plan.summary(),
+            "rewritten_files": len(rewritten),
+            "duration_sec": round(time.time() - t0, 3),
+        },
+    )
+    if checkpoint is not None:
+        checkpoint.stage_done("compact", dict(snap.summary, snapshot_id=snap.snapshot_id))
+    return snap

@@ -1,0 +1,86 @@
+"""Maintenance run driver: the Step Functions replacement.
+
+One resumable driver loop replaces the reference's ASL state machine
+(/root/reference/terraform/digit_pipeline.tf:6-75 — Bronze→Silver→Gold with
+per-stage Catch→Fail) and its DynamoDB cursor backfill
+(step-functions/digit-historical-load.json): stages run in order, each
+records ``stage_done`` with metrics into the RunCheckpoint; a restart with
+the same checkpoint path skips completed stages (and, inside compaction,
+completed groups). A stage exception stops the run without corrupting
+committed work — exactly the reference's fail-stop semantics (SURVEY.md
+§3.3), minus the AWS control plane.
+
+Intended CLI: ``spark-submit --py-files $(build_pyfiles_zip())
+-m aws_medallion_datalake_spark.operators.run`` or the
+``run_maintenance`` API below.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tableformat import Table
+from .checkpoint import RunCheckpoint
+from .cluster import cluster
+from .compact import compact
+from .expire import expire_snapshots
+from .merge import merge_into
+
+
+def run_maintenance(
+    table: Table,
+    spark: SparkSession,
+    *,
+    checkpoint_path: str,
+    stages: Sequence[str] = ("compact", "cluster", "merge", "expire"),
+    merge_source: Optional[DataFrame] = None,
+    target_file_size_bytes: int = 128 * 1024 * 1024,
+    curve: str = "hilbert",
+    keep_last: int = 1,
+    compaction_parallelism: int = 8,
+) -> dict:
+    """Run (or resume) a maintenance pipeline; returns per-stage metrics."""
+    cp = RunCheckpoint(checkpoint_path)
+    out: dict = {}
+    for stage in stages:
+        if cp.is_stage_done(stage):
+            out[stage] = {"skipped": "resumed", **(cp.stage_metrics(stage) or {})}
+            continue
+        t0 = time.time()
+        if stage == "compact":
+            snap = compact(
+                table,
+                spark,
+                target_file_size_bytes=target_file_size_bytes,
+                parallelism=compaction_parallelism,
+                checkpoint=cp,
+            )
+            metrics = dict(snap.summary, snapshot_id=snap.snapshot_id) if snap else {"noop": True}
+            if snap is None:
+                cp.stage_done("compact", metrics)
+        elif stage == "cluster":
+            snap = cluster(
+                table, spark, curve=curve, target_file_size_bytes=target_file_size_bytes
+            )
+            metrics = dict(snap.summary, snapshot_id=snap.snapshot_id)
+            cp.stage_done("cluster", metrics)
+        elif stage == "merge":
+            if merge_source is None:
+                metrics = {"noop": "no merge source"}
+            else:
+                snap = merge_into(
+                    table, spark, merge_source, target_file_size_bytes=target_file_size_bytes
+                )
+                metrics = dict(snap.summary, snapshot_id=snap.snapshot_id)
+            cp.stage_done("merge", metrics)
+        elif stage == "expire":
+            metrics = expire_snapshots(table, keep_last=keep_last)
+            cp.stage_done("expire", metrics)
+        else:
+            raise ValueError(f"unknown stage {stage!r}")
+        metrics["wall_sec"] = round(time.time() - t0, 3)
+        out[stage] = metrics
+    return out

@@ -1,0 +1,114 @@
+"""Bin-packing compaction planner (first-fit-decreasing to a target size).
+
+Replaces the reference's degenerate ``coalesce(1)`` small-file policy
+(/root/reference/scripts/silver_digit_clean.py:127,
+ scripts/bronze_digit.py:149 — SURVEY.md §2.1 S7, §4) with the policy the
+north_star demands: pack manifest entries per partition into rewrite groups
+of ≈ ``target_file_size_bytes``; each group becomes one right-sized output
+file. Oversized files get their own split groups.
+
+Planning is O(files log files) pure pandas on the manifest — no data read.
+At 10^8-file scale the same FFD runs per-partition inside a Spark
+``applyInPandas`` over the manifest DataFrame (partition count is the
+parallelism); the planner is deliberately a pure function of manifest rows
+so both paths share it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+
+@dataclass
+class CompactionGroup:
+    group_id: int
+    partition_json: str
+    kind: str  # "pack" (N small files → 1) | "split" (1 big file → N)
+    paths: list
+    input_bytes: int
+    input_records: int
+    n_output_files: int = 1
+
+
+@dataclass
+class CompactionPlan:
+    groups: list = field(default_factory=list)
+
+    @property
+    def rewritten_paths(self) -> set:
+        return {p for g in self.groups for p in g.paths}
+
+    def summary(self) -> dict:
+        return {
+            "groups": len(self.groups),
+            "files_in": sum(len(g.paths) for g in self.groups),
+            "files_out": sum(g.n_output_files for g in self.groups),
+            "bytes": sum(g.input_bytes for g in self.groups),
+        }
+
+
+def plan_compaction(
+    manifest: pd.DataFrame,
+    target_file_size_bytes: int,
+    *,
+    min_input_files: int = 2,
+    small_file_ratio: float = 0.75,
+    max_file_ratio: float = 1.8,
+) -> CompactionPlan:
+    """FFD-pack undersized files per partition; split oversized ones.
+
+    - candidates: files < small_file_ratio * target (too small) or
+      > max_file_ratio * target (too big).
+    - pack groups with fewer than ``min_input_files`` inputs are dropped —
+      rewriting a lone small file buys nothing.
+    """
+    small = int(target_file_size_bytes * small_file_ratio)
+    big = int(target_file_size_bytes * max_file_ratio)
+    groups: list = []
+    gid = 0
+    for pjson, part in manifest.groupby("partition_json", sort=True):
+        cand = part[part["file_size_bytes"] < small]
+        cand = cand.sort_values("file_size_bytes", ascending=False)
+        bins: list = []  # (remaining_bytes, [idx])
+        for _, row in cand.iterrows():
+            sz = int(row["file_size_bytes"])
+            for b in bins:
+                if b[0] >= sz:
+                    b[0] -= sz
+                    b[1].append(row)
+                    break
+            else:
+                bins.append([target_file_size_bytes - sz, [row]])
+        for b in bins:
+            rows = b[1]
+            if len(rows) < min_input_files:
+                continue
+            groups.append(
+                CompactionGroup(
+                    group_id=gid,
+                    partition_json=str(pjson),
+                    kind="pack",
+                    paths=[r["path"] for r in rows],
+                    input_bytes=int(sum(r["file_size_bytes"] for r in rows)),
+                    input_records=int(sum(r["record_count"] for r in rows)),
+                    n_output_files=1,
+                )
+            )
+            gid += 1
+        for _, row in part[part["file_size_bytes"] > big].iterrows():
+            n_out = max(2, round(int(row["file_size_bytes"]) / target_file_size_bytes))
+            groups.append(
+                CompactionGroup(
+                    group_id=gid,
+                    partition_json=str(pjson),
+                    kind="split",
+                    paths=[row["path"]],
+                    input_bytes=int(row["file_size_bytes"]),
+                    input_records=int(row["record_count"]),
+                    n_output_files=int(n_out),
+                )
+            )
+            gid += 1
+    return CompactionPlan(groups=groups)

@@ -19,10 +19,19 @@ This module implements the mechanics the reference only intended:
 Layout::
 
     table_root/
-      data/<commit-uuid>/[partition=val/]part-*.parquet
+      data/<commit-uuid>/part-*.parquet
       metadata/v1.metadata.json ... vN.metadata.json
       metadata/manifest-<snapshot_id>.parquet
       metadata/version-hint.text
+
+Partitioning is Iceberg-style **metadata partitioning**, not hive paths:
+data files always contain every column, and the manifest records per-file
+min/max for the partition columns (plus the stats columns). A file whose
+partition-column min == max belongs to that partition value
+(``partition_json``); writers make files partition-homogeneous by
+``repartitionByRange`` on (partition cols, sort key) before writing — the
+same mechanism real ingest uses at 10^12 scale. Pruning on the partition
+column is just stats pruning, so it needs no directory layout.
 
 Each commit writes its data files under a fresh ``data/<commit-uuid>/``
 directory, so "which files did this commit add" is answered by listing that
@@ -239,24 +248,16 @@ class Table:
         os.makedirs(prefix, exist_ok=False)
         return prefix
 
-    def write_files(
-        self,
-        df: DataFrame,
-        *,
-        sorted_within_partitions: Optional[str] = None,
-    ) -> pd.DataFrame:
+    def write_files(self, df: DataFrame) -> pd.DataFrame:
         """Write df's current partitioning into a fresh commit dir; return
         manifest entries (with stats) for the files written.
 
-        Respects the DataFrame's existing partitioning (callers repartition
-        for file sizing); hive-partitions on the table's partition columns.
+        Respects the DataFrame's existing partitioning — callers
+        ``repartitionByRange(n, *partition_cols, sort_key)`` for
+        partition-homogeneous, size-targeted files.
         """
-        meta = self.metadata()
         prefix = self.new_data_prefix()
-        writer = df.write.mode("append")
-        if meta.partition_cols:
-            writer = writer.partitionBy(*meta.partition_cols)
-        writer.parquet(prefix)
+        df.write.mode("append").parquet(prefix)
         return self.collect_stats_for_prefix(df.sparkSession, prefix)
 
     def collect_stats_for_prefix(self, spark: SparkSession, prefix: str) -> pd.DataFrame:
@@ -270,32 +271,33 @@ class Table:
         (/root/reference/scripts/gold_agilean.py:117-122).
         """
         meta = self.metadata()
-        read = spark.read
-        if meta.partition_cols:
-            read = read.option("basePath", prefix)
-        df = read.parquet(prefix)
+        prefixes = [prefix] if isinstance(prefix, str) else list(prefix)
+        df = spark.read.parquet(*prefixes)
+        stat_cols = list(dict.fromkeys(list(meta.partition_cols) + list(meta.stats_cols)))
         aggs = [
             F.count(F.lit(1)).alias("record_count"),
             F.first(F.col("_metadata.file_size")).alias("file_size_bytes"),
         ]
-        if meta.partition_cols:
-            aggs += [F.first(c).alias(f"_part_{c}") for c in meta.partition_cols]
-        for c in meta.stats_cols:
+        for c in stat_cols:
             aggs += [
                 F.min(c).alias(f"min_{c}"),
                 F.max(c).alias(f"max_{c}"),
                 F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
             ]
         pdf = df.groupBy(F.col("_metadata.file_path").alias("abs_path")).agg(*aggs).toPandas()
+        # A file "belongs" to a partition value iff min == max on every
+        # partition column; boundary files from range partitioning are
+        # tagged mixed and handled (rewritten) by compaction.
         part_json = []
         for _, row in pdf.iterrows():
-            part_json.append(
-                json.dumps({c: str(row[f"_part_{c}"]) for c in meta.partition_cols})
-            )
+            vals = {}
+            for c in meta.partition_cols:
+                mn, mx = row[f"min_{c}"], row[f"max_{c}"]
+                vals[c] = str(mn) if mn == mx else "__mixed__"
+            part_json.append(json.dumps(vals, sort_keys=True))
         pdf["partition_json"] = part_json
         pdf["path"] = [os.path.relpath(_strip_scheme(p), self.root) for p in pdf["abs_path"]]
-        drop = ["abs_path"] + [f"_part_{c}" for c in meta.partition_cols]
-        return pdf.drop(columns=drop)
+        return pdf.drop(columns=["abs_path"])
 
     # ---------- read path ----------
 
@@ -319,48 +321,22 @@ class Table:
         if len(man) == 0:
             return spark.createDataFrame([], schema=meta.schema_ddl)
         preds = list(predicates or [])
-        keep = prune_manifest(man, preds, meta.stats_cols)
+        statable = list(meta.partition_cols) + list(meta.stats_cols)
+        keep = prune_manifest(man, preds, statable)
         if len(keep) == 0:
             return spark.createDataFrame([], schema=meta.schema_ddl)
         paths = [os.path.join(self.root, p) for p in keep["path"]]
-        df = self._read_paths(spark, meta, paths)
+        df = spark.read.schema(self._schema(spark)).parquet(*paths)
         for col, op, value in preds:
             df = df.filter(_pred_to_column(col, op, value))
         if columns:
             df = df.select(*columns)
         return df
 
-    def _read_paths(self, spark: SparkSession, meta: TableMetadata, paths: list) -> DataFrame:
-        """Read an explicit file list. Files live under per-commit prefixes
-        (``data/<uuid>/part=val/...``); hive partition-value recovery needs a
-        consistent basePath, so group paths by commit prefix, read each group
-        with its own basePath, and union. The union is metadata-only — no
-        shuffle — and the number of prefixes equals the number of live
-        commits, which compaction keeps small."""
-        if not meta.partition_cols:
-            return spark.read.schema(self._schema_with_partitions(spark)).parquet(*paths)
-        groups: dict = {}
-        for p in paths:
-            rel = os.path.relpath(p, self.data_dir)
-            prefix = os.path.join(self.data_dir, rel.split(os.sep)[0])
-            groups.setdefault(prefix, []).append(p)
-        parts = [
-            spark.read.schema(self._schema_with_partitions(spark))
-            .option("basePath", prefix)
-            .parquet(*ps)
-            for prefix, ps in groups.items()
-        ]
-        df = parts[0]
-        for other in parts[1:]:
-            df = df.unionByName(other)
-        return df
-
-    def _schema_with_partitions(self, spark: SparkSession):
+    def _schema(self, spark: SparkSession):
         from pyspark.sql.types import StructType
 
-        meta = self.metadata()
-        base = StructType.fromDDL(meta.schema_ddl)
-        return base
+        return StructType.fromDDL(self.metadata().schema_ddl)
 
     # ---------- maintenance helpers ----------
 

@@ -1,0 +1,257 @@
+"""Maintenance operators: compaction, clustering, merge, expiry, resume."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from aws_medallion_datalake_spark.operators import (
+    cluster,
+    compact,
+    expire_snapshots,
+    merge_into,
+)
+from aws_medallion_datalake_spark.operators.checkpoint import RunCheckpoint
+from aws_medallion_datalake_spark.operators.cluster import clustering_quality
+from aws_medallion_datalake_spark.operators.run import run_maintenance
+from aws_medallion_datalake_spark.plans.binpack import plan_compaction
+from aws_medallion_datalake_spark.sources.generator import (
+    SCHEMA,
+    generate_images,
+    generate_updates,
+)
+from aws_medallion_datalake_spark.sources.tableformat import Table
+
+STATS = ["phash", "w", "h", "image_id"]
+TARGET = 1024 * 1024  # ~8 source files per bin at this scale
+
+
+def make_table(tmp_path, spark, n=600, n_files=24) -> Table:
+    t = Table.create(
+        str(tmp_path / "images"),
+        schema_ddl=SCHEMA,
+        partition_cols=["ingest_date"],
+        stats_cols=STATS,
+    )
+    df = generate_images(spark, n, n_files=n_files, n_dates=2)
+    t.commit("append", t.write_files(df), {"stage": "bronze"})
+    return t
+
+
+def table_fingerprint(t: Table, spark):
+    df = t.scan(spark)
+    agg = df.agg(
+        F.count("*").alias("rows"),
+        F.countDistinct("image_id").alias("ids"),
+        F.sum(F.length("bytes")).alias("payload_bytes"),
+        F.sum(F.hash("image_id", "caption", "phash")).alias("content_hash"),
+    ).first()
+    return tuple(agg)
+
+
+# ---------------- binpack planner (pure) ----------------
+
+
+def test_binpack_plan_properties():
+    man = pd.DataFrame(
+        {
+            "path": [f"f{i}" for i in range(10)],
+            "partition_json": ['{"d":"1"}'] * 6 + ['{"d":"2"}'] * 4,
+            "record_count": [10] * 10,
+            "file_size_bytes": [100] * 5 + [950] + [100] * 3 + [5000],
+        }
+    )
+    plan = plan_compaction(man, target_file_size_bytes=1000, min_input_files=2)
+    # no group mixes partitions
+    for g in plan.groups:
+        rows = man[man["path"].isin(g.paths)]
+        assert rows["partition_json"].nunique() == 1
+    # pack bins never exceed the target
+    for g in plan.groups:
+        if g.kind == "pack":
+            assert g.input_bytes <= 1000
+            assert len(g.paths) >= 2
+    # oversized file gets a split group with >1 outputs
+    splits = [g for g in plan.groups if g.kind == "split"]
+    assert len(splits) == 1 and splits[0].n_output_files == 5
+    # the lone 950-byte file (well-sized) is not rewritten
+    assert "f5" not in plan.rewritten_paths
+
+
+# ---------------- compaction ----------------
+
+
+def test_compact_preserves_content_and_reduces_files(tmp_path, spark):
+    t = make_table(tmp_path, spark)
+    before = table_fingerprint(t, spark)
+    files_before = len(t.manifest_pdf())
+    snap = compact(t, spark, target_file_size_bytes=TARGET, parallelism=4)
+    assert snap is not None and snap.operation == "replace"
+    files_after = len(t.manifest_pdf())
+    assert files_after < files_before
+    assert table_fingerprint(t, spark) == before
+    # old snapshot still readable (isolation), until expired
+    assert t.scan(spark, snapshot_id=1).count() == before[0]
+    # idempotent: second run is a no-op or keeps content identical
+    snap2 = compact(t, spark, target_file_size_bytes=TARGET, parallelism=4)
+    assert table_fingerprint(t, spark) == before
+    if snap2 is not None:
+        assert len(t.manifest_pdf()) <= files_after
+
+
+def test_compact_resume_skips_done_groups(tmp_path, spark, monkeypatch):
+    t = make_table(tmp_path, spark)
+    before = table_fingerprint(t, spark)
+    cp_path = str(tmp_path / "run.jsonl")
+
+    import importlib
+
+    compact_mod = importlib.import_module(
+        "aws_medallion_datalake_spark.operators.compact"
+    )
+
+    real = compact_mod._rewrite_group
+    calls = {"n": 0}
+
+    def flaky(table, spark_, group):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated executor loss")
+        return real(table, spark_, group)
+
+    monkeypatch.setattr(compact_mod, "_rewrite_group", flaky)
+    with pytest.raises(RuntimeError):
+        compact(t, spark, target_file_size_bytes=TARGET, parallelism=1,
+                checkpoint=RunCheckpoint(cp_path))
+    done_after_crash = len(RunCheckpoint(cp_path).units_done("compact"))
+    assert done_after_crash >= 1  # some groups committed to the checkpoint
+    # no snapshot was committed by the failed run
+    assert t.metadata().current_snapshot_id == 1
+
+    monkeypatch.setattr(compact_mod, "_rewrite_group", real)
+    calls2 = {"n": 0}
+
+    def counting(table, spark_, group):
+        calls2["n"] += 1
+        return real(table, spark_, group)
+
+    monkeypatch.setattr(compact_mod, "_rewrite_group", counting)
+    snap = compact(t, spark, target_file_size_bytes=TARGET, parallelism=1,
+                   checkpoint=RunCheckpoint(cp_path))
+    assert snap is not None
+    # resumed run did NOT rewrite the groups already checkpointed
+    total_groups = len(RunCheckpoint(cp_path).units_done("compact"))
+    assert calls2["n"] == total_groups - done_after_crash
+    assert table_fingerprint(t, spark) == before
+    # lineage recorded per unit
+    unit = RunCheckpoint(cp_path).units_done("compact")[0]
+    assert {"source_snapshot_id", "input_files", "input_records",
+            "input_bytes", "entries", "partition"} <= set(unit.keys())
+
+
+# ---------------- clustering ----------------
+
+
+@pytest.mark.parametrize("curve", ["morton", "hilbert"])
+def test_cluster_improves_pruning(tmp_path, spark, curve):
+    t = make_table(tmp_path, spark, n=800, n_files=16)
+    before = table_fingerprint(t, spark)
+    q_before = clustering_quality(t, "phash")
+    snap = cluster(t, spark, curve=curve, target_file_size_bytes=TARGET)
+    assert snap.operation == "replace"
+    assert table_fingerprint(t, spark) == before
+    q_after = clustering_quality(t, "phash")
+    assert q_after < q_before  # file phash ranges overlap less
+    # pruned point-lookup scans fewer files than the file count
+    man = t.manifest_pdf()
+    some_phash = int(man["min_phash"].iloc[0])
+    from aws_medallion_datalake_spark.sources.tableformat import prune_manifest
+
+    kept = prune_manifest(man, [("phash", "=", some_phash)], STATS)
+    assert len(kept) < len(man)
+
+
+# ---------------- merge ----------------
+
+
+def test_merge_matches_dataframe_oracle(tmp_path, spark):
+    n = 500
+    t = make_table(tmp_path, spark, n=n, n_files=10)
+    compact(t, spark, target_file_size_bytes=TARGET)
+    target_before = t.scan(spark).select("image_id", "caption", "bytes", "phash").cache()
+    source = generate_updates(spark, n, n_updates=120, n_inserts=80).cache()
+
+    files_before = set(t.manifest_pdf()["path"])
+    snap = merge_into(t, spark, source)
+    assert snap.operation == "merge"
+    assert snap.summary["rows_updated"] == 120
+    assert snap.summary["rows_inserted"] == 80
+    # copy-on-write: some original files survive untouched
+    files_after = set(t.manifest_pdf()["path"])
+    assert files_before & files_after, "merge rewrote every file — not CoW"
+
+    # oracle: target rows not in source + all source rows
+    expected = (
+        target_before.join(source.select("image_id"), "image_id", "left_anti")
+        .unionByName(source.select("image_id", "caption", "bytes", "phash"))
+    )
+    merged = t.scan(spark).select("image_id", "caption", "bytes", "phash")
+    assert merged.count() == n + 80
+    diff = merged.exceptAll(expected)
+    assert diff.isEmpty(), diff.limit(5).collect()
+
+    # duplicate source keys are rejected
+    dup_src = source.unionByName(source.limit(1))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_into(t, spark, dup_src)
+
+
+# ---------------- expiry ----------------
+
+
+def test_expire_gc(tmp_path, spark):
+    t = make_table(tmp_path, spark)
+    compact(t, spark, target_file_size_bytes=TARGET)
+    cluster(t, spark, target_file_size_bytes=TARGET)
+    rows = t.scan(spark).count()
+    assert len(t.metadata().snapshots) == 3
+    dry = expire_snapshots(t, keep_last=1, dry_run=True)
+    assert dry["deleted_files"] > 0
+    metrics = expire_snapshots(t, keep_last=1)
+    assert metrics["expired_snapshots"] == [1, 2]
+    assert metrics["retained_snapshots"] == [3]
+    # current snapshot fully readable; old ones gone
+    assert t.scan(spark).count() == rows
+    with pytest.raises(KeyError):
+        t.snapshot(1)
+    # every remaining data file is referenced by the retained manifest
+    on_disk = set()
+    for dirpath, _d, files in os.walk(t.data_dir):
+        for fn in files:
+            on_disk.add(os.path.relpath(os.path.join(dirpath, fn), t.root))
+    assert on_disk == set(t.manifest_pdf()["path"])
+
+
+# ---------------- full run driver ----------------
+
+
+def test_run_maintenance_end_to_end_and_resume(tmp_path, spark):
+    t = make_table(tmp_path, spark, n=400, n_files=12)
+    source = generate_updates(spark, 400, n_updates=60, n_inserts=40)
+    cp = str(tmp_path / "maint.jsonl")
+    out = run_maintenance(
+        t, spark, checkpoint_path=cp, merge_source=source,
+        target_file_size_bytes=TARGET, keep_last=1,
+    )
+    assert set(out) == {"compact", "cluster", "merge", "expire"}
+    assert out["merge"]["rows_inserted"] == 40
+    assert t.scan(spark).count() == 440
+    # re-run with same checkpoint: everything skipped, table unchanged
+    v = t.current_version()
+    out2 = run_maintenance(
+        t, spark, checkpoint_path=cp, merge_source=source,
+        target_file_size_bytes=TARGET,
+    )
+    assert all("skipped" in m for m in out2.values())
+    assert t.current_version() == v
