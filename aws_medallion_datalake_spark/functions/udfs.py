@@ -73,9 +73,20 @@ def _psnr():
 
     @F.pandas_udf("double")
     def psnr_pairwise(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [psnr(decode_image(x), decode_image(y)) for x, y in zip(a, b)]
-        )
+        # Null-tolerant: ArrowEvalPython evaluates the UDF for every row in
+        # the batch even under a CASE WHEN guard, so nulls must not crash.
+        def one(x, y):
+            if x is None or y is None:
+                return None
+            try:
+                ia, ib = decode_image(x), decode_image(y)
+            except Exception:
+                return float("-inf")  # undecodable → reported, not crashed
+            if ia.shape != ib.shape:
+                return float("-inf")
+            return psnr(ia, ib)
+
+        return pd.Series([one(x, y) for x, y in zip(a, b)], dtype="float64")
 
     return psnr_pairwise
 

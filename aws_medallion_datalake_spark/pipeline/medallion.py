@@ -1,0 +1,160 @@
+"""Bronze→silver→gold stages, re-expressing the reference's semantics.
+
+Stage semantics are lifted from the reference jobs (SURVEY.md §2, §3.1) and
+re-targeted at the image+caption table:
+
+- **bronze** — raw ingest, deliberately fragmented small files (the
+  accumulation the reference's daily ``coalesce(1)`` writes produce over
+  time, scripts/bronze_digit.py:149). Source: deterministic generator
+  (replaces the REST fetch, scripts/bronze_digit.py:28-109).
+- **silver** — clean/validate/dedup, mirroring
+  scripts/silver_digit_clean.py:71-118: not-null key filter (:81),
+  ``dropDuplicates`` (:90), trim/control-char cleanup of text
+  (docs/SILVER_API_DIGIT_TRANSFORMACAO.md:84-86), type/range validation
+  (casts :72-75), plus image-specific checks (fmt whitelist, positive
+  dims). Audit column is a constant batch id, not current_timestamp(),
+  so fixtures stay byte-deterministic.
+- **gold** — aggregated marts, mirroring gold_digit_fixed.py's dims/facts
+  and gold_agilean.py's quality metrics: per (ingest_date, fmt) fact table
+  and a one-pass column-completeness profile (fixes the reference's
+  O(columns) ``filter().count()`` loop, gold_agilean.py:117-122, with a
+  single aggregate — SURVEY.md §2.4 A7).
+
+Each stage writes a snapshot commit to its own Table — the medallion
+"layers = namespaces" decision from SURVEY.md §1.1.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.generator import SCHEMA, generate_images
+from ..sources.tableformat import Table
+
+STATS = ["phash", "w", "h", "image_id", "ingest_date"]
+VALID_FMTS = ("png", "jpeg")
+
+
+def bronze_ingest(
+    spark: SparkSession,
+    root: str,
+    n_rows: int,
+    *,
+    n_files: int = 32,
+    n_dates: int = 4,
+) -> Table:
+    """Create + populate the bronze table with many small files."""
+    t = Table.create(
+        root, SCHEMA, partition_cols=["ingest_date"], stats_cols=STATS
+    )
+    df = generate_images(spark, n_rows, n_files=n_files, n_dates=n_dates)
+    entries = t.write_files(df)
+    t.commit("append", entries, {"stage": "bronze", "rows": n_rows})
+    return t
+
+
+def silver_transform(df: DataFrame, batch_id: str = "batch-0") -> DataFrame:
+    """The silver cleaning plan (pure transformation — testable lazily)."""
+    return (
+        df.filter(F.col("image_id").isNotNull())  # not-null key (ref :81)
+        .filter(F.col("fmt").isin(*VALID_FMTS))
+        .filter((F.col("w") > 0) & (F.col("h") > 0))
+        .withColumn(
+            "caption",
+            F.trim(F.regexp_replace(F.col("caption"), "[\\t\\n\\r]", " ")),
+        )
+        .dropDuplicates(["image_id"])  # ref .distinct() / :90
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+
+
+def silver_refine(
+    bronze: Table,
+    spark: SparkSession,
+    root: str,
+    *,
+    batch_id: str = "batch-0",
+    snapshot_id: Optional[int] = None,
+) -> Table:
+    silver = Table.create(
+        root,
+        SCHEMA + ", batch_id string",
+        partition_cols=["ingest_date"],
+        stats_cols=STATS,
+    )
+    df = silver_transform(bronze.scan(spark, snapshot_id=snapshot_id), batch_id)
+    # size-targeted, partition-homogeneous files from day one
+    df = df.repartitionByRange(
+        max(2, df.sparkSession.sparkContext.defaultParallelism // 2),
+        "ingest_date",
+        "image_id",
+    )
+    silver.commit("append", silver.write_files(df), {"stage": "silver"})
+    return silver
+
+
+def gold_build(
+    silver: Table, spark: SparkSession, root: str
+) -> Table:
+    """Gold fact: per (ingest_date, fmt) metrics in ONE aggregate pass."""
+    gold = Table.create(
+        root,
+        "ingest_date string, fmt string, n_images bigint, n_distinct_phash bigint, "
+        "total_bytes bigint, avg_pixels double, min_w int, max_w int",
+        partition_cols=[],
+        stats_cols=["ingest_date", "fmt"],
+    )
+    df = silver.scan(spark)
+    fact = (
+        df.groupBy("ingest_date", "fmt")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.countDistinct("phash").alias("n_distinct_phash"),
+            F.sum(F.length("bytes")).alias("total_bytes"),
+            F.avg(F.col("w").cast("double") * F.col("h")).alias("avg_pixels"),
+            F.min("w").alias("min_w"),
+            F.max("w").alias("max_w"),
+        )
+    )
+    gold.commit("append", gold.write_files(fact.coalesce(1)), {"stage": "gold"})
+    return gold
+
+
+def quality_profile(df: DataFrame) -> DataFrame:
+    """Column completeness % in one pass (reference: gold_agilean.py:103-162
+    but without its per-column full-scan loop). Returns
+    (column, non_null, total, completeness_pct, status)."""
+    cols = df.columns
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__total"),
+        *[F.count(c).alias(c) for c in cols],
+    )
+    total = F.col("__total")
+    stacked = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).alias("non_null"),
+                        total.alias("total"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    pct = F.round(F.col("non_null") * 100.0 / F.col("total"), 2)
+    return stacked.select(
+        "column",
+        "non_null",
+        "total",
+        pct.alias("completeness_pct"),
+        F.when(pct >= 80, "GOOD")
+        .when(pct >= 50, "FAIR")
+        .otherwise("POOR")
+        .alias("status"),  # thresholds from gold_agilean.py:129
+    )
