@@ -1,38 +1,1052 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship star-schema query on sf0.001.
+``queries()`` — one callable per implemented operator family from
+SURVEY.md §2 plus the training-data-pipeline operators (dedup,
+similarity search, text analysis, image maintenance).
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+query; image/maintenance queries (engine-internal, non-SQL) are
+rows-only checks.
+
+Column-name parity rule: every computed column is aliased identically
+in the Spark plan and the oracle SQL. Derived ints are cast to INT on
+both sides; float aggregates are rounded identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _hex15_to_long(c):
+    """Low-60-bit integer of an md5 hex digest — matches DuckDB's
+    CAST('0x' || substr(md5(x),1,15) AS BIGINT)."""
+    return F.conv(F.substring(c, 1, 15), 16, 10).cast("long")
+
+
+_STOPWORDS = ("the", "a")
+
+# 3-word shingles over whitespace-tokenized text (docs with >= 3 tokens)
+_SHINGLE_EXPR = (
+    "transform(sequence(1, size(toks) - 2), "
+    "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
+    "element_at(toks, i + 2)))"
+)
+
+
+def _doc_tokens(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("toks", F.split(F.trim(F.col("text")), " "))
+        .withColumn("n_tokens", F.size("toks"))
+    )
+
+
+def _doc_shingles(spark, sf_dir):
+    """(doc_id, shingle) distinct 3-gram word shingles."""
+    return (
+        _doc_tokens(spark, sf_dir)
+        .filter(F.col("n_tokens") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("shingle"))
+        .distinct()
+    )
+
+
+_SHINGLE_SQL = """
+    SELECT DISTINCT doc_id,
+           unnest([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                   for i in range(1, len(toks) - 1)]) AS shingle
+    FROM (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks
+        FROM documents
+        WHERE len(string_split(trim(text), ' ')) >= 3
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: star-schema revenue rollup (SURVEY.md §2.3 J1/J4 +
+    §2.4 A4) — customer ⋈ nation ⋈ region ⋈ orders with broadcast dims."""
+    sf_dir = "/root/testdata/sf0.001"
+    customer = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational operator queries (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """A4 multi-measure grouped agg (TPC-H Q1 shape) + F11 round."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _sql_pricing_summary():
+    return """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def q_top_orders(spark, sf_dir):
+    """O1 ORDER BY ... LIMIT top-k (deterministic tie-break on key)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy(F.desc("price"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _sql_top_orders():
+    return """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 10
+    """
+
+
+def q_segment_revenue(spark, sf_dir):
+    """J1 fact⋈dim broadcast join + A4 grouped measures."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = F.broadcast(_t(spark, sf_dir, "customer"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+def _sql_segment_revenue():
+    return """
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """
+
+
+def q_region_rollup(spark, sf_dir):
+    """J4 dim⋈dim⋈dim chain + A4."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+            F.countDistinct("n_name").alias("n_nations"),
+        )
+    )
+
+
+def _sql_region_rollup():
+    return """
+        SELECT r_name, count(*) AS n_customers,
+               round(avg(c_acctbal), 2) AS avg_acctbal,
+               count(DISTINCT n_name) AS n_nations
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """
+
+
+def q_conditional_agg(spark, sf_dir):
+    """A5 SUM(CASE WHEN)/COUNT(CASE WHEN) + P6 status predicate."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+                "n_finished"
+            ),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+            F.count("*").alias("n_total"),
+        )
+    )
+
+
+def _sql_conditional_agg():
+    return """
+        SELECT o_orderpriority,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+               count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+               count(*) AS n_total
+        FROM orders GROUP BY o_orderpriority
+    """
+
+
+def q_distinct_agg(spark, sf_dir):
+    """A6 COUNT(DISTINCT) incl. concat-key distinct."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct(
+                F.concat(F.col("o_custkey").cast("string"), F.lit("|"), F.col("o_orderpriority"))
+            ).alias("n_cust_prio"),
+        )
+    )
+
+
+def _sql_distinct_agg():
+    return """
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(DISTINCT concat(CAST(o_custkey AS VARCHAR), '|', o_orderpriority)) AS n_cust_prio
+        FROM orders GROUP BY o_orderstatus
+    """
+
+
+def q_table_counts(spark, sf_dir):
+    """A8/U1 count-per-table UNION ALL report."""
+    names = ["customer", "orders", "lineitem", "part", "supplier"]
+    dfs = [
+        _t(spark, sf_dir, n).agg(F.count("*").alias("n_rows")).select(
+            F.lit(n).alias("tabela"), "n_rows"
+        )
+        for n in names
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _sql_table_counts():
+    parts = [
+        f"SELECT '{n}' AS tabela, count(*) AS n_rows FROM {n}"
+        for n in ["customer", "orders", "lineitem", "part", "supplier"]
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_segment_share(spark, sf_dir):
+    """W1 percent-of-total window over an aggregate."""
+    agg = _t(spark, sf_dir, "customer").groupBy("c_mktsegment").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "c_mktsegment",
+        "n",
+        F.round(F.col("n") * 100.0 / F.sum("n").over(w), 2).alias("pct"),
+    )
+
+
+def _sql_segment_share():
+    return """
+        SELECT c_mktsegment, n, round(n * 100.0 / sum(n) OVER (), 2) AS pct
+        FROM (SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment)
+    """
+
+
+def q_monthly_growth(spark, sf_dir):
+    """W2 lag-style MoM growth + F20 calendar derivation."""
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("growth"),
+    )
+
+
+def _sql_monthly_growth():
+    return """
+        SELECT month, revenue,
+               round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS growth
+        FROM (
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        )
+    """
+
+
+def q_acctbal_bands(spark, sf_dir):
+    """F6 CASE WHEN bucketing (age-band pattern)."""
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(band.alias("band"), "c_acctbal")
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+    )
+
+
+def _sql_acctbal_bands():
+    return """
+        SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                    WHEN c_acctbal < 3000 THEN 'low'
+                    WHEN c_acctbal < 7000 THEN 'mid'
+                    ELSE 'high' END AS band,
+               count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+        FROM customer GROUP BY 1
+    """
+
+
+def q_orders_calendar(spark, sf_dir):
+    """F7/F8/F20 calendar attrs (year/quarter/weekend flag) + agg."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("int").alias("ano"),
+            F.quarter("o_orderdate").cast("int").alias("trimestre"),
+            F.dayofweek("o_orderdate").isin(1, 7).alias("eh_fim_semana"),
+            "o_totalprice",
+        )
+        .groupBy("ano", "trimestre", "eh_fim_semana")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+def _sql_orders_calendar():
+    # DuckDB dayofweek: 0=Sunday..6=Saturday; Spark: 1=Sunday..7=Saturday.
+    return """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS ano,
+               CAST(quarter(o_orderdate) AS INTEGER) AS trimestre,
+               dayofweek(o_orderdate) IN (0, 6) AS eh_fim_semana,
+               count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1, 2, 3
+    """
+
+
+def q_ship_window(spark, sf_dir):
+    """P4 date-range predicate + P2 not-null filter + pushdown-friendly plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & F.col("l_returnflag").isNotNull()
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+def _sql_ship_window():
+    return """
+        SELECT l_returnflag, count(*) AS n,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+          AND l_returnflag IS NOT NULL
+        GROUP BY l_returnflag
+    """
+
+
+def q_part_pruned(spark, sf_dir):
+    """P3/P7 value-exclusion predicates + manual column pruning."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter((F.col("p_size").between(10, 30)) & (F.col("p_brand") != "Brand#3"))
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+def _sql_part_pruned():
+    return """
+        SELECT p_brand, p_type, count(*) AS n_parts,
+               round(avg(p_retailprice), 2) AS avg_price
+        FROM part
+        WHERE p_size BETWEEN 10 AND 30 AND p_brand != 'Brand#3'
+        GROUP BY p_brand, p_type
+    """
+
+
+def q_string_cleanup(spark, sf_dir):
+    """F1/F2/F10/F12/F13 string kernel: trim, control-char strip,
+    digits-only, concat, coalesce."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.trim(F.regexp_replace(F.col("c_name"), "[\\t\\n\\r]", "")).alias("name_clean"),
+        F.regexp_replace(F.col("c_name"), "[^0-9]", "").alias("name_digits"),
+        F.concat(
+            F.coalesce(F.col("c_mktsegment"), F.lit("")),
+            F.lit("-"),
+            F.col("c_nationkey").cast("string"),
+        ).alias("seg_nation"),
+    )
+
+
+def _sql_string_cleanup():
+    return r"""
+        SELECT c_custkey,
+               trim(regexp_replace(c_name, '[\t\n\r]', '', 'g')) AS name_clean,
+               regexp_replace(c_name, '[^0-9]', '', 'g') AS name_digits,
+               concat(coalesce(c_mktsegment, ''), '-', CAST(c_nationkey AS VARCHAR)) AS seg_nation
+        FROM customer
+    """
+
+
+def q_events_hourly(spark, sf_dir):
+    """F8 HOUR(ts)/DATE(ts) derived grouping over the events table."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type", F.hour("ts").cast("int").alias("hora")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def _sql_events_hourly():
+    return """
+        SELECT event_type, CAST(hour(ts) AS INTEGER) AS hora,
+               count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """
+
+
+def q_events_json(spark, sf_dir):
+    """F17/F18 JSON-string parse (from_json) + aggregate on extracted field."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type",
+        F.from_json(F.col("props"), "k int").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+def _sql_events_json():
+    return """
+        SELECT event_type,
+               count(CAST(json_extract(props, '$.k') AS INTEGER)) AS n_with_k,
+               round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k,
+               max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+        FROM events GROUP BY event_type
+    """
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+
+
+def q_quality_profile(spark, sf_dir):
+    """A7 one-pass column-completeness profile (reference:
+    gold_agilean.py:103-162 without its O(columns) scan loop)."""
+    from aws_medallion_datalake_spark.pipeline.medallion import quality_profile
+
+    df = _t(spark, sf_dir, "orders").select(*_PROFILE_COLS)
+    return quality_profile(df).withColumnRenamed("column", "col_name")
+
+
+def _sql_quality_profile():
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            f"""SELECT '{c}' AS col_name, count({c}) AS non_null, count(*) AS total,
+                round(count({c}) * 100.0 / count(*), 2) AS completeness_pct,
+                CASE WHEN count({c}) * 100.0 / count(*) >= 80 THEN 'GOOD'
+                     WHEN count({c}) * 100.0 / count(*) >= 50 THEN 'FAIR'
+                     ELSE 'POOR' END AS status
+                FROM orders"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / fingerprint / text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via content fingerprint (hash-groupBy)."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return (
+        d.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+            (F.count("*") - F.countDistinct("fp")).alias("n_dupes"),
+        )
+    )
+
+
+def _sql_dedup_exact():
+    return """
+        SELECT source, count(*) AS n_docs,
+               count(DISTINCT md5(lower(trim(text)))) AS n_distinct,
+               count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_dupes
+        FROM documents GROUP BY source
+    """
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Per-document 60-bit content fingerprint (md5-based rolling id)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        _hex15_to_long(F.md5(F.lower(F.trim(F.col("text"))))).alias("fingerprint"),
+    )
+
+
+def _sql_doc_fingerprint():
+    return """
+        SELECT doc_id,
+               CAST('0x' || substr(md5(lower(trim(text))), 1, 15) AS BIGINT) AS fingerprint
+        FROM documents
+    """
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenizer) aggregated per source."""
+    d = _doc_tokens(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+def _sql_token_stats():
+    return r"""
+        SELECT source, count(*) AS n_docs,
+               sum(len(string_split(trim(text), ' '))) AS total_tokens,
+               round(avg(len(string_split(trim(text), ' '))), 2) AS avg_tokens,
+               max(len(string_split(trim(text), ' '))) AS max_tokens
+        FROM documents GROUP BY source
+    """
+
+
+def q_doc_quality(spark, sf_dir):
+    """Quality scoring: length + stopword-ratio heuristic → class."""
+    d = _doc_tokens(spark, sf_dir)
+    stop_n = F.size(F.filter("toks", lambda t: t.isin(*_STOPWORDS)))
+    d = d.withColumn("stop_ratio", stop_n / F.col("n_tokens"))
+    score = (
+        F.least(F.col("n_tokens") / 200.0, F.lit(1.0)) * 0.6
+        + (1.0 - F.least(F.col("stop_ratio") * 5.0, F.lit(1.0))) * 0.4
+    )
+    d = d.withColumn("score", score)
+    status = (
+        F.when(F.col("score") >= 0.7, "GOOD")
+        .when(F.col("score") >= 0.4, "FAIR")
+        .otherwise("POOR")
+    )
+    return (
+        d.select("lang", status.alias("status"), "score")
+        .groupBy("lang", "status")
+        .agg(F.count("*").alias("n"), F.round(F.avg("score"), 4).alias("avg_score"))
+    )
+
+
+def _sql_doc_quality():
+    return """
+        WITH t AS (
+            SELECT lang,
+                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   len(list_filter(string_split(trim(text), ' '),
+                                   x -> x IN ('the', 'a'))) AS stop_n
+            FROM documents
+        ), s AS (
+            SELECT lang,
+                   least(n_tokens / 200.0, 1.0) * 0.6
+                   + (1.0 - least((stop_n / n_tokens) * 5.0, 1.0)) * 0.4 AS score
+            FROM t
+        )
+        SELECT lang,
+               CASE WHEN score >= 0.7 THEN 'GOOD'
+                    WHEN score >= 0.4 THEN 'FAIR'
+                    ELSE 'POOR' END AS status,
+               count(*) AS n, round(avg(score), 4) AS avg_score
+        FROM s GROUP BY 1, 2
+    """
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic (stopword-ratio n-gram proxy) vs labeled lang."""
+    d = _doc_tokens(spark, sf_dir)
+    stop_n = F.size(F.filter("toks", lambda t: t.isin(*_STOPWORDS)))
+    ratio = stop_n / F.col("n_tokens")
+    pred = (
+        F.when(ratio >= 0.08, "en").when(ratio >= 0.04, "mix").otherwise("other")
+    )
+    return (
+        d.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _sql_lang_id():
+    return """
+        WITH t AS (
+            SELECT lang,
+                   len(list_filter(string_split(trim(text), ' '),
+                                   x -> x IN ('the', 'a')))
+                   / len(string_split(trim(text), ' '))::DOUBLE AS ratio
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN ratio >= 0.08 THEN 'en'
+                    WHEN ratio >= 0.04 THEN 'mix'
+                    ELSE 'other' END AS predicted,
+               count(*) AS n
+        FROM t GROUP BY 1, 2
+    """
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash (16-bit, md5 token hashes) per document — near-dup key."""
+    d = _doc_tokens(spark, sf_dir)
+    tok = d.select("doc_id", F.explode("toks").alias("tok"))
+    h = _hex15_to_long(F.md5("tok"))
+    bit_sums = [
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{b}")
+        for b in range(16)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash16"))
+
+
+def _sql_simhash():
+    bit_sums = ", ".join(
+        f"sum(((h >> {b}) & 1) * 2 - 1) AS b{b}" for b in range(16)
+    )
+    sim = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(t.tok), 1, 15) AS BIGINT) AS h
+            FROM documents, unnest(string_split(trim(text), ' ')) AS t(tok)
+        ), agg AS (
+            SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({sim} AS BIGINT) AS simhash16 FROM agg
+    """
+
+
+_N_MINHASH = 8  # 2 bands x 4 rows
+
+
+def q_minhash_signature(spark, sf_dir):
+    """MinHash signatures over 3-gram shingles, banded for LSH
+    (shingle → minhash → band). Band values are join keys for
+    candidate-pair generation at scale."""
+    sh = _doc_shingles(spark, sf_dir)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_MINHASH - 1))).alias("seed"),
+        "shingle",
+    )
+    h = _hex15_to_long(F.md5(F.concat("shingle", F.lit("#"), F.col("seed").cast("string"))))
+    mins = seeded.groupBy("doc_id", "seed").agg(F.min(h).alias("mh"))
+    per_seed = [
+        F.min(F.when(F.col("seed") == s, F.col("mh"))).alias(f"mh{s}")
+        for s in range(_N_MINHASH)
+    ]
+    sig = mins.groupBy("doc_id").agg(*per_seed)
+    band0 = F.concat_ws("-", *[F.col(f"mh{s}").cast("string") for s in range(4)])
+    band1 = F.concat_ws("-", *[F.col(f"mh{s}").cast("string") for s in range(4, 8)])
+    return sig.select("doc_id", band0.alias("band0"), band1.alias("band1"))
+
+
+def _sql_minhash_signature():
+    per_seed = ", ".join(
+        f"min(CASE WHEN seed = {s} THEN mh END) AS mh{s}" for s in range(_N_MINHASH)
+    )
+    band0 = " || '-' || ".join(f"CAST(mh{s} AS VARCHAR)" for s in range(4))
+    band1 = " || '-' || ".join(f"CAST(mh{s} AS VARCHAR)" for s in range(4, 8))
+    return f"""
+        WITH sh AS ({_SHINGLE_SQL}),
+        mins AS (
+            SELECT doc_id, seed,
+                   min(CAST('0x' || substr(md5(shingle || '#' || CAST(seed AS VARCHAR)), 1, 15) AS BIGINT)) AS mh
+            FROM sh, (SELECT unnest(range({_N_MINHASH})) AS seed)
+            GROUP BY doc_id, seed
+        ), sig AS (
+            SELECT doc_id, {per_seed} FROM mins GROUP BY doc_id
+        )
+        SELECT doc_id, {band0} AS band0, {band1} AS band1 FROM sig
+    """
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup: top-20 most similar doc pairs via
+    shingle inverted index (the bucket-join scale path: pairs are only
+    generated for docs sharing ≥1 shingle)."""
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+    )
+
+
+def _sql_ngram_jaccard_pairs():
+    return f"""
+        WITH sh AS ({_SHINGLE_SQL}),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(common / (sa.sz + sb.sz - common)::DOUBLE, 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _cosine(e_col, q_lit):
+    dot = F.aggregate(
+        F.zip_with(e_col, q_lit, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n1 = F.aggregate(
+        F.transform(e_col, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n2 = F.aggregate(
+        F.transform(q_lit, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return dot / (F.sqrt(n1) * F.sqrt(n2))
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline (query = vec_id 0)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    q_lit = F.array(*[F.lit(x) for x in qv])
+    return (
+        e.select("vec_id", F.round(_cosine(F.col("embedding"), q_lit), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _sql_embedding_topk():
+    return """
+        WITH q AS (SELECT i, (SELECT embedding FROM embeddings WHERE vec_id = 0)[i]::DOUBLE AS v
+                   FROM generate_series(1, 64) g(i)),
+        e AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v
+              FROM embeddings, generate_series(1, 64) g(i))
+        SELECT e.vec_id,
+               round(sum(e.v * q.v) / (sqrt(sum(e.v * e.v)) * sqrt(sum(q.v * q.v))), 4) AS cos_sim
+        FROM e JOIN q USING (i)
+        GROUP BY e.vec_id
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """
+
+
+def q_lsh_buckets(spark, sf_dir):
+    """LSH-bucketed ANN scale path: sign-bit bucketing on fixed
+    coordinates; bucket histogram (buckets are the shuffle keys that
+    confine pairwise comparisons at 100 TB)."""
+    e = _t(spark, sf_dir, "embeddings")
+    dims = [1, 9, 17, 25, 33]  # 1-based positions
+    bucket = None
+    for k, d in enumerate(dims):
+        bit = F.when(F.element_at("embedding", d) > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return (
+        e.select(bucket.cast("int").alias("bucket"), "label")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.countDistinct("label").alias("n_labels"))
+    )
+
+
+def _sql_lsh_buckets():
+    dims = [1, 9, 17, 25, 33]
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{d}] > 0 THEN {1 << k} ELSE 0 END)"
+        for k, d in enumerate(dims)
+    )
+    return f"""
+        SELECT CAST({bucket} AS INTEGER) AS bucket,
+               count(*) AS n, count(DISTINCT label) AS n_labels
+        FROM embeddings GROUP BY 1
+    """
+
+
+def q_label_centroid_sim(spark, sf_dir):
+    """Per-label centroid cosine (embedding-cosine near-dup building
+    block): explode → dim-wise mean → cosine of each vector to its
+    label centroid → avg per label."""
+    e = _t(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = pos.groupBy("label", "i").agg(F.avg("v").alias("m"))
+    j = pos.join(cent, ["label", "i"])
+    per_vec = j.groupBy("vec_id", "label").agg(
+        (
+            F.sum(F.col("v") * F.col("m"))
+            / (F.sqrt(F.sum(F.col("v") * F.col("v"))) * F.sqrt(F.sum(F.col("m") * F.col("m"))))
+        ).alias("cos")
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n"), F.round(F.avg("cos"), 4).alias("avg_centroid_sim")
+    )
+
+
+def _sql_label_centroid_sim():
+    return """
+        WITH pos AS (
+            SELECT vec_id, label, i, embedding[i]::DOUBLE AS v
+            FROM embeddings, generate_series(1, 64) g(i)
+        ), cent AS (
+            SELECT label, i, avg(v) AS m FROM pos GROUP BY label, i
+        ), per_vec AS (
+            SELECT pos.vec_id, pos.label,
+                   sum(pos.v * cent.m) / (sqrt(sum(pos.v * pos.v)) * sqrt(sum(cent.m * cent.m))) AS cos
+            FROM pos JOIN cent ON pos.label = cent.label AND pos.i = cent.i
+            GROUP BY pos.vec_id, pos.label
+        )
+        SELECT label, count(*) AS n, round(avg(cos), 4) AS avg_centroid_sim
+        FROM per_vec GROUP BY label
+    """
+
+
+# ---------------------------------------------------------------------------
+# image lakehouse maintenance (engine-internal; rows-only checks)
+# ---------------------------------------------------------------------------
+
+_IMG_ROWS = 400
+
+
+def q_image_medallion(spark, sf_dir):
+    """bronze→silver→gold medallion pipeline over the synthetic
+    image+caption table (BASELINE.json input_hint shape); returns the
+    gold fact. Non-SQL (engine table format + Arrow codec UDFs)."""
+    import tempfile
+
+    from aws_medallion_datalake_spark.pipeline.medallion import (
+        bronze_ingest,
+        gold_build,
+        silver_refine,
+    )
+
+    root = tempfile.mkdtemp(prefix="entry_medallion_")
+    bronze = bronze_ingest(spark, os.path.join(root, "bronze"), _IMG_ROWS, n_files=8)
+    silver = silver_refine(bronze, spark, os.path.join(root, "silver"))
+    gold = gold_build(silver, spark, os.path.join(root, "gold"))
+    return gold.scan(spark).orderBy("ingest_date", "fmt")
+
+
+def q_image_maintenance(spark, sf_dir):
+    """compact → cluster(hilbert) → merge → expire on the image table,
+    then a post-maintenance scan aggregate (deterministic invariants:
+    row counts, distinct ids, byte totals per partition)."""
+    import tempfile
+
+    from aws_medallion_datalake_spark.operators.cluster import cluster
+    from aws_medallion_datalake_spark.operators.compact import compact
+    from aws_medallion_datalake_spark.operators.expire import expire_snapshots
+    from aws_medallion_datalake_spark.operators.merge import merge_into
+    from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
+    from aws_medallion_datalake_spark.sources.generator import generate_updates
+
+    root = tempfile.mkdtemp(prefix="entry_maint_")
+    t = bronze_ingest(spark, os.path.join(root, "t"), _IMG_ROWS, n_files=8)
+    compact(t, spark, target_file_size_bytes=1 << 22)
+    cluster(t, spark, curve="hilbert", target_file_size_bytes=1 << 22)
+    src = generate_updates(spark, _IMG_ROWS, 40, 20, n_files=4)
+    merge_into(t, spark, src, key="image_id", target_file_size_bytes=1 << 22)
+    expire_snapshots(t, keep_last=1)
+    return (
+        t.scan(spark)
+        .groupBy("ingest_date", "fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("image_id").alias("n_ids"),
+            F.sum(F.length("bytes")).alias("total_bytes"),
+            F.sum("w").alias("sum_w"),
+        )
+        .orderBy("ingest_date", "fmt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "segment_revenue": q_segment_revenue,
+        "region_rollup": q_region_rollup,
+        "conditional_agg": q_conditional_agg,
+        "distinct_agg": q_distinct_agg,
+        "table_counts": q_table_counts,
+        "segment_share": q_segment_share,
+        "monthly_growth": q_monthly_growth,
+        "acctbal_bands": q_acctbal_bands,
+        "orders_calendar": q_orders_calendar,
+        "ship_window": q_ship_window,
+        "part_pruned": q_part_pruned,
+        "string_cleanup": q_string_cleanup,
+        "events_hourly": q_events_hourly,
+        "events_json": q_events_json,
+        "quality_profile": q_quality_profile,
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprint": q_doc_fingerprint,
+        "token_stats": q_token_stats,
+        "doc_quality": q_doc_quality,
+        "lang_id": q_lang_id,
+        "simhash": q_simhash,
+        "minhash_signature": q_minhash_signature,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_topk": q_embedding_topk,
+        "lsh_buckets": q_lsh_buckets,
+        "label_centroid_sim": q_label_centroid_sim,
+        "image_medallion": q_image_medallion,
+        "image_maintenance": q_image_maintenance,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": _sql_pricing_summary(),
+        "top_orders": _sql_top_orders(),
+        "segment_revenue": _sql_segment_revenue(),
+        "region_rollup": _sql_region_rollup(),
+        "conditional_agg": _sql_conditional_agg(),
+        "distinct_agg": _sql_distinct_agg(),
+        "table_counts": _sql_table_counts(),
+        "segment_share": _sql_segment_share(),
+        "monthly_growth": _sql_monthly_growth(),
+        "acctbal_bands": _sql_acctbal_bands(),
+        "orders_calendar": _sql_orders_calendar(),
+        "ship_window": _sql_ship_window(),
+        "part_pruned": _sql_part_pruned(),
+        "string_cleanup": _sql_string_cleanup(),
+        "events_hourly": _sql_events_hourly(),
+        "events_json": _sql_events_json(),
+        "quality_profile": _sql_quality_profile(),
+        "dedup_exact": _sql_dedup_exact(),
+        "doc_fingerprint": _sql_doc_fingerprint(),
+        "token_stats": _sql_token_stats(),
+        "doc_quality": _sql_doc_quality(),
+        "lang_id": _sql_lang_id(),
+        "simhash": _sql_simhash(),
+        "minhash_signature": _sql_minhash_signature(),
+        "ngram_jaccard_pairs": _sql_ngram_jaccard_pairs(),
+        "embedding_topk": _sql_embedding_topk(),
+        "lsh_buckets": _sql_lsh_buckets(),
+        "label_centroid_sim": _sql_label_centroid_sim(),
+        # image_medallion / image_maintenance: engine-internal table
+        # format + Arrow codec UDFs — not SQL-expressible (rows-only).
+    }

@@ -217,9 +217,19 @@ class Table:
         new_manifest: pd.DataFrame,
         summary: Optional[dict] = None,
     ) -> Snapshot:
-        """Commit a full new manifest as the next snapshot (atomic)."""
+        """Commit the next snapshot (atomic).
+
+        ``operation == "append"``: ``new_manifest`` holds only the ADDED
+        files; they are concatenated onto the current manifest. Any other
+        operation (replace/merge/expire): ``new_manifest`` IS the full new
+        file list.
+        """
         version = self.current_version()
         meta = self.metadata(version)
+        if operation == "append" and meta.current_snapshot_id is not None:
+            new_manifest = pd.concat(
+                [self.manifest_pdf(), new_manifest], ignore_index=True
+            )
         sid = (meta.current_snapshot_id or 0) + 1
         rel = self._write_manifest(sid, new_manifest)
         snap = Snapshot(

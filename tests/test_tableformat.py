@@ -42,9 +42,7 @@ def test_snapshot_isolation(table, spark):
     """Reader pinned to snapshot 1 is unaffected by a later commit."""
     before = table.scan(spark, snapshot_id=1).count()
     df2 = generate_images(spark, 50, n_files=2, start=200)
-    entries2 = table.write_files(df2)
-    man = pd.concat([table.manifest_pdf(), entries2], ignore_index=True)
-    table.commit("append", man)
+    table.commit("append", table.write_files(df2))
     assert table.metadata().current_snapshot_id == 2
     assert table.scan(spark, snapshot_id=1).count() == before == 200
     assert table.scan(spark).count() == 250
@@ -92,3 +90,14 @@ def test_version_file_collision_fails_loudly(table):
     meta = table.metadata()
     with pytest.raises(FileExistsError):
         table._write_metadata_version(table.current_version(), meta)
+
+
+def test_second_append_accumulates(table, spark):
+    """Regression: append commits concatenate onto the current manifest —
+    a second append must not replace the file list (pre-fix it did)."""
+    df2 = generate_images(spark, 60, n_files=2, n_dates=2, start=200)
+    table.commit("append", table.write_files(df2), {"source": "test2"})
+    assert table.scan(spark).count() == 260
+    assert table.manifest_pdf()["record_count"].sum() == 260
+    # the prior snapshot still sees only the first commit
+    assert table.scan(spark, snapshot_id=1).count() == 200
