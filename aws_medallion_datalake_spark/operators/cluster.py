@@ -64,12 +64,23 @@ def cluster(
     # siblings adjacent so pruning power is unaffected.
     df = df.withColumn(_SALT, F.pmod(F.xxhash64("image_id"), F.lit(n_salt)))
     range_cols = [F.col(c) for c in meta.partition_cols] + [F.col(_KEY), F.col(_SALT)]
-    df = (
-        df.repartitionByRange(n_out, *range_cols)
-        .sortWithinPartitions(*range_cols)
-        .drop(_KEY, _SALT)
-    )
-    entries = table.write_files(df)
+    # repartitionByRange runs a boundary-sampling job over its child plan,
+    # which would read every image payload and compute every curve key
+    # TWICE; persisting the keyed scan makes the sample + shuffle read a
+    # local (memory/disk) copy instead. At ≥PB scale swap this for
+    # manifest-stats-derived boundaries + hash routing on a bucket id.
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        out = (
+            df.repartitionByRange(n_out, *range_cols)
+            .sortWithinPartitions(*range_cols)
+            .drop(_KEY, _SALT)
+        )
+        entries = table.write_files(out)
+    finally:
+        df.unpersist()
     snap = table.commit(
         "replace",
         entries,

@@ -72,6 +72,8 @@ def merge_into(
     touched_abs = [r["__fp"] for r in probe.select("__fp").distinct().collect()]
     touched_rel = {os.path.relpath(_strip(p), table.root) for p in touched_abs}
 
+    from pyspark.storagelevel import StorageLevel
+
     new_entries_frames = []
     n_matched = 0
     if touched_rel:
@@ -83,22 +85,35 @@ def merge_into(
             s_renamed, tgt[key] == F.col(f"__s_{key}"), "left_outer"
         )
         matched_flag = F.col(f"__s_{key}").isNotNull()
+        # Persist the join output once: the matched-count, the range
+        # partitioner's boundary-sampling job, and the rewrite itself
+        # would otherwise each re-read the touched files and re-run the
+        # join (3 full passes → 1).
         updated = joined.select(
+            matched_flag.alias("__matched"),
             *[
                 F.when(matched_flag, F.col(f"__s_{c}")).otherwise(tgt[c]).alias(c)
                 for c in cols
-            ]
-        )
-        n_matched = joined.filter(matched_flag).count()
-        new_entries_frames.append(_sized_write(table, updated, meta, man, touched_rel,
-                                               target_file_size_bytes, n_salt, range_cols))
+            ],
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n_matched = updated.filter("__matched").count()
+            new_entries_frames.append(
+                _sized_write(table, updated.drop("__matched"), meta, man, touched_rel,
+                             target_file_size_bytes, n_salt, range_cols))
+        finally:
+            updated.unpersist()
 
-    # 3. inserts = source rows whose key is NOT in the target
-    inserts = src.join(target_all.select(key), key, "left_anti")
+    # 3. inserts = source rows whose key is NOT in the target (the probe
+    # side of the anti-join is a column-pruned scan of just the key)
+    inserts = src.join(target_all.select(key), key, "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     n_inserts = inserts.count()
     if n_inserts:
         new_entries_frames.append(_sized_write(table, inserts, meta, man, set(),
                                                target_file_size_bytes, n_salt, range_cols))
+    inserts.unpersist()
 
     import pandas as pd
 

@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Headline benchmark for the PySpark lakehouse engine.
+
+Runs (a) the headline relational/training-data queries from
+``__spark_entry__`` at ``$SPARK_GRAFT_SF_DIR`` and (b) the
+compaction + cluster + MERGE maintenance benchmark over the synthetic
+image+caption table (the BASELINE.json north-star workload), on
+``local[$SPARK_GRAFT_CPUS]``.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...per-stage sec...}, "sf": <sf>,
+     "scan_gbps": ..., "merge_rows_per_sec": ..., "cpus": N}
+
+Env knobs:
+    SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+    SPARK_GRAFT_IMG_ROWS maintenance-table rows (default 24000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "segment_revenue",
+    "monthly_growth",
+    "ship_window",
+    "quality_profile",
+    "dedup_exact",
+    "token_stats",
+    "simhash",
+    "minhash_signature",
+    "ngram_jaccard_pairs",
+    "embedding_topk",
+    "label_centroid_sim",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    img_rows = int(os.environ.get("SPARK_GRAFT_IMG_ROWS", "24000"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from aws_medallion_datalake_spark.operators.cluster import cluster
+    from aws_medallion_datalake_spark.operators.compact import compact
+    from aws_medallion_datalake_spark.operators.expire import expire_snapshots
+    from aws_medallion_datalake_spark.operators.merge import merge_into
+    from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
+    from aws_medallion_datalake_spark.session import get_session
+    from aws_medallion_datalake_spark.sources.generator import generate_updates
+
+    spark = get_session(f"local[{cpus}]", shuffle_partitions=max(8, cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    times: dict[str, float] = {}
+
+    # warm the JVM + python workers once so timings measure the queries
+    spark.range(1000).select(F.sum("id")).collect()
+
+    qs = entry.queries()
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        times[name] = round(time.time() - t0, 3)
+
+    # ---- maintenance benchmark (north-star workload) ----
+    root = tempfile.mkdtemp(prefix="bench_maint_")
+    try:
+        t0 = time.time()
+        t = bronze_ingest(
+            spark,
+            os.path.join(root, "t"),
+            img_rows,
+            n_files=max(128, cpus * 8),
+            n_dates=4,
+        )
+        times["maint_ingest"] = round(time.time() - t0, 3)
+        total_bytes = int(t.manifest_pdf()["file_size_bytes"].sum())
+
+        t0 = time.time()
+        compact(t, spark, target_file_size_bytes=8 << 20, parallelism=cpus)
+        times["maint_compact"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        cluster(t, spark, curve="hilbert", target_file_size_bytes=8 << 20)
+        times["maint_cluster"] = round(time.time() - t0, 3)
+
+        n_upd, n_ins = img_rows // 10, img_rows // 20
+        src = generate_updates(
+            spark, img_rows, n_upd, n_ins, n_files=max(16, cpus)
+        ).cache()
+        n_src = src.count()  # materialize outside the merge timing
+        t0 = time.time()
+        merge_into(t, spark, src, key="image_id", target_file_size_bytes=8 << 20)
+        merge_sec = time.time() - t0
+        times["maint_merge"] = round(merge_sec, 3)
+
+        t0 = time.time()
+        expire_snapshots(t, keep_last=2)
+        times["maint_expire"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        scanned = t.scan(spark).agg(
+            F.count("*").alias("n"), F.sum(F.length("bytes")).alias("b")
+        ).first()
+        scan_sec = time.time() - t0
+        times["maint_scan"] = round(scan_sec, 3)
+
+        t0 = time.time()
+        lo = t.manifest_pdf()["min_phash"].min()
+        t.scan(spark, predicates=[("phash", "between", (lo, lo + (1 << 58)))]).agg(
+            F.count("*")
+        ).first()
+        times["maint_scan_pruned"] = round(time.time() - t0, 3)
+
+        scan_gbps = (scanned["b"] / 1e9) / scan_sec if scan_sec > 0 else 0.0
+        merge_rows_per_sec = n_src / merge_sec if merge_sec > 0 else 0.0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    maint_total = sum(v for k, v in times.items() if k.startswith("maint_"))
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline queries + compaction/cluster/merge maintenance bench",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cpus": cpus,
+                "img_rows": img_rows,
+                "maintenance_sec": round(maint_total, 3),
+                "table_bytes": total_bytes,
+                "scan_gbps": round(scan_gbps, 3),
+                "merge_rows_per_sec": round(merge_rows_per_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
