@@ -37,7 +37,7 @@ def cluster(
     table: Table,
     spark: SparkSession,
     *,
-    curve: str = "hilbert",
+    curve: str = "morton",
     cols: tuple = ("phash", "w", "h"),
     target_file_size_bytes: int = 128 * 1024 * 1024,
     n_salt: int = 4,

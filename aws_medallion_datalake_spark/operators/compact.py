@@ -36,8 +36,13 @@ DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
 def _rewrite_group(
     table: Table, spark: SparkSession, group: CompactionGroup
-) -> pd.DataFrame:
-    """Read one group's files, write n_output_files right-sized outputs."""
+) -> str:
+    """Read one group's files, write n_output_files right-sized outputs.
+
+    Returns the output prefix; per-file stats are collected for ALL
+    groups in one batched Spark job afterwards (a per-group
+    ``toPandas`` would serialize ~N driver round-trips through the GIL
+    — the 4N-thread profile showed exactly that hotspot)."""
     import os
 
     paths = [os.path.join(table.root, p) for p in group.paths]
@@ -48,8 +53,7 @@ def _rewrite_group(
         df = df.repartition(group.n_output_files)  # round-robin: even sizes
     prefix = table.new_data_prefix()
     df.write.mode("append").parquet(prefix)
-    entries = table.collect_stats_for_prefix(spark, prefix)
-    return entries
+    return prefix
 
 
 def compact(
@@ -77,10 +81,9 @@ def compact(
     def run_group(g: CompactionGroup):
         unit = f"group-{g.group_id}"
         if checkpoint is not None and checkpoint.is_unit_done("compact", unit):
-            payload = checkpoint.unit_payload("compact", unit)
-            results[g.group_id] = pd.DataFrame(payload["entries"])
+            results[g.group_id] = checkpoint.unit_payload("compact", unit)["output_prefix"]
             return
-        entries = _rewrite_group(table, spark, g)
+        prefix = _rewrite_group(table, spark, g)
         if checkpoint is not None:
             checkpoint.unit_done(
                 "compact",
@@ -91,21 +94,23 @@ def compact(
                     "input_files": list(g.paths),
                     "input_records": g.input_records,
                     "input_bytes": g.input_bytes,
-                    "entries": entries.to_dict("records"),
+                    "output_prefix": prefix,
                 },
             )
-        results[g.group_id] = entries
+        results[g.group_id] = prefix
 
-    with ThreadPoolExecutor(max_workers=parallelism) as pool:
+    # Concurrent group jobs keep many executors busy on a real cluster
+    # (Iceberg's RewriteDataFiles ships 5 by default); more driver threads
+    # than ~8 just contend on the GIL/py4j in local mode.
+    with ThreadPoolExecutor(max_workers=min(parallelism, 8)) as pool:
         futures = [pool.submit(run_group, g) for g in plan.groups]
         for f in futures:
             f.result()  # surface the first failure
 
     rewritten = plan.rewritten_paths
     keep = man[~man["path"].isin(rewritten)]
-    new_entries = pd.concat(
-        [results[g.group_id] for g in plan.groups], ignore_index=True
-    )
+    prefixes = [results[g.group_id] for g in plan.groups]
+    new_entries = table.collect_stats_for_prefix(spark, prefixes)  # one job
     new_man = pd.concat([keep, new_entries], ignore_index=True)
     snap = table.commit(
         "replace",

@@ -38,7 +38,7 @@ def run_maintenance(
     stages: Sequence[str] = ("compact", "cluster", "merge", "expire"),
     merge_source: Optional[DataFrame] = None,
     target_file_size_bytes: int = 128 * 1024 * 1024,
-    curve: str = "hilbert",
+    curve: str = "morton",
     keep_last: int = 1,
     compaction_parallelism: int = 8,
 ) -> dict:
@@ -84,3 +84,52 @@ def run_maintenance(
         metrics["wall_sec"] = round(time.time() - t0, 3)
         out[stage] = metrics
     return out
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    """CLI for ``spark-submit --py-files engine.zip -m ...operators.run``.
+
+    Example::
+
+        spark-submit --py-files "$(python -c 'from \
+aws_medallion_datalake_spark.session import build_pyfiles_zip; \
+print(build_pyfiles_zip())')" run_maintenance.py \
+            --table /data/images --stages compact,cluster,merge,expire \
+            --checkpoint /data/runs/2024-01-02 \
+            --merge-source /data/staging/updates.parquet
+    """
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(description="lakehouse maintenance driver")
+    p.add_argument("--table", required=True, help="table root directory")
+    p.add_argument("--checkpoint", required=True, help="run-checkpoint path")
+    p.add_argument("--stages", default="compact,cluster,merge,expire")
+    p.add_argument("--merge-source", default=None, help="parquet path of MERGE source")
+    p.add_argument("--target-file-size-mb", type=int, default=128)
+    p.add_argument("--curve", default="morton", choices=["morton", "zorder", "hilbert"])
+    p.add_argument("--keep-last", type=int, default=1)
+    p.add_argument("--master", default=None, help="override master (default: from spark-submit)")
+    args = p.parse_args(argv)
+
+    from ..session import get_session
+
+    spark = get_session(master=args.master or "local[*]")
+    table = Table.load(args.table)
+    src = spark.read.parquet(args.merge_source) if args.merge_source else None
+    metrics = run_maintenance(
+        table,
+        spark,
+        checkpoint_path=args.checkpoint,
+        stages=tuple(s.strip() for s in args.stages.split(",") if s.strip()),
+        merge_source=src,
+        target_file_size_bytes=args.target_file_size_mb << 20,
+        curve=args.curve,
+        keep_last=args.keep_last,
+    )
+    print(json.dumps(metrics, default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,10 @@ def get_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
+        # local-mode driver == all executors; the 1g default heap OOMs on
+        # binary image shuffles (irrelevant on a real cluster where
+        # spark-submit sizes executors explicitly)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     if shuffle_partitions is not None:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

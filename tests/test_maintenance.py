@@ -147,7 +147,7 @@ def test_compact_resume_skips_done_groups(tmp_path, spark, monkeypatch):
     # lineage recorded per unit
     unit = RunCheckpoint(cp_path).units_done("compact")[0]
     assert {"source_snapshot_id", "input_files", "input_records",
-            "input_bytes", "entries", "partition"} <= set(unit.keys())
+            "input_bytes", "output_prefix", "partition"} <= set(unit.keys())
 
 
 # ---------------- clustering ----------------

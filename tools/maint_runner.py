@@ -1,0 +1,107 @@
+"""Run compact → cluster → MERGE at one parallelism level on a copy of a
+pre-built table. Used by tools/scaling_bench.py so every level times the
+IDENTICAL north-star maintenance stages on identical input (table build
+and merge-source generation excluded from the measurement).
+
+Usage: python tools/maint_runner.py <cpus> <table_src_dir> <source_parquet>
+Prints one JSON line of stage timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    table_src = sys.argv[2]
+    source_parquet = sys.argv[3]
+
+    from pyspark.sql import functions as F
+
+    from aws_medallion_datalake_spark.operators.cluster import cluster
+    from aws_medallion_datalake_spark.operators.compact import compact
+    from aws_medallion_datalake_spark.operators.merge import merge_into
+    from aws_medallion_datalake_spark.session import get_session
+    from aws_medallion_datalake_spark.sources.tableformat import Table
+
+    spark = get_session(f"local[{cpus}]", shuffle_partitions=max(8, cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10**6).select(F.sum("id")).collect()  # JVM warmup
+
+    root = tempfile.mkdtemp(prefix=f"scale{cpus}_")
+    times = {}
+    try:
+        shutil.copytree(table_src, os.path.join(root, "t"))
+        t = Table.load(os.path.join(root, "t"))
+        n_rows = int(t.manifest_pdf()["record_count"].sum())
+        src = spark.read.parquet(source_parquet)
+        n_src = src.count()  # materialize reader metadata outside timings
+
+        t0 = time.time()
+        compact(t, spark, target_file_size_bytes=8 << 20, parallelism=cpus)
+        times["compact"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        cluster(t, spark, curve="morton", target_file_size_bytes=8 << 20)
+        times["cluster"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        merge_into(t, spark, src, key="image_id", target_file_size_bytes=8 << 20)
+        merge_sec = time.time() - t0
+        times["merge"] = round(merge_sec, 3)
+
+        t0 = time.time()
+        scanned = t.scan(spark).agg(F.sum(F.length("bytes")).alias("b")).first()
+        scan_sec = time.time() - t0
+        times["scan"] = round(scan_sec, 3)
+
+        # per-row pixel verification (north_star acceptance: decode every
+        # stored image, recompute its hash, compare to the phash column)
+        from aws_medallion_datalake_spark.functions.udfs import phash64_udf
+
+        t0 = time.time()
+        bad = (
+            t.scan(spark)
+            .select((phash64_udf(F.col("bytes")) == F.col("phash")).alias("ok"))
+            .filter(~F.col("ok"))
+            .count()
+        )
+        times["verify"] = round(time.time() - t0, 3)
+        assert bad == 0, f"{bad} rows failed decode-hash verification"
+
+        # box ceiling: a perfectly-parallel CPU-only Spark job at this level
+        t0 = time.time()
+        spark.range(0, 12_000_000, 1, cpus * 4).select(
+            F.sum(F.crc32(F.sha2(F.col("id").cast("string"), 256)))
+        ).collect()
+        times["cpu_baseline"] = round(time.time() - t0, 3)
+
+        total = times["compact"] + times["cluster"] + times["merge"] + times["verify"]
+        print(
+            json.dumps(
+                {
+                    "cpus": cpus,
+                    "times": times,
+                    "maint_sec": round(total, 3),
+                    "rows": n_rows,
+                    "rows_per_sec": round(n_rows / total, 1),
+                    "scan_gbps": round(scanned["b"] / 1e9 / scan_sec, 3),
+                    "merge_rows_per_sec": round(n_src / merge_sec, 1),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
