@@ -534,6 +534,33 @@ def _sql_quality_profile():
     return " UNION ALL ".join(parts)
 
 
+def q_silver_casts(spark, sf_dir):
+    """F5/F14/F15/F16 silver-layer cast kernel: invalid-value sentinel →
+    null, S/N-style boolean, unix-seconds → timestamp, typed casts
+    (reference: silver_digit_clean.py:72-75 + TRANSFORMACAO rules)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_clean"),
+        (F.col("o_orderstatus") == "O").alias("is_open"),
+        F.from_unixtime(F.col("o_orderkey") + F.lit(1_500_000_000)).alias("fake_ts"),
+        F.floor("o_totalprice").cast("long").alias("price_int"),
+        F.round(F.col("o_totalprice").cast("double") / 100.0, 4).alias("price_h"),
+    )
+
+
+def _sql_silver_casts():
+    return """
+        SELECT o_orderkey,
+               nullif(o_orderstatus, 'P') AS status_clean,
+               o_orderstatus = 'O' AS is_open,
+               strftime(to_timestamp(o_orderkey + 1500000000), '%Y-%m-%d %H:%M:%S') AS fake_ts,
+               CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+               round(CAST(o_totalprice AS DOUBLE) / 100.0, 4) AS price_h
+        FROM orders
+    """
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup / fingerprint / text analysis
 # ---------------------------------------------------------------------------
@@ -918,6 +945,75 @@ def _sql_label_centroid_sim():
     """
 
 
+def q_embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup: sign-bit LSH bucket join confines the
+    pairwise cosine to same-bucket candidates (the 100 TB scale path —
+    the shuffle key is the bucket, never the full cross product); top-15
+    most similar candidate pairs returned."""
+    e = _t(spark, sf_dir, "embeddings")
+    dims = [1, 9, 17, 25, 33]
+    bucket = None
+    for k, d in enumerate(dims):
+        bit = F.when(F.element_at("embedding", d) > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    eb = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    a, b = eb.alias("a"), eb.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    cos = _pair_cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(15)
+    )
+
+
+def _pair_cosine(ea, eb):
+    dot = F.aggregate(
+        F.zip_with(ea, eb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.aggregate(
+        F.transform(ea, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nb = F.aggregate(
+        F.transform(eb, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def _sql_embedding_neardup_pairs():
+    dims = [1, 9, 17, 25, 33]
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{d}] > 0 THEN {1 << k} ELSE 0 END)"
+        for k, d in enumerate(dims)
+    )
+    return f"""
+        WITH eb AS (
+            SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+        ), pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   a.embedding AS ea, b.embedding AS eb
+            FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ), pos AS (
+            SELECT vec_a, vec_b, ea[i]::DOUBLE AS va, eb[i]::DOUBLE AS vb
+            FROM pairs, generate_series(1, 64) g(i)
+        )
+        SELECT vec_a, vec_b,
+               round(sum(va * vb) / (sqrt(sum(va * va)) * sqrt(sum(vb * vb))), 4) AS cos_sim
+        FROM pos GROUP BY vec_a, vec_b
+        ORDER BY cos_sim DESC, vec_a ASC, vec_b ASC LIMIT 15
+    """
+
+
 # ---------------------------------------------------------------------------
 # image lakehouse maintenance (engine-internal; rows-only checks)
 # ---------------------------------------------------------------------------
@@ -1001,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
         "quality_profile": q_quality_profile,
+        "silver_casts": q_silver_casts,
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
@@ -1012,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "lsh_buckets": q_lsh_buckets,
         "label_centroid_sim": q_label_centroid_sim,
+        "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "image_medallion": q_image_medallion,
         "image_maintenance": q_image_maintenance,
     }
@@ -1036,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _sql_events_hourly(),
         "events_json": _sql_events_json(),
         "quality_profile": _sql_quality_profile(),
+        "silver_casts": _sql_silver_casts(),
         "dedup_exact": _sql_dedup_exact(),
         "doc_fingerprint": _sql_doc_fingerprint(),
         "token_stats": _sql_token_stats(),
@@ -1047,6 +1146,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": _sql_embedding_topk(),
         "lsh_buckets": _sql_lsh_buckets(),
         "label_centroid_sim": _sql_label_centroid_sim(),
+        "embedding_neardup_pairs": _sql_embedding_neardup_pairs(),
         # image_medallion / image_maintenance: engine-internal table
         # format + Arrow codec UDFs — not SQL-expressible (rows-only).
     }
