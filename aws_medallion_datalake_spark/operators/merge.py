@@ -18,19 +18,27 @@ SET * WHEN NOT MATCHED THEN INSERT *``):
 
    Both joins carry only the key on their small side (a few bytes/row),
    so AQE turns them into broadcast hash joins and **no image payload
-   ever shuffles for the join** — payloads move exactly once, into the
-   size-targeted output files. A naive full-outer join (the obvious
-   translation) sort-merges every payload byte; this formulation removed
-   a 730 MB SMJ from the 48k-row benchmark.
-3. **Insert** — source rows anti-joined against ALL target keys.
+   ever shuffles** — the keep-side write preserves its input splits
+   (each read task writes its already-clustered, already-sized partition
+   straight back out, Iceberg-style copy-on-write), and matched source
+   rows land in their own modest sorted files. A naive full-outer join
+   (the obvious translation) sort-merges every payload byte; an
+   intermediate version of this operator re-range-partitioned the union
+   and still paid a full 730 MB exchange — this formulation pays zero.
+3. **Insert** — source rows anti-joined against ALL target keys, written
+   as modest cluster-key-sorted files.
 4. **Commit** — old manifest minus touched files plus new entries, as one
    ``merge`` snapshot (readers never see a half-merge).
 
-Skew: the hot-phash tail means matched keys concentrate in a few files;
-the rewrite output is routed with the same salted composite-key bucketing
-as the clustering rewrite (operators/cluster.py), so output files keep
-the table's cluster order AND hot keys split across buckets. The probe
-joins run under AQE with skew-join splitting enabled (session default).
+Repeated merges shrink keep-files below target and accrete small delta
+files — exactly the debt bin-packing compaction repays; clustering
+restores global sort order. This is the same division of labor as
+Iceberg's MERGE + RewriteDataFiles.
+
+Skew: the hot-phash tail concentrates matched keys in a few files; with
+broadcast key-joins there is no shuffle for skew to poison, and AQE
+skew-join splitting (session default) covers the SMJ fallback when the
+source is too large to broadcast its keys.
 
 Source key uniqueness is enforced (duplicate source keys make MERGE
 non-deterministic — same rule as Iceberg's cardinality check).
@@ -90,16 +98,20 @@ def merge_into(
         tgt_keys = tgt.select(key)
         updates = src.select(cols).join(tgt_keys, key, "left_semi")
         n_matched = updates.count()  # small (≤ |source|); AQE-broadcast semi
-        rewritten = keep.unionByName(updates)
+        # Shuffle-free copy-on-write (Iceberg-style): the anti-join is a
+        # broadcast filter, so `keep` PRESERVES the input splits — each
+        # read task writes its (already clustered, already ≈target-sized)
+        # partition straight back out. Matched source rows land in their
+        # own modest files; repeated merges shrink keep-files below
+        # target, which is exactly the debt compaction repays.
+        new_entries_frames.append(_split_preserving_write(table, spark, keep))
         new_entries_frames.append(
-            _sized_write(table, spark, rewritten, meta, man, touched_rel,
-                         target_file_size_bytes, n_salt))
+            _modest_write(table, spark, updates, target_file_size_bytes))
 
     # 3. inserts = source rows whose key is NOT in the target (probe side
     # of the anti-join is a column-pruned scan of just the key)
     inserts = src.join(target_all.select(key), key, "left_anti")
-    ins_entries = _sized_write(table, spark, inserts, meta, man, set(),
-                               target_file_size_bytes, n_salt)
+    ins_entries = _modest_write(table, spark, inserts, target_file_size_bytes)
     n_inserts = int(ins_entries["record_count"].sum()) if len(ins_entries) else 0
     if len(ins_entries):
         new_entries_frames.append(ins_entries)
@@ -125,60 +137,39 @@ def merge_into(
     return snap
 
 
-def _sized_write(table, spark, df, meta, man, touched_rel, target_bytes, n_salt):
-    """Size-targeted, cluster-order-preserving write of the rewrite set.
+def _split_preserving_write(table, spark, df) -> pd.DataFrame:
+    """Write df with its CURRENT partitioning (no exchange of any kind).
 
-    Output partition count comes from the known input bytes (manifest),
-    and rows are routed by the same salted Morton composite used by the
-    clustering rewrite — merge output files stay clustered, no sampling
-    job, no payload re-read. Empty input writes nothing."""
-    from .cluster import _composite, exact_route_salts
+    Used for the keep-side of copy-on-write: input splits are the old
+    clustered files, so outputs inherit their size and sort order."""
+    prefix = table.new_data_prefix()
+    df.write.mode("append").parquet(prefix)
+    return _stats_or_empty(table, spark, prefix)
+
+
+def _modest_write(table, spark, df, target_bytes) -> pd.DataFrame:
+    """Write a small delta (updates/inserts) as a handful of files sorted
+    by the cluster key — no shuffle beyond a coalesce."""
     from ..functions.udfs import morton64_expr
 
-    if touched_rel:
-        in_bytes = int(man[man["path"].isin(touched_rel)]["file_size_bytes"].sum())
-    else:  # inserts: estimate from source fraction of table size
-        in_bytes = max(1, int(man["file_size_bytes"].sum() // max(1, len(man))))
-    n_out = max(1, round(in_bytes / target_bytes))
-
-    key = morton64_expr(F.col("phash"), F.col("w"), F.col("h"))
-    sort_cols = [F.col(c) for c in meta.partition_cols] + [F.col("__mk")]
-    df = df.withColumn("__mk", key)
-    if n_out == 1:
-        out = df.coalesce(1).sortWithinPartitions(*sort_cols).drop("__mk")
-    else:
-        part_values: list = []
-        if meta.partition_cols:
-            import json as _json
-
-            vals = {
-                _json.loads(pj).get(meta.partition_cols[0])
-                for pj in man["partition_json"].unique()
-            }
-            part_values = sorted(v for v in vals if v is not None and v != "__mixed__")
-        ck = _composite(F.col("__mk"), meta.partition_cols, part_values)
-        pruned_keys = df.select(ck.alias("ck"))
-        bounds = sorted(
-            int(b)
-            for b in pruned_keys.approxQuantile(
-                "ck", [i / n_out for i in range(1, n_out)], 1.0 / (4 * n_out)
-            )
+    n_out = max(1, df.sparkSession.sparkContext.defaultParallelism // 8)
+    out = (
+        df.coalesce(n_out)
+        .sortWithinPartitions(
+            *[c for c in ("ingest_date",) if c in df.columns],
+            morton64_expr(F.col("phash"), F.col("w"), F.col("h")),
         )
-        salts = exact_route_salts(spark, n_out)
-        barr = F.array(*[F.lit(b) for b in bounds])
-        bucket = F.size(F.filter(barr, lambda b: b < ck))
-        route = F.element_at(F.array(*[F.lit(s) for s in salts]), bucket + 1).cast("int")
-        out = (
-            df.withColumn("__rt", route)
-            .repartition(n_out, F.col("__rt"))
-            .sortWithinPartitions(*sort_cols)
-            .drop("__mk", "__rt")
-        )
+    )
     prefix = table.new_data_prefix()
     out.write.mode("append").parquet(prefix)
-    written = os.listdir(prefix)
-    if not any(f.endswith(".parquet") for f in written):
-        return pd.DataFrame(columns=man.columns)
+    return _stats_or_empty(table, spark, prefix)
+
+
+def _stats_or_empty(table, spark, prefix) -> pd.DataFrame:
+    if not any(f.endswith(".parquet") for f in os.listdir(prefix)):
+        return pd.DataFrame(
+            columns=["path", "partition_json", "record_count", "file_size_bytes"]
+        )
     return table.collect_stats_for_prefix(spark, prefix)
 
 

@@ -113,15 +113,17 @@ def test_scan_equality_gate_after_merge(layers, spark):
 def test_scan_equality_detects_corruption(layers, spark):
     _, silver, _ = layers
     good = silver.scan(spark).limit(20).cache()
+    # corrupt a row guaranteed to be in the sample: the minimum image_id
+    victim = good.agg(F.min("image_id")).first()[0]
     bad_caption = good.withColumn(
         "caption",
-        F.when(F.col("w") == 32, F.concat(F.col("caption"), F.lit("!"))).otherwise(
-            F.col("caption")
-        ),
+        F.when(
+            F.col("image_id") == victim, F.concat(F.col("caption"), F.lit("!"))
+        ).otherwise(F.col("caption")),
     )
     rep = scan_equality_report(good, bad_caption)
     assert not rep["pass"] and rep["caption_mismatches"] > 0
-    missing = good.filter("w != 32")
+    missing = good.filter(F.col("image_id") != victim)
     rep2 = scan_equality_report(good, missing)
     assert not rep2["pass"] and rep2["missing_rows"] > 0
 

@@ -77,9 +77,11 @@ def main() -> None:
         times["verify"] = round(time.time() - t0, 3)
         assert bad == 0, f"{bad} rows failed decode-hash verification"
 
-        # box ceiling: a perfectly-parallel CPU-only Spark job at this level
+        # box ceiling: a perfectly-parallel CPU-only Spark job at this
+        # level; sized ~8s at 2 cores so fixed job overhead (~0.3s) does
+        # not distort the ratio
         t0 = time.time()
-        spark.range(0, 12_000_000, 1, cpus * 4).select(
+        spark.range(0, 60_000_000, 1, cpus * 8).select(
             F.sum(F.crc32(F.sha2(F.col("id").cast("string"), 256)))
         ).collect()
         times["cpu_baseline"] = round(time.time() - t0, 3)
