@@ -88,6 +88,7 @@ def merge_into(
     touched_rel = {os.path.relpath(_strip(p), table.root) for p in touched_abs}
 
     new_entries_frames = []
+    prefixes: list = []
     n_matched = 0
     if touched_rel:
         touched_paths = [os.path.join(table.root, p) for p in sorted(touched_rel)]
@@ -104,17 +105,27 @@ def merge_into(
         # partition straight back out. Matched source rows land in their
         # own modest files; repeated merges shrink keep-files below
         # target, which is exactly the debt compaction repays.
-        new_entries_frames.append(_split_preserving_write(table, spark, keep))
-        new_entries_frames.append(
-            _modest_write(table, spark, updates, target_file_size_bytes))
+        prefixes.append(_split_preserving_write(table, keep))
+        prefixes.append(_modest_write(table, updates))
 
     # 3. inserts = source rows whose key is NOT in the target (probe side
     # of the anti-join is a column-pruned scan of just the key)
     inserts = src.join(target_all.select(key), key, "left_anti")
-    ins_entries = _modest_write(table, spark, inserts, target_file_size_bytes)
-    n_inserts = int(ins_entries["record_count"].sum()) if len(ins_entries) else 0
-    if len(ins_entries):
-        new_entries_frames.append(ins_entries)
+    ins_prefix = _modest_write(table, inserts)
+    prefixes.append(ins_prefix)
+
+    # one batched stats job over every prefix this merge wrote
+    nonempty = [p for p in prefixes if _has_parquet(p)]
+    if nonempty:
+        entries = table.collect_stats_for_prefix(spark, nonempty)
+        new_entries_frames.append(entries)
+        n_inserts = int(
+            entries[entries["path"].str.startswith(_rel(table, ins_prefix))][
+                "record_count"
+            ].sum()
+        ) if _has_parquet(ins_prefix) else 0
+    else:
+        n_inserts = 0
 
     keep_man = man[~man["path"].isin(touched_rel)]
     new_man = (
@@ -137,17 +148,18 @@ def merge_into(
     return snap
 
 
-def _split_preserving_write(table, spark, df) -> pd.DataFrame:
+def _split_preserving_write(table, df) -> str:
     """Write df with its CURRENT partitioning (no exchange of any kind).
 
     Used for the keep-side of copy-on-write: input splits are the old
-    clustered files, so outputs inherit their size and sort order."""
+    clustered files, so outputs inherit their size and sort order.
+    Returns the output prefix (stats are batched by the caller)."""
     prefix = table.new_data_prefix()
     df.write.mode("append").parquet(prefix)
-    return _stats_or_empty(table, spark, prefix)
+    return prefix
 
 
-def _modest_write(table, spark, df, target_bytes) -> pd.DataFrame:
+def _modest_write(table, df) -> str:
     """Write a small delta (updates/inserts) as a handful of files sorted
     by the cluster key — no shuffle beyond a coalesce."""
     from ..functions.udfs import morton64_expr
@@ -162,15 +174,15 @@ def _modest_write(table, spark, df, target_bytes) -> pd.DataFrame:
     )
     prefix = table.new_data_prefix()
     out.write.mode("append").parquet(prefix)
-    return _stats_or_empty(table, spark, prefix)
+    return prefix
 
 
-def _stats_or_empty(table, spark, prefix) -> pd.DataFrame:
-    if not any(f.endswith(".parquet") for f in os.listdir(prefix)):
-        return pd.DataFrame(
-            columns=["path", "partition_json", "record_count", "file_size_bytes"]
-        )
-    return table.collect_stats_for_prefix(spark, prefix)
+def _has_parquet(prefix: str) -> bool:
+    return any(f.endswith(".parquet") for f in os.listdir(prefix))
+
+
+def _rel(table, prefix: str) -> str:
+    return os.path.relpath(prefix, table.root)
 
 
 def _strip(p: str) -> str:
