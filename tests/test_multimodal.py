@@ -1,0 +1,91 @@
+"""Multimodal column plumbing: resize/features (real), audio/video (stubbed
+decode, real Spark-side plumbing per the brief)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from aws_medallion_datalake_spark.functions.codec import decode_image, render_image
+from aws_medallion_datalake_spark.functions.multimodal import (
+    audio_features,
+    grid_features,
+    image_features_udf,
+    image_resize_udf,
+    resize_nn,
+    video_frame_sample,
+)
+from aws_medallion_datalake_spark.sources.generator import generate_images
+
+
+def test_resize_nn_kernel():
+    img = render_image(7, 64, 48)
+    out = resize_nn(img, 16, 16)
+    assert out.shape == (16, 16, 3) and out.dtype == np.uint8
+    # corner pixels map to corner source pixels
+    assert (out[0, 0] == img[0, 0]).all()
+
+
+def test_image_resize_udf_roundtrip(spark):
+    df = generate_images(spark, 12, n_files=2)
+    out = df.select(
+        "image_id", image_resize_udf(F.col("bytes"), 16, 16, "png").alias("small")
+    )
+    rows = out.collect()
+    assert len(rows) == 12
+    for r in rows:
+        img = decode_image(bytes(r["small"]))
+        assert img.shape == (16, 16, 3)
+
+
+def test_image_features_udf(spark):
+    df = generate_images(spark, 8, n_files=1)
+    out = df.select(image_features_udf(F.col("bytes"), grid=4).alias("f")).collect()
+    for r in out:
+        assert len(r["f"]) == 4 * 4 * 3
+        assert all(0.0 <= v <= 1.0 for v in r["f"])
+    # parity with the local kernel on row 0
+    row0 = df.orderBy("image_id").first()
+    expected = grid_features(decode_image(bytes(row0["bytes"])), 4)
+    got = (
+        df.orderBy("image_id")
+        .select(image_features_udf(F.col("bytes"), grid=4).alias("f"))
+        .first()["f"]
+    )
+    assert np.allclose(expected, got, atol=1e-6)
+
+
+def _media_df(spark, payloads):
+    pdf = pd.DataFrame(
+        {"media_id": [f"m{i}" for i in range(len(payloads))], "bytes": payloads}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_audio_features_fake_decode(spark):
+    rng = np.random.default_rng(42)
+    payloads = [rng.integers(0, 256, 1600, dtype=np.uint8).tobytes() for _ in range(5)]
+    out = audio_features(_media_df(spark, payloads), fake=True).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["n_samples"] == 1600 and r["sample_rate"] == 16000
+        assert 0.0 < r["rms"] < 1.0 and r["zero_crossings"] > 0
+
+
+def test_audio_decode_stub_raises_without_fake(spark):
+    df = _media_df(spark, [b"\x00" * 100])
+    with pytest.raises(Exception, match="NotImplementedError|audio decode"):
+        audio_features(df, fake=False).collect()
+
+
+def test_video_frame_sample_fake_decode(spark):
+    frame = 8 * 8 * 3
+    payloads = [bytes(range(256)) * ((6 * frame) // 256) for _ in range(3)]
+    out = video_frame_sample(_media_df(spark, payloads), every_nth=2, fake=True)
+    rows = out.collect()
+    # 6 frames per video, every 2nd → 3 frames each, 3 videos
+    assert len(rows) == 9
+    for r in rows:
+        assert r["w"] == 8 and r["h"] == 8
+        img = decode_image(bytes(r["frame_png"]))
+        assert img.shape == (8, 8, 3)
