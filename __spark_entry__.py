@@ -1021,6 +1021,51 @@ def _sql_embedding_neardup_pairs():
 _IMG_ROWS = 400
 
 
+def q_events_windowed(spark, sf_dir):
+    """Watermarked tumbling-window rollup (streaming operator run in
+    batch mode — identical plan both ways; see streaming/ingest.py)."""
+    from aws_medallion_datalake_spark.streaming.ingest import windowed_event_rollup
+
+    e = _t(spark, sf_dir, "events")
+    out = windowed_event_rollup(e, window="1 hour", watermark="2 hours")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+def _sql_events_windowed():
+    return """
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """
+
+
+def q_image_features_ann(spark, sf_dir):
+    """Multimodal chain: decode → grid-feature embedding (Arrow UDF) →
+    brute-force cosine top-10 against image 0 — the image analogue of
+    embedding_topk. Non-SQL (engine codec); rows-only check."""
+    from aws_medallion_datalake_spark.functions.multimodal import image_features_udf
+    from aws_medallion_datalake_spark.sources.generator import generate_images
+
+    df = generate_images(spark, 300, n_files=4).select(
+        "image_id", image_features_udf(F.col("bytes"), grid=4).alias("emb")
+    )
+    qv = [float(x) for x in df.filter(F.col("image_id") == "img-000000000000").head()["emb"]]
+    q_lit = F.array(*[F.lit(x) for x in qv])
+    return (
+        df.select("image_id", F.round(_cosine(F.col("emb"), q_lit), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("image_id"))
+        .limit(10)
+    )
+
+
 def q_image_medallion(spark, sf_dir):
     """bronze→silver→gold medallion pipeline over the synthetic
     image+caption table (BASELINE.json input_hint shape); returns the
@@ -1096,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_cleanup": q_string_cleanup,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
+        "events_windowed": q_events_windowed,
         "quality_profile": q_quality_profile,
         "silver_casts": q_silver_casts,
         "dedup_exact": q_dedup_exact,
@@ -1110,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets": q_lsh_buckets,
         "label_centroid_sim": q_label_centroid_sim,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "image_features_ann": q_image_features_ann,
         "image_medallion": q_image_medallion,
         "image_maintenance": q_image_maintenance,
     }
@@ -1133,6 +1180,7 @@ def oracle_sql() -> dict[str, str]:
         "string_cleanup": _sql_string_cleanup(),
         "events_hourly": _sql_events_hourly(),
         "events_json": _sql_events_json(),
+        "events_windowed": _sql_events_windowed(),
         "quality_profile": _sql_quality_profile(),
         "silver_casts": _sql_silver_casts(),
         "dedup_exact": _sql_dedup_exact(),
