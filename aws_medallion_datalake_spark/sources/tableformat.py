@@ -177,6 +177,33 @@ class Table:
                 return s
         raise KeyError(f"snapshot {sid} not found (expired?)")
 
+    def snapshot_as_of(self, timestamp_ms: int) -> Snapshot:
+        """Time travel: latest snapshot committed at or before the
+        timestamp (Iceberg's ``TIMESTAMP AS OF``)."""
+        candidates = [
+            s for s in self.metadata().snapshots if s.timestamp_ms <= timestamp_ms
+        ]
+        if not candidates:
+            raise KeyError(f"no snapshot at or before {timestamp_ms}")
+        return max(candidates, key=lambda s: s.snapshot_id)
+
+    def add_columns(self, ddl: str) -> None:
+        """Additive schema evolution: append new nullable columns.
+
+        Existing data files simply lack the columns; the explicit-schema
+        scan surfaces them as NULL (parquet schema merge by name), so no
+        rewrite happens — the Iceberg add-column semantics. Dropping or
+        retyping columns is intentionally unsupported (destructive)."""
+        version = self.current_version()
+        meta = self.metadata(version)
+        existing = {c.split()[0] for c in meta.schema_ddl.split(",")}
+        for col in ddl.split(","):
+            name = col.strip().split()[0]
+            if name in existing:
+                raise ValueError(f"column {name!r} already exists")
+        meta.schema_ddl = f"{meta.schema_ddl}, {ddl.strip()}"
+        self._write_metadata_version(version + 1, meta)
+
     # ---------- manifests ----------
 
     def manifest_pdf(self, snapshot_id: Optional[int] = None) -> pd.DataFrame:
@@ -317,6 +344,7 @@ class Table:
         snapshot_id: Optional[int] = None,
         predicates: Optional[Iterable[tuple]] = None,
         columns: Optional[Sequence[str]] = None,
+        as_of_ms: Optional[int] = None,
     ) -> DataFrame:
         """Snapshot read with manifest min/max file pruning.
 
@@ -325,7 +353,13 @@ class Table:
         whose [min,max] range provably excludes the predicate are skipped
         before Spark ever lists them; the same predicate is re-applied as a
         real filter for row-level correctness (pruning is only file-level).
+        ``as_of_ms``: time travel — read the latest snapshot committed at
+        or before this timestamp (mutually exclusive with snapshot_id).
         """
+        if as_of_ms is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or as_of_ms, not both")
+            snapshot_id = self.snapshot_as_of(as_of_ms).snapshot_id
         meta = self.metadata()
         man = self.manifest_pdf(snapshot_id)
         if len(man) == 0:

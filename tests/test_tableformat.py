@@ -2,6 +2,8 @@
 
 import os
 
+from pyspark.sql import functions as F
+
 import pandas as pd
 import pytest
 
@@ -101,3 +103,38 @@ def test_second_append_accumulates(table, spark):
     assert table.manifest_pdf()["record_count"].sum() == 260
     # the prior snapshot still sees only the first commit
     assert table.scan(spark, snapshot_id=1).count() == 200
+
+
+def test_time_travel_as_of(table, spark):
+    import time as _time
+
+    t1 = int(_time.time() * 1000)
+    _time.sleep(0.01)
+    table.commit("append", table.write_files(generate_images(spark, 40, n_files=1, start=200)))
+    snap1 = table.snapshot_as_of(t1)
+    assert snap1.snapshot_id == 1
+    assert table.scan(spark, as_of_ms=t1).count() == 200
+    assert table.scan(spark).count() == 240
+    with pytest.raises(KeyError):
+        table.snapshot_as_of(0)
+    with pytest.raises(ValueError):
+        table.scan(spark, snapshot_id=1, as_of_ms=t1)
+
+
+def test_add_columns_schema_evolution(table, spark):
+    table.add_columns("quality_score double, reviewed boolean")
+    df = table.scan(spark)
+    assert "quality_score" in df.columns and "reviewed" in df.columns
+    # old files surface the new columns as NULL
+    assert df.filter(F.col("quality_score").isNotNull()).count() == 0
+    assert df.count() == 200
+    # new writes may carry the new columns and coexist with old files
+    new = generate_images(spark, 10, n_files=1, start=500).withColumn(
+        "quality_score", F.lit(0.5)
+    ).withColumn("reviewed", F.lit(True))
+    table.commit("append", table.write_files(new))
+    df2 = table.scan(spark)
+    assert df2.count() == 210
+    assert df2.filter(F.col("quality_score").isNotNull()).count() == 10
+    with pytest.raises(ValueError):
+        table.add_columns("phash long")  # duplicate name rejected
