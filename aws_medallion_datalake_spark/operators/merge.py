@@ -13,20 +13,22 @@ SET * WHEN NOT MATCHED THEN INSERT *``):
 2. **Rewrite without a payload join** — because MATCHED THEN UPDATE SET *
    replaces the whole row, the rewrite is pure set algebra on the KEY:
 
-       rewritten = (touched-file rows ANTI-JOIN source keys)
-                   UNION (source rows SEMI-JOIN touched-file keys)
+       keep  = touched-file rows ANTI-JOIN source keys
+       delta = source, wholesale
 
-   Both joins carry only the key on their small side (a few bytes/row),
-   so AQE turns them into broadcast hash joins and **no image payload
-   ever shuffles** — the keep-side write preserves its input splits
-   (each read task writes its already-clustered, already-sized partition
-   straight back out, Iceberg-style copy-on-write), and matched source
-   rows land in their own modest sorted files. A naive full-outer join
-   (the obvious translation) sort-merges every payload byte; an
-   intermediate version of this operator re-range-partitioned the union
-   and still paid a full 730 MB exchange — this formulation pays zero.
-3. **Insert** — source rows anti-joined against ALL target keys, written
-   as modest cluster-key-sorted files.
+   (`touched` holds EVERY file containing a source key, so
+   updates ∪ inserts == source exactly — no insert anti-join needed.)
+   The anti-join carries only the key on its small side, so AQE makes it
+   a broadcast filter and **no image payload ever shuffles** — the
+   keep-side write preserves its input splits (each read task writes its
+   already-clustered, already-sized partition straight back out,
+   Iceberg-style copy-on-write), and the source lands as modest
+   cluster-key-sorted delta files. A naive full-outer join (the obvious
+   translation) sort-merges every payload byte; an intermediate version
+   re-range-partitioned the union and still paid a full 730 MB exchange
+   — this formulation pays zero.
+3. **Counts** — rows_updated = |touched keys ∩ source keys| (one
+   key-only semi count); rows_inserted = |source| − rows_updated.
 4. **Commit** — old manifest minus touched files plus new entries, as one
    ``merge`` snapshot (readers never see a half-merge).
 
@@ -90,42 +92,40 @@ def merge_into(
     new_entries_frames = []
     prefixes: list = []
     n_matched = 0
+    cols = [f.name for f in table._schema(spark).fields]
     if touched_rel:
         touched_paths = [os.path.join(table.root, p) for p in sorted(touched_rel)]
         tgt = spark.read.schema(table._schema(spark)).parquet(*touched_paths)
-        cols = tgt.columns
-        # MATCHED THEN UPDATE SET * == replace whole row → key-only joins:
+        # MATCHED THEN UPDATE SET * == replace whole row → key-only join:
         keep = tgt.join(src_keys, key, "left_anti")
-        tgt_keys = tgt.select(key)
-        updates = src.select(cols).join(tgt_keys, key, "left_semi")
-        n_matched = updates.count()  # small (≤ |source|); AQE-broadcast semi
+        n_matched = tgt.select(key).join(src_keys, key, "left_semi").count()
         # Shuffle-free copy-on-write (Iceberg-style): the anti-join is a
         # broadcast filter, so `keep` PRESERVES the input splits — each
         # read task writes its (already clustered, already ≈target-sized)
-        # partition straight back out. Matched source rows land in their
-        # own modest files; repeated merges shrink keep-files below
-        # target, which is exactly the debt compaction repays.
+        # partition straight back out.
         prefixes.append(_split_preserving_write(table, keep))
-        prefixes.append(_modest_write(table, updates))
 
-    # 3. inserts = source rows whose key is NOT in the target (probe side
-    # of the anti-join is a column-pruned scan of just the key)
-    inserts = src.join(target_all.select(key), key, "left_anti")
-    ins_prefix = _modest_write(table, inserts)
-    prefixes.append(ins_prefix)
+    # Every source row survives MERGE: matched keys replace target rows
+    # (their old copies were filtered from the touched files), unmatched
+    # keys are inserts — and since `touched` contains EVERY file holding
+    # a source key, updates ∪ inserts == source exactly. One wholesale
+    # delta write, no insert anti-join job.
+    delta_prefix = _modest_write(table, src.select(cols))
+    prefixes.append(delta_prefix)
 
     # one batched stats job over every prefix this merge wrote
     nonempty = [p for p in prefixes if _has_parquet(p)]
     if nonempty:
         entries = table.collect_stats_for_prefix(spark, nonempty)
         new_entries_frames.append(entries)
-        n_inserts = int(
-            entries[entries["path"].str.startswith(_rel(table, ins_prefix))][
+        n_src = int(
+            entries[entries["path"].str.startswith(_rel(table, delta_prefix))][
                 "record_count"
             ].sum()
-        ) if _has_parquet(ins_prefix) else 0
+        ) if _has_parquet(delta_prefix) else 0
     else:
-        n_inserts = 0
+        n_src = 0
+    n_inserts = n_src - n_matched
 
     keep_man = man[~man["path"].isin(touched_rel)]
     new_man = (
