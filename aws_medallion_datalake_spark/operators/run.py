@@ -112,8 +112,11 @@ print(build_pyfiles_zip())')" run_maintenance.py \
     p.add_argument("--master", default=None, help="override master (default: from spark-submit)")
     args = p.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from ..session import get_session
 
+    preexisting = SparkSession.getActiveSession() is not None
     spark = get_session(master=args.master or "local[*]")
     table = Table.load(args.table)
     src = spark.read.parquet(args.merge_source) if args.merge_source else None
@@ -128,7 +131,8 @@ print(build_pyfiles_zip())')" run_maintenance.py \
         keep_last=args.keep_last,
     )
     print(json.dumps(metrics, default=str))
-    spark.stop()
+    if not preexisting:  # embedded callers (tests) keep their session
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -255,3 +255,35 @@ def test_run_maintenance_end_to_end_and_resume(tmp_path, spark):
     )
     assert all("skipped" in m for m in out2.values())
     assert t.current_version() == v
+
+
+def test_run_maintenance_cli(tmp_path, spark):
+    """The spark-submit CLI path: parse args, run stages, print metrics.
+
+    Reuses the live test session via get_session's getOrCreate (the CLI
+    builds its own session on a real cluster)."""
+    import json
+    import contextlib
+    import io
+
+    from aws_medallion_datalake_spark.operators import run as run_mod
+
+    t = make_table(tmp_path, spark, n=300, n_files=8)
+    src_dir = str(tmp_path / "updates")
+    generate_updates(spark, 300, 30, 10, n_files=2).write.parquet(src_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        run_mod.main(
+            [
+                "--table", t.root,
+                "--checkpoint", str(tmp_path / "ckpt"),
+                "--stages", "compact,cluster,merge,expire",
+                "--merge-source", src_dir,
+                "--target-file-size-mb", "4",
+            ]
+        )
+    metrics = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert set(metrics) == {"compact", "cluster", "merge", "expire"}
+    assert metrics["merge"]["rows_inserted"] == 10
+    assert metrics["merge"]["rows_updated"] == 30
+    assert t.scan(spark).count() == 310
