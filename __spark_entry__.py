@@ -232,7 +232,8 @@ def q_conditional_agg(spark, sf_dir):
 def _sql_conditional_agg():
     return """
         SELECT o_orderpriority,
-               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_finished,
                count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
                count(*) AS n_total
         FROM orders GROUP BY o_orderpriority
@@ -613,16 +614,18 @@ def q_token_stats(spark, sf_dir):
     return d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
-        F.max("n_tokens").alias("max_tokens"),
+        F.round(F.avg("n_tokens"), 2).cast("decimal(18,2)").alias("avg_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
     )
 
 
 def _sql_token_stats():
     return r"""
         SELECT source, count(*) AS n_docs,
-               sum(len(string_split(trim(text), ' '))) AS total_tokens,
-               round(avg(len(string_split(trim(text), ' '))), 2) AS avg_tokens,
+               CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+                 AS total_tokens,
+               CAST(round(avg(len(string_split(trim(text), ' '))), 2)
+                    AS DECIMAL(18,2)) AS avg_tokens,
                max(len(string_split(trim(text), ' '))) AS max_tokens
         FROM documents GROUP BY source
     """
