@@ -141,13 +141,17 @@ def _spread3_expr(c: Column) -> Column:
 def morton64_expr(phash: Column, w: Column, h: Column) -> Column:
     """Morton key as a pure Catalyst expression — no Python boundary.
 
-    `shiftrightunsigned` turns the signed phash into its top-21-bit bucket
-    identically to zcurve._norm_dims. Preferred over morton64_udf in the
-    hot path (whole-stage codegen keeps the clustering repartition JVM-only).
+    Sign-bit flip + `shiftrightunsigned` turns the signed phash into its
+    top-21-bit bucket identically to zcurve._norm_dims (signed order
+    preserved — no bucket straddles ±2^63). Preferred over morton64_udf in
+    the hot path (whole-stage codegen keeps the clustering repartition
+    JVM-only).
     """
     from . import zcurve
 
-    p = F.shiftrightunsigned(phash.cast("long"), 64 - zcurve.BITS)
+    p = F.shiftrightunsigned(
+        phash.cast("long").bitwiseXOR(F.lit(-(1 << 63))), 64 - zcurve.BITS
+    )
     return (
         F.shiftleft(_spread3_expr(p), 2)
         .bitwiseOR(F.shiftleft(_spread3_expr(w.cast("long")), 1))

@@ -55,11 +55,17 @@ def deinterleave3(m: np.ndarray):
 def _norm_dims(phash: np.ndarray, w: np.ndarray, h: np.ndarray):
     """Map (phash int64, w, h) into three 21-bit unsigned dims.
 
-    phash: view as uint64, keep the TOP 21 bits (the coarse perceptual
-    buckets — preserves the locality that makes min/max pruning on phash
-    effective). w/h: clamped to 21 bits.
+    phash: flip the sign bit (order-preserving signed→unsigned map, the
+    same trick Iceberg's z-order uses for signed ints) then keep the TOP
+    21 bits — so curve order agrees with SIGNED phash order and no range
+    bucket ever straddles the ±2^63 boundary (a straddling file reports
+    min≈-2^63 / max≈+2^63 and defeats signed min/max pruning). w/h:
+    clamped to 21 bits.
     """
-    p = (np.asarray(phash).astype(np.int64).view(np.uint64)) >> np.uint64(64 - BITS)
+    p = (
+        np.asarray(phash).astype(np.int64).view(np.uint64)
+        ^ np.uint64(1 << 63)
+    ) >> np.uint64(64 - BITS)
     wq = np.asarray(w).astype(np.uint64) & _DIM_MASK
     hq = np.asarray(h).astype(np.uint64) & _DIM_MASK
     return p, wq, hq

@@ -7,85 +7,109 @@ key ranges, sort within partitions, rewrite, and recompute per-file
 min/max stats so the manifest becomes an effective pruning index for
 phash/w/h predicates.
 
-Spark-first execution plan (ONE full pass over the payload):
+Spark-first execution plan (ONE full pass over the payload per tile):
 
-1. **Boundary planning on a column-pruned scan** — the curve key needs
+1. **Tiling** — the manifest is split into *tiles* of at most
+   ``max_files_per_job`` output files each (partition-major order, so a
+   tile rarely straddles a partition). Each tile is an independent
+   boundary-plan + route + sort + write job; tiles run concurrently from
+   a driver thread pool (the Iceberg RewriteDataFiles architecture). At
+   10^12 rows / 10^8 files no single job ever plans more than
+   ``max_files_per_job`` ranges — the driver never materializes an
+   O(total_files) structure in any query plan.
+2. **Boundary planning on a column-pruned scan** — the curve key needs
    only (partition cols, phash, w, h), a few bytes/row, so range
    boundaries come from ``approxQuantile`` over a scan that never touches
    the image payload. (A plain ``repartitionByRange`` instead runs its
    boundary-sampling job over the FULL child plan — every payload byte
    read and every key computed twice, or a cluster-wide persist.)
-2. **Exact hash routing** — rows get a bucket id by binary-search-count
-   against the boundary array (vectorized ``size(filter(...))``), then a
-   pre-computed *routing salt* per bucket such that Spark's
-   HashPartitioning lands bucket i exactly in partition i
-   (``pmod(hash(salt_i), n) == i``). ``repartition(n, route)`` is then a
-   single exact shuffle — no sampling, no skewed modulo collisions.
-3. **Sort within partitions + write** — files come out key-clustered and
-   ≈target-sized; stats are collected by one grouped aggregate.
+3. **Exact-route shuffle, zero plan literals** — rows get their target
+   partition from one vectorized Arrow UDF: ``np.searchsorted`` against
+   the tile's boundary array, then a *routing salt* per bucket such that
+   Spark's HashPartitioning lands bucket i exactly in partition i
+   (``pmod(murmur3(salt_i), n) == i``; salts are found driver-side with
+   a numpy murmur3 that bit-matches Spark's ``F.hash``). The boundary
+   and salt arrays travel to executors as one ``sc.broadcast`` — the
+   query plan itself is O(1) in the file count, and routing is
+   O(log n_out) per row instead of the old O(n_out) literal-array
+   evaluation. ``repartition(n, route)`` is then a single exact shuffle:
+   no sampling, no skewed modulo collisions.
+4. **Sort within partitions + write** — files come out key-clustered and
+   ≈target-sized; stats for all tiles are collected by one grouped
+   aggregate, and all tiles commit as ONE replace snapshot.
 
 Skew: low bits of the composite bucket key carry a per-row salt, so a hot
 single key (the phash hot-bucket tail) is split across adjacent buckets
 while staying contiguous on disk — pruning power unaffected.
 
-Scale bound: the boundary array is evaluated per row (O(n_out)); cluster
-jobs should bound n_out (≈ ≤4096 files → 512 GB per job at 128 MB files)
-and tile bigger tables by partition — the per-partition jobs are
-embarrassingly parallel, same shape as compaction groups.
+Resumability (north_rule): with a ``checkpoint``, each finished tile
+appends a ``unit_done`` lineage record (source snapshot, input files,
+rows/bytes, output prefix); a killed run redoes only unfinished tiles.
 
-- the Morton key is a pure Catalyst column expression
-  (functions/udfs.py::morton64_expr) — whole-stage codegen end-to-end;
-  Hilbert uses a vectorized pandas UDF (Arrow batches) and pays one
-  Python boundary on the pruned scan and one on the full pass.
+The Morton key is a pure Catalyst column expression
+(functions/udfs.py::morton64_expr) — whole-stage codegen end-to-end;
+Hilbert uses a vectorized pandas UDF (Arrow batches). The route UDF
+transfers ONE int64 column to Python and one int32 back per batch —
+payload bytes never cross the Arrow boundary.
 """
 
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
 
 from ..functions.udfs import hilbert64_udf, morton64_expr
 from ..sources.tableformat import Snapshot, Table
+from .checkpoint import RunCheckpoint
 
 _KEY = "__cluster_key"
-_BUCKET = "__cluster_bucket"
 _ROUTE = "__cluster_route"
 
 _SALT_BITS = 2  # low bits of the composite key: splits hot single keys
 
 
-def exact_route_salts(spark: SparkSession, n_out: int) -> list:
+def _murmur3_int32(x: int, seed: int = 42) -> int:
+    """Spark's Murmur3Hash of a single IntegerType value (bit-exact with
+    ``F.hash(col.cast("int"))``) — lets the driver plan exact-route salts
+    without a Spark job. Returns a signed int32."""
+    M = 0xFFFFFFFF
+    k = (x & M) * 0xCC9E2D51 & M
+    k = ((k << 15 | k >> 17) & M) * 0x1B873593 & M
+    h = seed ^ k
+    h = ((h << 13 | h >> 19) & M) * 5 + 0xE6546B64 & M
+    h ^= 4  # length in bytes
+    h ^= h >> 16
+    h = h * 0x85EBCA6B & M
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 & M
+    h ^= h >> 16
+    return h - (1 << 32) if h >= 1 << 31 else h
+
+
+def exact_route_salts(n_out: int) -> np.ndarray:
     """For each target partition i, an int s_i with
-    ``pmod(murmur3_hash(s_i), n_out) == i`` — makes
-    ``df.repartition(n_out, route)`` an EXACT router (HashPartitioning
-    uses the same Murmur3Hash expression as ``F.hash``)."""
-    cand = spark.range(0, max(n_out * 64, 4096)).select(
-        F.col("id").cast("int").alias("c"),
-        F.pmod(F.hash(F.col("id").cast("int")), F.lit(n_out)).alias("b"),
-    )
-    pdf = cand.groupBy("b").agg(F.min("c").alias("c")).toPandas()
-    salts: list = [None] * n_out
-    for _, row in pdf.iterrows():
-        salts[int(row["b"])] = int(row["c"])
-    missing = [i for i, s in enumerate(salts) if s is None]
-    if missing:  # vanishingly unlikely with 64x candidates; widen search
-        return exact_route_salts_fallback(spark, n_out, salts, missing)
-    return salts
-
-
-def exact_route_salts_fallback(spark, n_out, salts, missing):
-    cand = spark.range(0, n_out * 4096).select(
-        F.col("id").cast("int").alias("c"),
-        F.pmod(F.hash(F.col("id").cast("int")), F.lit(n_out)).alias("b"),
-    )
-    pdf = cand.groupBy("b").agg(F.min("c").alias("c")).toPandas()
-    for _, row in pdf.iterrows():
-        if salts[int(row["b"])] is None:
-            salts[int(row["b"])] = int(row["c"])
-    if any(s is None for s in salts):
+    ``pmod(murmur3(s_i), n_out) == i`` — makes ``repartition(n_out,
+    route)`` an EXACT router (HashPartitioning uses the same Murmur3Hash
+    as ``F.hash``). Pure driver-side; expected O(n_out·ln n_out) probes
+    (coupon collector), ~40k for n_out=4096."""
+    salts = np.full(n_out, -1, dtype=np.int64)
+    remaining = n_out
+    c = 0
+    limit = max(n_out, 64) * 64
+    while remaining and c < limit:
+        b = _murmur3_int32(c) % n_out  # Python %: already non-negative
+        if salts[b] < 0:
+            salts[b] = c
+            remaining -= 1
+        c += 1
+    if remaining:
         raise RuntimeError(f"could not find routing salts for n_out={n_out}")
     return salts
 
@@ -98,8 +122,14 @@ def _curve_key(curve: str, cols: tuple):
 
 
 def _composite(key, partition_cols: list, part_values: list):
-    """61-bit sortable long: (partition idx | key>>9 | per-row salt)."""
-    comp = F.shiftrightunsigned(key.cast("long"), 9)
+    """Sortable long: (partition idx << 56 | key>>10 << 2 | per-row salt).
+
+    The key+salt field is exactly 56 bits (64 - 10 + 2) so it NEVER
+    overlaps the partition-index field — an overlap would OR high-key
+    rows into the wrong partition band and interleave distant key
+    regions inside one range bucket (wide file min/max, broken
+    pruning)."""
+    comp = F.shiftrightunsigned(key.cast("long"), 10)
     if _SALT_BITS:
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in ("image_id",)]), F.lit(1 << _SALT_BITS))
         comp = F.shiftleft(comp, _SALT_BITS).bitwiseOR(salt)
@@ -111,6 +141,44 @@ def _composite(key, partition_cols: list, part_values: list):
     return comp
 
 
+def _route_udf(spark: SparkSession, bounds: np.ndarray, salts: np.ndarray):
+    """Vectorized bucket router: count of boundaries < key (binary
+    search), mapped through the exact-route salt table. The two arrays
+    ride one broadcast — the query plan carries no per-file literals."""
+    bc = spark.sparkContext.broadcast((bounds, salts.astype(np.int32)))
+
+    @F.pandas_udf(IntegerType())
+    def route(ck: pd.Series) -> pd.Series:
+        b, s = bc.value
+        v = ck.to_numpy()
+        if v.dtype != np.int64:  # nulls upstream → float; keys are coalesced
+            v = np.nan_to_num(v, nan=float(np.iinfo(np.int64).min)).astype(np.int64)
+        return pd.Series(s[np.searchsorted(b, v, side="left")])
+
+    return route, bc
+
+
+def _plan_tiles(man: pd.DataFrame, target_bytes: int, max_files_per_job: int) -> list:
+    """Split manifest rows into partition-major tiles whose OUTPUT file
+    count stays ≤ max_files_per_job. Returns a list of pandas index
+    arrays. Cross-tile key ranges may overlap only where a partition is
+    split across tiles — per-file min/max pruning is unaffected."""
+    order = man.sort_values(["partition_json", "path"]).index
+    cap = max_files_per_job * target_bytes
+    tiles, cur, cur_bytes = [], [], 0
+    sizes = man["file_size_bytes"]
+    for idx in order:
+        b = int(sizes[idx])
+        if cur and cur_bytes + b > cap:
+            tiles.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(idx)
+        cur_bytes += b
+    if cur:
+        tiles.append(cur)
+    return tiles
+
+
 def cluster(
     table: Table,
     spark: SparkSession,
@@ -118,17 +186,18 @@ def cluster(
     curve: str = "morton",
     cols: tuple = ("phash", "w", "h"),
     target_file_size_bytes: int = 128 * 1024 * 1024,
-    n_salt: int = 4,  # kept for API compat; salting now lives in _composite
+    max_files_per_job: int = 4096,
+    tile_parallelism: int = 4,
     snapshot_id: Optional[int] = None,
+    checkpoint: Optional[RunCheckpoint] = None,
 ) -> Snapshot:
     """Rewrite the whole table clustered by the chosen space-filling curve."""
     if curve not in ("hilbert", "morton", "zorder"):
         raise ValueError(f"unknown curve {curve!r}")
     t0 = time.time()
     meta = table.metadata()
+    src_snapshot = meta.current_snapshot_id
     man = table.manifest_pdf(snapshot_id)
-    total_bytes = int(man["file_size_bytes"].sum())
-    n_out = max(1, round(total_bytes / target_file_size_bytes))
 
     # distinct partition values straight from the manifest (no data read)
     part_values: list = []
@@ -140,43 +209,97 @@ def cluster(
             for pj in man["partition_json"].unique()
         }
         part_values = sorted(v for v in vals if v is not None and v != "__mixed__")
+        if not part_values:
+            # date-mixed input files (raw bronze): learn the partition
+            # values from a column-pruned distinct — reads one string
+            # column, no payloads — so clustering is partition-major
+            # even on a table whose current layout ignores partitions.
+            part_values = sorted(
+                r[0]
+                for r in table.scan(
+                    spark, snapshot_id=snapshot_id, columns=[meta.partition_cols[0]]
+                )
+                .distinct()
+                .collect()
+                if r[0] is not None
+            )
 
     key = _curve_key(curve, cols)
     sort_cols = [F.col(c) for c in meta.partition_cols] + [F.col(_KEY)]
+    need = list(dict.fromkeys(list(meta.partition_cols) + list(cols) + ["image_id"]))
+    schema = table._schema(spark)
 
-    if n_out == 1:
-        df = table.scan(spark, snapshot_id=snapshot_id).withColumn(_KEY, key)
-        out = df.coalesce(1).sortWithinPartitions(*sort_cols).drop(_KEY)
-        entries = table.write_files(out)
+    tiles = _plan_tiles(man, target_file_size_bytes, max_files_per_job)
+    prefixes: dict = {}
+    broadcasts: list = []
+
+    def run_tile(tile_no: int, idxs: list) -> None:
+        import os
+
+        unit = f"tile-{tile_no}"
+        if checkpoint is not None and checkpoint.is_unit_done("cluster", unit):
+            prefixes[tile_no] = checkpoint.unit_payload("cluster", unit)["output_prefix"]
+            return
+        rows = man.loc[idxs]
+        paths = [os.path.join(table.root, p) for p in rows["path"]]
+        tile_bytes = int(rows["file_size_bytes"].sum())
+        n_out = max(1, round(tile_bytes / target_file_size_bytes))
+        full = spark.read.schema(schema).parquet(*paths).withColumn(_KEY, key)
+        if n_out == 1:
+            out = full.coalesce(1).sortWithinPartitions(*sort_cols).drop(_KEY)
+        else:
+            # 1. boundaries from the PRUNED scan (no payload IO)
+            pruned = spark.read.schema(schema).parquet(*paths).select(*need)
+            ck = F.coalesce(
+                _composite(key, meta.partition_cols, part_values),
+                F.lit(np.iinfo(np.int64).min + 1),
+            )
+            probs = [i / n_out for i in range(1, n_out)]
+            bounds = pruned.select(ck.alias("ck")).approxQuantile(
+                "ck", probs, 1.0 / (4 * n_out)
+            )
+            bounds = np.sort(np.array(bounds, dtype=np.int64))
+            # 2. one full pass: route (broadcast binary search) → exact
+            #    shuffle → sort → write
+            route, bc = _route_udf(spark, bounds, exact_route_salts(n_out))
+            broadcasts.append(bc)
+            ckf = F.coalesce(
+                _composite(F.col(_KEY), meta.partition_cols, part_values),
+                F.lit(np.iinfo(np.int64).min + 1),
+            )
+            out = (
+                full.withColumn(_ROUTE, route(ckf))
+                .repartition(n_out, F.col(_ROUTE))
+                .sortWithinPartitions(*sort_cols)
+                .drop(_KEY, _ROUTE)
+            )
+        prefix = table.new_data_prefix()
+        out.write.mode("append").parquet(prefix)
+        prefixes[tile_no] = prefix
+        if checkpoint is not None:
+            checkpoint.unit_done(
+                "cluster",
+                unit,
+                {
+                    "source_snapshot_id": src_snapshot,
+                    "input_files": list(rows["path"]),
+                    "input_bytes": tile_bytes,
+                    "input_records": int(rows["record_count"].sum()),
+                    "output_prefix": prefix,
+                },
+            )
+
+    if len(tiles) == 1:
+        run_tile(0, tiles[0])
     else:
-        # 1. boundaries from the PRUNED scan (no payload IO)
-        need = list(dict.fromkeys(list(meta.partition_cols) + list(cols) + ["image_id"]))
-        pruned = table.scan(spark, snapshot_id=snapshot_id, columns=need)
-        ck = _composite(key, meta.partition_cols, part_values)
-        probs = [i / n_out for i in range(1, n_out)]
-        bounds = (
-            pruned.select(ck.alias("ck"))
-            .approxQuantile("ck", probs, 1.0 / (4 * n_out))
-        )
-        bounds = sorted(int(b) for b in bounds)
+        with ThreadPoolExecutor(max_workers=max(1, tile_parallelism)) as pool:
+            futures = [pool.submit(run_tile, i, t) for i, t in enumerate(tiles)]
+            for f in futures:
+                f.result()  # surface the first failure
 
-        # 2. one full pass: bucket → exact-route shuffle → sort → write
-        salts = exact_route_salts(spark, n_out)
-        df = table.scan(spark, snapshot_id=snapshot_id).withColumn(_KEY, key)
-        barr = F.array(*[F.lit(b) for b in bounds])
-        ckf = _composite(F.col(_KEY), meta.partition_cols, part_values)
-        bucket = F.size(F.filter(barr, lambda b: b < ckf))
-        route = F.element_at(
-            F.array(*[F.lit(s) for s in salts]), bucket + 1
-        ).cast("int")
-        out = (
-            df.withColumn(_ROUTE, route)
-            .repartition(n_out, F.col(_ROUTE))
-            .sortWithinPartitions(*sort_cols)
-            .drop(_KEY, _ROUTE)
-        )
-        entries = table.write_files(out)
-
+    entries = table.collect_stats_for_prefix(  # one batched stats job
+        spark, [prefixes[i] for i in range(len(tiles))]
+    )
     snap = table.commit(
         "replace",
         entries,
@@ -186,22 +309,33 @@ def cluster(
             "cluster_cols": list(cols),
             "files_in": int(len(man)),
             "files_out": int(len(entries)),
+            "tiles": len(tiles),
             "duration_sec": round(time.time() - t0, 3),
         },
     )
+    for bc in broadcasts:
+        bc.unpersist()
+    if checkpoint is not None:
+        checkpoint.stage_done("cluster", dict(snap.summary, snapshot_id=snap.snapshot_id))
     return snap
 
 
 def clustering_quality(table: Table, col: str = "phash") -> float:
-    """Average pairwise min/max overlap fraction on `col` across files —
-    lower is better pruning; 0 = perfectly disjoint ranges."""
+    """Average pairwise min/max overlap fraction on `col` across files of
+    the SAME partition — lower is better pruning; 0 = perfectly disjoint
+    ranges. Cross-partition pairs are excluded: partition-major layout
+    makes every partition span the full key range by design, and real
+    scans prune on the partition column first."""
     man = table.manifest_pdf()
-    lo = man[f"min_{col}"].to_numpy()
-    hi = man[f"max_{col}"].to_numpy()
-    n = len(man)
-    if n < 2:
-        return 0.0
+    total_pairs = 0
     overlaps = 0
-    for i in range(n):
-        overlaps += int(((lo < hi[i]) & (hi > lo[i])).sum()) - 1
-    return overlaps / (n * (n - 1))
+    for _, part in man.groupby("partition_json"):
+        lo = part[f"min_{col}"].to_numpy()
+        hi = part[f"max_{col}"].to_numpy()
+        n = len(part)
+        if n < 2:
+            continue
+        total_pairs += n * (n - 1)
+        for i in range(n):
+            overlaps += int(((lo < hi[i]) & (hi > lo[i])).sum()) - 1
+    return overlaps / total_pairs if total_pairs else 0.0

@@ -34,10 +34,30 @@ from .checkpoint import RunCheckpoint
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
 
+def _sort_key(df):
+    """Cluster sort key when the image columns exist, else None — keeps
+    compaction generic over non-image tables."""
+    from pyspark.sql import functions as F
+
+    from ..functions.udfs import morton64_expr
+
+    if {"phash", "w", "h"} <= set(df.columns):
+        return morton64_expr(F.col("phash"), F.col("w"), F.col("h"))
+    return None
+
+
 def _rewrite_group(
     table: Table, spark: SparkSession, group: CompactionGroup
 ) -> str:
     """Read one group's files, write n_output_files right-sized outputs.
+
+    Sort order is preserved, not destroyed: pack groups (N small files →
+    1) concatenate key-adjacent inputs with ``coalesce(1)`` (no
+    exchange) and re-sort the single output partition in memory; split
+    groups (1 oversized file → N) use ``repartitionByRange`` on the
+    cluster key — its sampling pass reads only this group's file — so
+    post-compaction files keep disjoint key ranges and manifest pruning
+    quality survives until the next cluster run.
 
     Returns the output prefix; per-file stats are collected for ALL
     groups in one batched Spark job afterwards (a per-group
@@ -45,10 +65,20 @@ def _rewrite_group(
     — the 4N-thread profile showed exactly that hotspot)."""
     import os
 
+    from pyspark.sql import functions as F
+
     paths = [os.path.join(table.root, p) for p in group.paths]
     df = spark.read.schema(table._schema(spark)).parquet(*paths)
+    key = _sort_key(df)
+    part_cols = [F.col(c) for c in table.metadata().partition_cols]
+    sort_cols = part_cols + ([key] if key is not None else [])
     if group.n_output_files == 1:
         df = df.coalesce(1)
+        if sort_cols:
+            df = df.sortWithinPartitions(*sort_cols)
+    elif key is not None:
+        df = df.repartitionByRange(group.n_output_files, *sort_cols)
+        df = df.sortWithinPartitions(*sort_cols)
     else:
         df = df.repartition(group.n_output_files)  # round-robin: even sizes
     prefix = table.new_data_prefix()

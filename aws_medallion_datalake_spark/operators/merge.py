@@ -9,7 +9,11 @@ SET * WHEN NOT MATCHED THEN INSERT *``):
 1. **Find touched files** — join the target scan (key + hidden
    ``_metadata.file_path``) against the distinct source keys; only files
    containing a matched key are rewritten (column-pruned scan: the probe
-   reads just ``image_id`` from parquet).
+   reads just ``image_id`` from parquet). The touched set is planned as a
+   DataFrame aggregate grouped by file (one row per touched file, joined
+   against the manifest, fetched as one Arrow batch) — the driver never
+   collects row objects, and holds exactly one manifest-shaped row per
+   touched file, the same order of memory the commit itself needs.
 2. **Rewrite without a payload join** — because MATCHED THEN UPDATE SET *
    replaces the whole row, the rewrite is pure set algebra on the KEY:
 
@@ -27,8 +31,19 @@ SET * WHEN NOT MATCHED THEN INSERT *``):
    translation) sort-merges every payload byte; an intermediate version
    re-range-partitioned the union and still paid a full 730 MB exchange
    — this formulation pays zero.
-3. **Counts** — rows_updated = |touched keys ∩ source keys| (one
-   key-only semi count); rows_inserted = |source| − rows_updated.
+
+   Touched files are rewritten in **bounded groups** (≤
+   ``max_files_per_job``) running concurrently from a driver thread pool
+   — the Iceberg RewriteDataFiles architecture: a broad merge over 10^7
+   files becomes many independent medium jobs instead of one monster
+   job, and group parallelism keeps a 1000-executor cluster busy.
+3. **Counts** — rows_updated counts matched DISTINCT target keys (one
+   key-only distinct-semi job over touched files), so rows_inserted =
+   |source| − rows_updated is never negative even when plain appends
+   left duplicate keys across files; the duplicate copies swept by the
+   rewrite are reported separately as ``rows_replaced_dupes`` (computed
+   free of charge from manifest arithmetic: touched_records −
+   keep_records − rows_updated).
 4. **Commit** — old manifest minus touched files plus new entries, as one
    ``merge`` snapshot (readers never see a half-merge).
 
@@ -49,7 +64,9 @@ non-deterministic — same rule as Iceberg's cardinality check).
 from __future__ import annotations
 
 import os
+import re
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -65,12 +82,11 @@ def merge_into(
     *,
     key: str = "image_id",
     target_file_size_bytes: int = 128 * 1024 * 1024,
-    n_salt: int = 4,
+    max_files_per_job: int = 4096,
+    rewrite_parallelism: int = 4,
     check_duplicate_keys: bool = True,
-    range_cols: tuple = ("phash",),
 ) -> Snapshot:
     t0 = time.time()
-    meta = table.metadata()
     man = table.manifest_pdf()
 
     if check_duplicate_keys:
@@ -81,40 +97,69 @@ def merge_into(
     src = source.cache()
     src_keys = src.select(key).distinct()
 
-    # 1. touched files: column-pruned probe scan over the manifest file set
+    # 1. touched files: column-pruned probe scan, aggregated per file and
+    #    resolved against the manifest — one Arrow batch of manifest rows
+    #    for exactly the touched files, never a row-object collect.
     target_all = table.scan(spark)
-    probe = target_all.select(
-        F.col(key), F.col("_metadata.file_path").alias("__fp")
-    ).join(src_keys, key, "inner")
-    touched_abs = [r["__fp"] for r in probe.select("__fp").distinct().collect()]
-    touched_rel = {os.path.relpath(_strip(p), table.root) for p in touched_abs}
+    rel = _rel_path_expr(table.root)
+    touched_pdf = (
+        target_all.select(F.col(key), rel.alias("path"))
+        .join(src_keys, key, "inner")
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_matched_rows"))
+        .toPandas()
+    )
+    touched_rel = set(touched_pdf["path"])
+    touched_man = man[man["path"].isin(touched_rel)]
 
-    new_entries_frames = []
     prefixes: list = []
     n_matched = 0
     cols = [f.name for f in table._schema(spark).fields]
-    if touched_rel:
-        touched_paths = [os.path.join(table.root, p) for p in sorted(touched_rel)]
-        tgt = spark.read.schema(table._schema(spark)).parquet(*touched_paths)
-        # MATCHED THEN UPDATE SET * == replace whole row → key-only join:
-        keep = tgt.join(src_keys, key, "left_anti")
-        n_matched = tgt.select(key).join(src_keys, key, "left_semi").count()
-        # Shuffle-free copy-on-write (Iceberg-style): the anti-join is a
-        # broadcast filter, so `keep` PRESERVES the input splits — each
-        # read task writes its (already clustered, already ≈target-sized)
-        # partition straight back out.
-        prefixes.append(_split_preserving_write(table, keep))
+    if len(touched_man):
+        groups = _plan_rewrite_groups(touched_man, max_files_per_job)
+        results: dict = {}
+
+        def rewrite(gno: int, paths: list) -> None:
+            tgt = spark.read.schema(table._schema(spark)).parquet(
+                *[os.path.join(table.root, p) for p in paths]
+            )
+            # MATCHED THEN UPDATE SET * == replace whole row → key-only
+            # anti-join; broadcast filter preserves input splits, so each
+            # read task writes its (already clustered, already
+            # ≈target-sized) partition straight back out.
+            keep = tgt.join(src_keys, key, "left_anti")
+            prefix = table.new_data_prefix()
+            keep.write.mode("append").parquet(prefix)
+            results[gno] = prefix
+
+        if len(groups) == 1:
+            rewrite(0, groups[0])
+        else:
+            with ThreadPoolExecutor(max_workers=max(1, rewrite_parallelism)) as pool:
+                futures = [pool.submit(rewrite, i, g) for i, g in enumerate(groups)]
+                for f in futures:
+                    f.result()
+        prefixes += [results[i] for i in range(len(groups))]
+
+        # rows_updated = matched DISTINCT keys (duplicate target copies
+        # must not push rows_inserted negative) — key-only scan of the
+        # touched files only.
+        tgt_keys = spark.read.schema(table._schema(spark)).parquet(
+            *[os.path.join(table.root, p) for p in sorted(touched_rel)]
+        ).select(key).distinct()
+        n_matched = tgt_keys.join(src_keys, key, "left_semi").count()
 
     # Every source row survives MERGE: matched keys replace target rows
     # (their old copies were filtered from the touched files), unmatched
     # keys are inserts — and since `touched` contains EVERY file holding
     # a source key, updates ∪ inserts == source exactly. One wholesale
     # delta write, no insert anti-join job.
-    delta_prefix = _modest_write(table, src.select(cols))
+    delta_prefix = _modest_write(table, src.select(cols), key)
     prefixes.append(delta_prefix)
 
     # one batched stats job over every prefix this merge wrote
     nonempty = [p for p in prefixes if _has_parquet(p)]
+    new_entries_frames = []
     if nonempty:
         entries = table.collect_stats_for_prefix(spark, nonempty)
         new_entries_frames.append(entries)
@@ -123,9 +168,16 @@ def merge_into(
                 "record_count"
             ].sum()
         ) if _has_parquet(delta_prefix) else 0
+        keep_records = int(
+            entries[~entries["path"].str.startswith(_rel(table, delta_prefix))][
+                "record_count"
+            ].sum()
+        )
     else:
-        n_src = 0
+        n_src = keep_records = 0
     n_inserts = n_src - n_matched
+    touched_records = int(touched_man["record_count"].sum()) if len(touched_man) else 0
+    n_dupes = max(0, touched_records - keep_records - n_matched)
 
     keep_man = man[~man["path"].isin(touched_rel)]
     new_man = (
@@ -140,6 +192,7 @@ def merge_into(
             "stage": "merge",
             "rows_updated": int(n_matched),
             "rows_inserted": int(n_inserts),
+            "rows_replaced_dupes": int(n_dupes),
             "files_rewritten": len(touched_rel),
             "duration_sec": round(time.time() - t0, 3),
         },
@@ -148,28 +201,42 @@ def merge_into(
     return snap
 
 
-def _split_preserving_write(table, df) -> str:
-    """Write df with its CURRENT partitioning (no exchange of any kind).
-
-    Used for the keep-side of copy-on-write: input splits are the old
-    clustered files, so outputs inherit their size and sort order.
-    Returns the output prefix (stats are batched by the caller)."""
-    prefix = table.new_data_prefix()
-    df.write.mode("append").parquet(prefix)
-    return prefix
+def _rel_path_expr(root: str):
+    """``_metadata.file_path`` (a file:-scheme URI) → path relative to the
+    table root, computed JVM-side so the probe aggregate groups on the
+    exact strings the manifest stores."""
+    p = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+    return F.regexp_replace(p, "^" + re.escape(root.rstrip("/") + "/"), "")
 
 
-def _modest_write(table, df) -> str:
+def _plan_rewrite_groups(touched_man: pd.DataFrame, max_files_per_job: int) -> list:
+    """Chunk the touched manifest rows into bounded rewrite groups
+    (path-ordered, so a group's files tend to be key-adjacent after a
+    cluster run)."""
+    paths = sorted(touched_man["path"])
+    return [
+        paths[i : i + max_files_per_job]
+        for i in range(0, len(paths), max_files_per_job)
+    ]
+
+
+def _modest_write(table, df, key: str) -> str:
     """Write a small delta (updates/inserts) as a handful of files sorted
-    by the cluster key — no shuffle beyond a coalesce."""
+    by the cluster key — no shuffle beyond a coalesce. Falls back to a
+    plain key sort for tables without the (phash, w, h) image columns."""
     from ..functions.udfs import morton64_expr
 
     n_out = max(1, df.sparkSession.sparkContext.defaultParallelism // 8)
+    names = set(df.columns)
+    if {"phash", "w", "h"} <= names:
+        sort_key = morton64_expr(F.col("phash"), F.col("w"), F.col("h"))
+    else:
+        sort_key = F.col(key)
     out = (
         df.coalesce(n_out)
         .sortWithinPartitions(
-            *[c for c in ("ingest_date",) if c in df.columns],
-            morton64_expr(F.col("phash"), F.col("w"), F.col("h")),
+            *[c for c in ("ingest_date",) if c in names],
+            sort_key,
         )
     )
     prefix = table.new_data_prefix()
@@ -183,11 +250,3 @@ def _has_parquet(prefix: str) -> bool:
 
 def _rel(table, prefix: str) -> str:
     return os.path.relpath(prefix, table.root)
-
-
-def _strip(p: str) -> str:
-    if p.startswith("file:"):
-        p = p[5:]
-        while p.startswith("//"):
-            p = p[1:]
-    return p

@@ -63,10 +63,13 @@ def run_maintenance(
                 cp.stage_done("compact", metrics)
         elif stage == "cluster":
             snap = cluster(
-                table, spark, curve=curve, target_file_size_bytes=target_file_size_bytes
+                table,
+                spark,
+                curve=curve,
+                target_file_size_bytes=target_file_size_bytes,
+                checkpoint=cp,
             )
             metrics = dict(snap.summary, snapshot_id=snap.snapshot_id)
-            cp.stage_done("cluster", metrics)
         elif stage == "merge":
             if merge_source is None:
                 metrics = {"noop": "no merge source"}

@@ -116,7 +116,7 @@ def silver_refine(
         )
     slots_per_date = max(1, spark.sparkContext.defaultParallelism // max(1, len(dates)))
     n_out = max(1, len(dates)) * slots_per_date
-    salts = exact_route_salts(spark, n_out)
+    salts = [int(s) for s in exact_route_salts(n_out)]
     didx = F.greatest(
         F.array_position(F.array(*[F.lit(d) for d in dates]), F.col("ingest_date")),
         F.lit(1),

@@ -56,31 +56,49 @@ def plan_compaction(
     min_input_files: int = 2,
     small_file_ratio: float = 0.75,
     max_file_ratio: float = 1.8,
+    order_col: str = "phash",
 ) -> CompactionPlan:
-    """FFD-pack undersized files per partition; split oversized ones.
+    """Pack undersized files per partition; split oversized ones.
 
     - candidates: files < small_file_ratio * target (too small) or
       > max_file_ratio * target (too big).
     - pack groups with fewer than ``min_input_files`` inputs are dropped —
       rewriting a lone small file buys nothing.
+    - packing order: when the manifest carries ``min_<order_col>`` stats,
+      candidates are packed NEXT-FIT in (min_key, path) order so each
+      output file concatenates key-ADJACENT inputs — a clustered table
+      stays clustered through compaction (path is the tiebreaker:
+      cluster-written files sort by bucket within their commit prefix).
+      Without stats, first-fit-decreasing by size maximizes bin fill.
     """
     small = int(target_file_size_bytes * small_file_ratio)
     big = int(target_file_size_bytes * max_file_ratio)
+    key_stats = f"min_{order_col}" if f"min_{order_col}" in manifest.columns else None
     groups: list = []
     gid = 0
     for pjson, part in manifest.groupby("partition_json", sort=True):
         cand = part[part["file_size_bytes"] < small]
-        cand = cand.sort_values("file_size_bytes", ascending=False)
-        bins: list = []  # (remaining_bytes, [idx])
-        for _, row in cand.iterrows():
-            sz = int(row["file_size_bytes"])
-            for b in bins:
-                if b[0] >= sz:
-                    b[0] -= sz
-                    b[1].append(row)
-                    break
-            else:
-                bins.append([target_file_size_bytes - sz, [row]])
+        bins: list = []  # (remaining_bytes, [rows])
+        if key_stats is not None:
+            cand = cand.sort_values([key_stats, "path"])
+            for _, row in cand.iterrows():  # next-fit: keep key adjacency
+                sz = int(row["file_size_bytes"])
+                if bins and bins[-1][0] >= sz:
+                    bins[-1][0] -= sz
+                    bins[-1][1].append(row)
+                else:
+                    bins.append([target_file_size_bytes - sz, [row]])
+        else:
+            cand = cand.sort_values("file_size_bytes", ascending=False)
+            for _, row in cand.iterrows():  # first-fit-decreasing
+                sz = int(row["file_size_bytes"])
+                for b in bins:
+                    if b[0] >= sz:
+                        b[0] -= sz
+                        b[1].append(row)
+                        break
+                else:
+                    bins.append([target_file_size_bytes - sz, [row]])
         for b in bins:
             rows = b[1]
             if len(rows) < min_input_files:

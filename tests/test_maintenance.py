@@ -287,3 +287,98 @@ def test_run_maintenance_cli(tmp_path, spark):
     assert metrics["merge"]["rows_inserted"] == 10
     assert metrics["merge"]["rows_updated"] == 30
     assert t.scan(spark).count() == 310
+
+
+# ---------------- round-2 behaviors ----------------
+
+
+def test_compact_preserves_clustering(tmp_path, spark):
+    """Compaction after a cluster run must not destroy file key-ranges:
+    pack groups concatenate key-adjacent inputs, split groups range-
+    partition on the cluster key (VERDICT r1 item 9)."""
+    t = make_table(tmp_path, spark, n=900, n_files=12)
+    # many SMALL clustered files (disjoint key ranges) ...
+    cluster(t, spark, curve="morton", target_file_size_bytes=TARGET // 8)
+    q_clustered = clustering_quality(t, "phash")
+    n_files_clustered = len(t.manifest_pdf())
+    before = table_fingerprint(t, spark)
+    # ... packed up to target size: key-adjacent concat, not round-robin
+    snap = compact(t, spark, target_file_size_bytes=TARGET)
+    assert snap is not None
+    assert len(t.manifest_pdf()) < n_files_clustered
+    assert table_fingerprint(t, spark) == before
+    q_after = clustering_quality(t, "phash")
+    # packing adjacent disjoint ranges keeps outputs (near-)disjoint; a
+    # round-robin rewrite would push overlap toward 1.0 (with few files
+    # per partition a couple of boundary-file overlaps are expected)
+    assert q_after <= max(q_clustered * 3, 0.1) + 1e-9
+
+
+def test_merge_metrics_with_duplicate_target_keys(tmp_path, spark):
+    """Plain appends can leave the same key in several files; MERGE metrics
+    must count matched DISTINCT keys so rows_inserted never goes negative
+    (ADVICE r1), and the swept duplicate copies are reported."""
+    t = make_table(tmp_path, spark, n=200, n_files=4)
+    # duplicate every key by re-appending the same generated rows
+    dup = generate_images(spark, 200, n_files=4, n_dates=2)
+    t.commit("append", t.write_files(dup))
+    assert t.scan(spark).count() == 400  # 200 keys x 2 copies
+    source = generate_updates(spark, 200, n_updates=150, n_inserts=10)
+    snap = merge_into(t, spark, source)
+    s = snap.summary
+    assert s["rows_updated"] == 150
+    assert s["rows_inserted"] == 10
+    assert s["rows_replaced_dupes"] == 150  # second copy of each matched key
+    assert s["rows_inserted"] >= 0
+    # data outcome: matched keys deduped to the source row
+    final = t.scan(spark)
+    assert final.count() == 400 - 2 * 150 + 150 + 10
+    assert final.groupBy("image_id").count().filter("count > 2").isEmpty()
+
+
+def test_cluster_tiles_and_resume(tmp_path, spark, monkeypatch):
+    """Tiling bounds per-job fan-out; a killed run resumes finished tiles
+    from the checkpoint without rewriting them."""
+    t = make_table(tmp_path, spark, n=800, n_files=16)
+    before = table_fingerprint(t, spark)
+    q_before = clustering_quality(t, "phash")
+    cp_path = str(tmp_path / "cluster-run.jsonl")
+
+    import importlib
+
+    cluster_mod = importlib.import_module(
+        "aws_medallion_datalake_spark.operators.cluster"
+    )
+    # force multiple tiles: each tile may produce at most 2 target files
+    kwargs = dict(curve="morton", target_file_size_bytes=TARGET // 8,
+                  max_files_per_job=2, tile_parallelism=1)
+
+    real = cluster_mod.Table.new_data_prefix
+    calls = {"n": 0}
+
+    def flaky(self):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated executor loss")
+        return real(self)
+
+    monkeypatch.setattr(cluster_mod.Table, "new_data_prefix", flaky)
+    with pytest.raises(RuntimeError):
+        cluster(t, spark, checkpoint=RunCheckpoint(cp_path), **kwargs)
+    monkeypatch.setattr(cluster_mod.Table, "new_data_prefix", real)
+    done_after_crash = len(RunCheckpoint(cp_path).units_done("cluster"))
+    assert done_after_crash >= 1
+    assert t.metadata().current_snapshot_id == 1  # no half-commit
+
+    snap = cluster(t, spark, checkpoint=RunCheckpoint(cp_path), **kwargs)
+    assert snap.summary["tiles"] > 1
+    units = RunCheckpoint(cp_path).units_done("cluster")
+    assert len(units) == snap.summary["tiles"]
+    assert {"source_snapshot_id", "input_files", "input_records",
+            "input_bytes", "output_prefix"} <= set(units[0].keys())
+    assert table_fingerprint(t, spark) == before
+    # within a tile files are disjoint; cross-tile overlap is inherent to
+    # bounded per-job fan-out over unsorted input (same as Iceberg's
+    # per-file-group sort) — still a clear win over the unsorted state
+    q = clustering_quality(t, "phash")
+    assert q < q_before

@@ -13,8 +13,8 @@ def test_exact_route_salts_invert_hash(spark):
     """pmod(hash(salt_i), n) == i for every i — the property that makes
     repartition(n, route) an exact router."""
     for n in (2, 7, 44, 128):
-        salts = exact_route_salts(spark, n)
-        assert len(salts) == n and all(s is not None for s in salts)
+        salts = [int(x) for x in exact_route_salts(n)]
+        assert len(salts) == n
         pdf = (
             spark.createDataFrame(
                 pd.DataFrame({"i": range(n), "s": salts})
@@ -29,7 +29,7 @@ def test_routing_partitions_are_exact(spark):
     """Each bucket value lands in exactly one shuffle partition and no
     partition holds two buckets (n_out == n_buckets)."""
     n = 16
-    salts = exact_route_salts(spark, n)
+    salts = [int(x) for x in exact_route_salts(n)]
     df = spark.range(0, 10_000).select(
         (F.col("id") % n).alias("bucket"),
     )
@@ -64,3 +64,18 @@ def test_composite_orders_by_partition_then_key(spark):
     for d in dates:
         sub = pdf[pdf["ingest_date"] == d]
         assert list(sub["k"]) == sorted(sub["k"])
+
+
+def test_driver_murmur3_matches_spark_hash(spark):
+    """exact_route_salts plans driver-side with a numpy murmur3; it must
+    be bit-exact with the Murmur3Hash expression HashPartitioning uses."""
+    from aws_medallion_datalake_spark.operators.cluster import _murmur3_int32
+
+    vals = list(range(-5, 60)) + [2**31 - 1, -(2**31), 123456789]
+    pdf = (
+        spark.createDataFrame(pd.DataFrame({"v": vals}))
+        .select("v", F.hash(F.col("v").cast("int")).alias("h"))
+        .toPandas()
+    )
+    for v, h in zip(pdf["v"], pdf["h"]):
+        assert _murmur3_int32(int(v)) == int(h), v
