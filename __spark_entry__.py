@@ -788,14 +788,29 @@ def _sql_minhash_signature():
     """
 
 
+_SHINGLE_DF_CAP = 100  # drop shingles present in > CAP docs (hot-key guard)
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard near-dup: top-20 most similar doc pairs via
     shingle inverted index (the bucket-join scale path: pairs are only
-    generated for docs sharing ≥1 shingle)."""
+    generated for docs sharing ≥1 shingle).
+
+    Hot-key guard: a shingle occurring in k docs emits k² pairs, so
+    boilerplate shingles blow up quadratically at scale — shingles with
+    document frequency > _SHINGLE_DF_CAP are dropped from the index
+    before the self-join (standard near-dup practice; they carry no
+    discriminative signal). Sizes keep counting ALL shingles so the
+    Jaccard denominator is unchanged."""
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    hot = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+        F.col("df") > _SHINGLE_DF_CAP
+    )
+    # the HOT set is small by construction — broadcast anti-join
+    shc = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    a = shc.alias("a")
+    b = shc.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -817,9 +832,16 @@ def _sql_ngram_jaccard_pairs():
     return f"""
         WITH sh AS ({_SHINGLE_SQL}),
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        shc AS (
+            SELECT * FROM sh
+            WHERE shingle NOT IN (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING count(*) > {_SHINGLE_DF_CAP}
+            )
+        ),
         common AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,
@@ -879,33 +901,66 @@ def _sql_embedding_topk():
     """
 
 
-def q_lsh_buckets(spark, sf_dir):
-    """LSH-bucketed ANN scale path: sign-bit bucketing on fixed
-    coordinates; bucket histogram (buckets are the shuffle keys that
-    confine pairwise comparisons at 100 TB)."""
-    e = _t(spark, sf_dir, "embeddings")
-    dims = [1, 9, 17, 25, 33]  # 1-based positions
+# Sign-bit LSH, parameterized: _LSH_BANDS independent bands of
+# _LSH_BITS sign-bit hyperplanes each (bands OR candidates together so
+# recall is tunable; bits set bucket granularity = collision rate).
+# At 10^12 scale: more bits → smaller buckets → bounded within-bucket
+# pair counts; more bands → recall. The 7-bit × 2-band default gives
+# 128 buckets/band here; production would use 16+ bits.
+_LSH_BITS = 7
+_LSH_BANDS = 2
+
+
+def _lsh_band_dims(band: int) -> list:
+    """1-based embedding positions for one band's hyperplanes (disjoint
+    coordinate sets per band; 64-dim embeddings)."""
+    return [1 + band + _LSH_BANDS * k for k in range(_LSH_BITS)]
+
+
+def _lsh_bucket_col(band: int):
     bucket = None
-    for k, d in enumerate(dims):
+    for k, d in enumerate(_lsh_band_dims(band)):
         bit = F.when(F.element_at("embedding", d) > 0, F.lit(1 << k)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return (
-        e.select(bucket.cast("int").alias("bucket"), "label")
-        .groupBy("bucket")
-        .agg(F.count("*").alias("n"), F.countDistinct("label").alias("n_labels"))
+    return bucket.cast("int")
+
+
+def _lsh_bucket_sql(band: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN embedding[{d}] > 0 THEN {1 << k} ELSE 0 END)"
+        for k, d in enumerate(_lsh_band_dims(band))
+    )
+
+
+def q_lsh_buckets(spark, sf_dir):
+    """LSH-bucketed ANN scale path: multi-band sign-bit bucketing;
+    per-(band, bucket) histogram (the band+bucket pair is the shuffle
+    key that confines pairwise comparisons at 100 TB)."""
+    e = _t(spark, sf_dir, "embeddings")
+    per_band = [
+        e.select(
+            F.lit(band).alias("band"),
+            _lsh_bucket_col(band).alias("bucket"),
+            "label",
+        )
+        for band in range(_LSH_BANDS)
+    ]
+    allb = per_band[0]
+    for p in per_band[1:]:
+        allb = allb.unionByName(p)
+    return allb.groupBy("band", "bucket").agg(
+        F.count("*").alias("n"), F.countDistinct("label").alias("n_labels")
     )
 
 
 def _sql_lsh_buckets():
-    dims = [1, 9, 17, 25, 33]
-    bucket = " + ".join(
-        f"(CASE WHEN embedding[{d}] > 0 THEN {1 << k} ELSE 0 END)"
-        for k, d in enumerate(dims)
+    unions = "\n UNION ALL \n".join(
+        f"SELECT {band} AS band, CAST({_lsh_bucket_sql(band)} AS INTEGER) AS bucket, label FROM embeddings"
+        for band in range(_LSH_BANDS)
     )
     return f"""
-        SELECT CAST({bucket} AS INTEGER) AS bucket,
-               count(*) AS n, count(DISTINCT label) AS n_labels
-        FROM embeddings GROUP BY 1
+        SELECT band, bucket, count(*) AS n, count(DISTINCT label) AS n_labels
+        FROM ({unions}) GROUP BY band, bucket
     """
 
 
@@ -949,28 +1004,45 @@ def _sql_label_centroid_sim():
 
 
 def q_embedding_neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup: sign-bit LSH bucket join confines the
-    pairwise cosine to same-bucket candidates (the 100 TB scale path —
-    the shuffle key is the bucket, never the full cross product); top-15
+    """Embedding-cosine near-dup: multi-band sign-bit LSH bucket join
+    confines the pairwise cosine to same-(band,bucket) candidates (the
+    100 TB scale path — the shuffle key is (band, bucket), never the
+    full cross product; bands union for recall, then distinct); top-15
     most similar candidate pairs returned."""
     e = _t(spark, sf_dir, "embeddings")
-    dims = [1, 9, 17, 25, 33]
-    bucket = None
-    for k, d in enumerate(dims):
-        bit = F.when(F.element_at("embedding", d) > 0, F.lit(1 << k)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    eb = e.select("vec_id", "embedding", bucket.alias("bucket"))
-    a, b = eb.alias("a"), eb.alias("b")
-    pairs = a.join(
-        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
-    )
-    cos = _pair_cosine(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        pairs.select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 4).alias("cos_sim"),
+    per_band = [
+        e.select(
+            "vec_id",
+            F.lit(band).alias("band"),
+            _lsh_bucket_col(band).alias("bucket"),
         )
+        for band in range(_LSH_BANDS)
+    ]
+    eb = per_band[0]
+    for p in per_band[1:]:
+        eb = eb.unionByName(p)
+    a, b = eb.alias("a"), eb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = cand.join(
+        emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")),
+        "vec_a",
+    ).join(
+        emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")),
+        "vec_b",
+    )
+    cos = _pair_cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        pairs.select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(15)
     )
@@ -994,18 +1066,22 @@ def _pair_cosine(ea, eb):
 
 
 def _sql_embedding_neardup_pairs():
-    dims = [1, 9, 17, 25, 33]
-    bucket = " + ".join(
-        f"(CASE WHEN embedding[{d}] > 0 THEN {1 << k} ELSE 0 END)"
-        for k, d in enumerate(dims)
+    unions = "\n UNION ALL \n".join(
+        f"SELECT vec_id, {band} AS band, {_lsh_bucket_sql(band)} AS bucket FROM embeddings"
+        for band in range(_LSH_BANDS)
     )
     return f"""
-        WITH eb AS (
-            SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+        WITH eb AS ({unions}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM eb a JOIN eb b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
         ), pairs AS (
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   a.embedding AS ea, b.embedding AS eb
-            FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            SELECT c.vec_a, c.vec_b, ea.embedding AS ea, ebb.embedding AS eb
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.vec_a
+            JOIN embeddings ebb ON ebb.vec_id = c.vec_b
         ), pos AS (
             SELECT vec_a, vec_b, ea[i]::DOUBLE AS va, eb[i]::DOUBLE AS vb
             FROM pairs, generate_series(1, 64) g(i)
@@ -1048,6 +1124,323 @@ def _sql_events_windowed():
                round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# gold star schema via the spark.sql surface (S13 + J5)
+# ---------------------------------------------------------------------------
+
+
+def _register_gold_tpch_views(spark, sf_dir):
+    """Dims + facts as TEMP VIEWS built with spark.sql — the reference's
+    gold layer consumed through SQL (S13: sql/athena_gold_queries.sql,
+    terraform/athena.tf:7-53); star layout mirrors
+    scripts/gold_digit_fixed.py:34-146 (dims are distinct projections,
+    facts keep natural keys)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_raw")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer_raw")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW v_dim_tempo AS
+           SELECT DISTINCT date_format(o_orderdate, 'yyyy-MM-dd') AS data_key,
+                  year(o_orderdate) AS ano,
+                  month(o_orderdate) AS mes,
+                  date_format(o_orderdate, 'MMMM') AS nome_mes,
+                  dayofweek(o_orderdate) IN (1, 7) AS eh_fim_semana
+           FROM v_orders_raw"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW v_dim_cliente AS
+           SELECT DISTINCT c_custkey AS cliente_key, c_name, c_mktsegment
+           FROM v_customer_raw"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW v_fato_orders AS
+           SELECT o_orderkey, o_custkey AS cliente_key,
+                  date_format(o_orderdate, 'yyyy-MM-dd') AS data_key,
+                  o_totalprice
+           FROM v_orders_raw"""
+    )
+    # aggregated fact (the fato_resumo_obras analogue,
+    # gold_digit_fixed.py:131-146)
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW v_fato_resumo_cliente AS
+           SELECT cliente_key,
+                  round(sum(o_totalprice), 2) AS total_price,
+                  count(*) AS n_orders,
+                  round(avg(o_totalprice), 2) AS media_price,
+                  min(data_key) AS primeiro_pedido,
+                  max(data_key) AS ultimo_pedido
+           FROM v_fato_orders GROUP BY cliente_key"""
+    )
+
+
+def q_gold_star_rollup(spark, sf_dir):
+    """Monthly fact⋈dim_tempo rollup over the SQL gold surface — the
+    'Produtividade por mês' Athena query shape
+    (sql/athena_gold_queries.sql:21-31), run with spark.sql (S13)."""
+    _register_gold_tpch_views(spark, sf_dir)
+    return spark.sql(
+        """SELECT t.ano, t.mes, t.nome_mes,
+                  round(sum(f.o_totalprice), 2) AS total_price_mes,
+                  count(DISTINCT f.cliente_key) AS clientes_ativos,
+                  round(avg(f.o_totalprice), 2) AS media_price,
+                  count(*) AS n_orders
+           FROM v_fato_orders f
+           JOIN v_dim_tempo t ON f.data_key = t.data_key
+           GROUP BY t.ano, t.mes, t.nome_mes
+           ORDER BY t.ano, t.mes"""
+    )
+
+
+def _sql_gold_star_rollup():
+    return """
+        WITH dim_tempo AS (
+            SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS data_key,
+                   CAST(year(o_orderdate) AS INTEGER) AS ano,
+                   CAST(month(o_orderdate) AS INTEGER) AS mes,
+                   strftime(o_orderdate, '%B') AS nome_mes
+            FROM orders
+        ), fato AS (
+            SELECT o_custkey AS cliente_key,
+                   strftime(o_orderdate, '%Y-%m-%d') AS data_key, o_totalprice
+            FROM orders
+        )
+        SELECT t.ano, t.mes, t.nome_mes,
+               round(sum(f.o_totalprice), 2) AS total_price_mes,
+               count(DISTINCT f.cliente_key) AS clientes_ativos,
+               round(avg(f.o_totalprice), 2) AS media_price,
+               count(*) AS n_orders
+        FROM fato f JOIN dim_tempo t ON f.data_key = t.data_key
+        GROUP BY t.ano, t.mes, t.nome_mes
+        ORDER BY t.ano, t.mes
+    """
+
+
+def q_gold_fact_dim_join(spark, sf_dir):
+    """J5 dim ⋈ AGGREGATED-fact — the 'Resumo agregado por obra' shape
+    (sql/athena_gold_queries.sql:81-95: dim_obras JOIN fato_resumo_obras),
+    via spark.sql over the registered gold views."""
+    _register_gold_tpch_views(spark, sf_dir)
+    return spark.sql(
+        """SELECT c.c_name, c.c_mktsegment,
+                  r.total_price, r.n_orders, r.media_price,
+                  r.primeiro_pedido, r.ultimo_pedido
+           FROM v_dim_cliente c
+           JOIN v_fato_resumo_cliente r ON c.cliente_key = r.cliente_key
+           ORDER BY r.total_price DESC, c.c_name ASC
+           LIMIT 20"""
+    )
+
+
+def _sql_gold_fact_dim_join():
+    return """
+        WITH dim_cliente AS (
+            SELECT DISTINCT c_custkey AS cliente_key, c_name, c_mktsegment
+            FROM customer
+        ), resumo AS (
+            SELECT o_custkey AS cliente_key,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   count(*) AS n_orders,
+                   round(avg(o_totalprice), 2) AS media_price,
+                   min(strftime(o_orderdate, '%Y-%m-%d')) AS primeiro_pedido,
+                   max(strftime(o_orderdate, '%Y-%m-%d')) AS ultimo_pedido
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c.c_name, c.c_mktsegment,
+               r.total_price, r.n_orders, r.media_price,
+               r.primeiro_pedido, r.ultimo_pedido
+        FROM dim_cliente c JOIN resumo r ON c.cliente_key = r.cliente_key
+        ORDER BY r.total_price DESC, c.c_name ASC
+        LIMIT 20
+    """
+
+
+def q_gold_weekend_split(spark, sf_dir):
+    """Weekday-vs-weekend temporal split — the 'Fins de semana vs dias
+    úteis' Athena shape (sql/athena_gold_queries.sql:62-70), F20 weekend
+    flag on the date dim."""
+    _register_gold_tpch_views(spark, sf_dir)
+    return spark.sql(
+        """SELECT CASE WHEN t.eh_fim_semana THEN 'Fim de Semana'
+                       ELSE 'Dia Útil' END AS tipo_dia,
+                  count(*) AS total_registros,
+                  round(sum(f.o_totalprice), 2) AS total_price,
+                  round(avg(f.o_totalprice), 2) AS media_price
+           FROM v_fato_orders f
+           JOIN v_dim_tempo t ON f.data_key = t.data_key
+           GROUP BY t.eh_fim_semana
+           ORDER BY total_price DESC"""
+    )
+
+
+def _sql_gold_weekend_split():
+    # DuckDB dayofweek: 0=Sun..6=Sat; Spark: 1=Sun..7=Sat
+    return """
+        WITH dim_tempo AS (
+            SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS data_key,
+                   dayofweek(o_orderdate) IN (0, 6) AS eh_fim_semana
+            FROM orders
+        ), fato AS (
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS data_key, o_totalprice
+            FROM orders
+        )
+        SELECT CASE WHEN t.eh_fim_semana THEN 'Fim de Semana'
+                    ELSE 'Dia Útil' END AS tipo_dia,
+               count(*) AS total_registros,
+               round(sum(f.o_totalprice), 2) AS total_price,
+               round(avg(f.o_totalprice), 2) AS media_price
+        FROM fato f JOIN dim_tempo t ON f.data_key = t.data_key
+        GROUP BY t.eh_fim_semana
+        ORDER BY total_price DESC
+    """
+
+
+def q_events_json_explode(spark, sf_dir):
+    """F17 from_json(array<struct>) + explode — the Funcionarios-array
+    expansion pattern (docs/SILVER_API_DIGIT_TRANSFORMACAO.md:72-79,
+    102-104): rows are packed into a JSON array string per group (F18
+    to_json), parsed back with an explicit array<struct> schema, exploded
+    one row per element, and re-aggregated."""
+    e = _t(spark, sf_dir, "events")
+    packed = e.groupBy("event_type").agg(
+        F.to_json(
+            F.collect_list(
+                F.struct(F.col("value").alias("v"), F.col("user_id").alias("u"))
+            )
+        ).alias("arr_json")
+    )
+    parsed = packed.select(
+        "event_type",
+        F.explode(
+            F.from_json("arr_json", "array<struct<v:double,u:bigint>>")
+        ).alias("el"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("el.v"), 2).alias("total_value"),
+        F.countDistinct("el.u").alias("n_users"),
+    )
+
+
+def _sql_events_json_explode():
+    # the JSON pack/unpack round-trip is lossless; the oracle checks the
+    # recovered semantics directly
+    return """
+        SELECT event_type, count(*) AS n_rows,
+               round(sum(value), 2) AS total_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """
+
+
+def q_minhash_candidate_pairs(spark, sf_dir):
+    """MinHash+LSH DEDUP, end to end: signatures → band self-join emits
+    candidate pairs (docs agreeing on any band) → exact shingle-Jaccard
+    verification of only those candidates. The band join is the 100 TB
+    scale path: the shuffle key is the band value, never the cross
+    product, and the verify stage touches candidate pairs only."""
+    sig = q_minhash_signature(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("b0:"), F.col("band0")),
+                F.concat(F.lit("b1:"), F.col("band1")),
+            )
+        ).alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return (
+        common.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+    )
+
+
+def _sql_minhash_candidate_pairs():
+    sig_sql = _sql_minhash_signature()
+    return f"""
+        WITH sig AS ({sig_sql}),
+        bands AS (
+            SELECT doc_id, 'b0:' || band0 AS band FROM sig
+            UNION ALL
+            SELECT doc_id, 'b1:' || band1 AS band FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.doc_id < b.doc_id
+        ),
+        sh AS ({_SHINGLE_SQL}),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS common
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b,
+               round(common / (sa.sz + sb.sz - common)::DOUBLE, 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+    """
+
+
+def q_image_gold_star(spark, sf_dir):
+    """Engine-side S13: medallion pipeline → gold STAR SCHEMA (dims +
+    facts + persisted quality table, gold_digit_fixed.py:34-146 /
+    gold_agilean.py:103-162 analogues) → registered as temp views → an
+    Athena-gold-shaped spark.sql join over them. Non-SQL-expressible for
+    the oracle (engine table format + codec); rows-only check."""
+    import tempfile
+
+    from aws_medallion_datalake_spark.pipeline.medallion import (
+        bronze_ingest,
+        gold_build_star,
+        register_gold_views,
+        silver_refine,
+    )
+
+    root = tempfile.mkdtemp(prefix="entry_gold_star_")
+    bronze = bronze_ingest(spark, os.path.join(root, "bronze"), _IMG_ROWS, n_files=8)
+    silver = silver_refine(bronze, spark, os.path.join(root, "silver"))
+    tables = gold_build_star(silver, spark, os.path.join(root, "gold"))
+    register_gold_views(spark, tables)
+    return spark.sql(
+        """SELECT d.ano, d.mes, d.eh_fim_semana, f.fmt_key, m.is_lossy,
+                  count(*) AS n_images,
+                  sum(f.n_bytes) AS total_bytes,
+                  count(DISTINCT f.phash) AS n_phash,
+                  (SELECT count(*) FROM gold_quality WHERE status = 'GOOD')
+                      AS n_good_cols
+           FROM gold_fact_images f
+           JOIN gold_dim_date d ON f.date_key = d.date_key
+           JOIN gold_dim_fmt m ON f.fmt_key = m.fmt_key
+           GROUP BY d.ano, d.mes, d.eh_fim_semana, f.fmt_key, m.is_lossy
+           ORDER BY d.ano, d.mes, f.fmt_key"""
+    )
 
 
 def q_image_features_ann(spark, sf_dir):
@@ -1159,9 +1552,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets": q_lsh_buckets,
         "label_centroid_sim": q_label_centroid_sim,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "gold_star_rollup": q_gold_star_rollup,
+        "gold_fact_dim_join": q_gold_fact_dim_join,
+        "gold_weekend_split": q_gold_weekend_split,
+        "events_json_explode": q_events_json_explode,
+        "minhash_candidate_pairs": q_minhash_candidate_pairs,
         "image_features_ann": q_image_features_ann,
         "image_medallion": q_image_medallion,
         "image_maintenance": q_image_maintenance,
+        "image_gold_star": q_image_gold_star,
     }
 
 
@@ -1198,6 +1597,12 @@ def oracle_sql() -> dict[str, str]:
         "lsh_buckets": _sql_lsh_buckets(),
         "label_centroid_sim": _sql_label_centroid_sim(),
         "embedding_neardup_pairs": _sql_embedding_neardup_pairs(),
-        # image_medallion / image_maintenance: engine-internal table
-        # format + Arrow codec UDFs — not SQL-expressible (rows-only).
+        "gold_star_rollup": _sql_gold_star_rollup(),
+        "gold_fact_dim_join": _sql_gold_fact_dim_join(),
+        "gold_weekend_split": _sql_gold_weekend_split(),
+        "events_json_explode": _sql_events_json_explode(),
+        "minhash_candidate_pairs": _sql_minhash_candidate_pairs(),
+        # image_medallion / image_maintenance / image_gold_star:
+        # engine-internal table format + Arrow codec UDFs — not
+        # SQL-expressible (rows-only).
     }

@@ -190,6 +190,9 @@ def merge_into(
         new_man,
         {
             "stage": "merge",
+            # delta files = the upserted source rows; Table.changes()
+            # uses this prefix for snapshot-diff incremental reads (T5)
+            "delta_prefix": _rel(table, delta_prefix) + "/",
             "rows_updated": int(n_matched),
             "rows_inserted": int(n_inserts),
             "rows_replaced_dupes": int(n_dupes),

@@ -161,6 +161,98 @@ def gold_build(
     return gold
 
 
+def gold_build_star(silver: Table, spark: SparkSession, root: str) -> dict:
+    """Full gold star schema + persisted quality metrics, mirroring the
+    reference's 4-dims/2-facts layout (gold_digit_fixed.py:34-146,
+    docs/GOLD_API_DIGIT_STAR_SCHEMA.md:8-72) and its quality-metrics gold
+    table (gold_agilean.py:103-162), re-targeted at the image domain:
+
+    - ``dim_date``  — calendar dim from distinct ingest dates with the
+      derived attrs the reference's dim_tempo specifies (ano, mes,
+      trimestre, nome_mes, eh_fim_semana —
+      docs/GOLD_API_DIGIT_STAR_SCHEMA.md:42-47).
+    - ``dim_fmt``   — codec dim (fmt_key, is_lossy).
+    - ``fact_images`` — row-grain fact keeping natural keys
+      (gold_digit_fixed.py:110-128 keeps codigo_* on the fact).
+    - ``fact_image_daily`` — aggregated fact (the fato_resumo analogue,
+      gold_digit_fixed.py:131-146) = :func:`gold_build`'s output.
+    - ``gold_quality`` — the one-pass completeness profile PERSISTED as
+      a gold table with its own snapshot (the reference writes it to S3 +
+      registers it, gold_agilean.py:150-162).
+
+    Returns ``{name: Table}``; call :func:`register_gold_views` to expose
+    them to ``spark.sql`` (the Athena surface, S13).
+    """
+    import os
+
+    df = silver.scan(spark)
+    tables: dict = {}
+
+    def _commit(name: str, ddl: str, out: DataFrame, stats_cols=()) -> None:
+        t = Table.create(os.path.join(root, name), ddl, stats_cols=list(stats_cols))
+        t.commit("append", t.write_files(out.coalesce(1)), {"stage": f"gold:{name}"})
+        tables[name] = t
+
+    d = F.to_date("ingest_date")
+    _commit(
+        "dim_date",
+        "date_key string, ano int, mes int, trimestre int, nome_mes string, "
+        "eh_fim_semana boolean",
+        df.select("ingest_date").distinct().select(
+            F.col("ingest_date").alias("date_key"),
+            F.year(d).alias("ano"),
+            F.month(d).alias("mes"),
+            F.quarter(d).alias("trimestre"),
+            F.date_format(d, "MMMM").alias("nome_mes"),
+            F.dayofweek(d).isin(1, 7).alias("eh_fim_semana"),
+        ),
+        stats_cols=["date_key"],
+    )
+    _commit(
+        "dim_fmt",
+        "fmt_key string, is_lossy boolean",
+        df.select("fmt").distinct().select(
+            F.col("fmt").alias("fmt_key"),
+            (F.col("fmt") != "png").alias("is_lossy"),
+        ),
+    )
+    _commit(
+        "fact_images",
+        "image_id string, date_key string, fmt_key string, w int, h int, "
+        "n_bytes bigint, phash bigint",
+        df.select(
+            "image_id",
+            F.col("ingest_date").alias("date_key"),
+            F.col("fmt").alias("fmt_key"),
+            "w",
+            "h",
+            F.length("bytes").cast("bigint").alias("n_bytes"),
+            "phash",
+        ),
+        stats_cols=["date_key", "phash"],
+    )
+    daily = gold_build(silver, spark, os.path.join(root, "fact_image_daily"))
+    tables["fact_image_daily"] = daily
+    _commit(
+        "gold_quality",
+        "col_name string, non_null bigint, total bigint, "
+        "completeness_pct double, status string",
+        quality_profile(df).withColumnRenamed("column", "col_name"),
+    )
+    return tables
+
+
+def register_gold_views(spark: SparkSession, tables: dict, prefix: str = "gold_") -> list:
+    """Register every gold table as ``<prefix><name>`` for ``spark.sql``
+    — realizes the Athena consumption layer (SURVEY.md §2.1 S13)."""
+    names = []
+    for name, t in tables.items():
+        view = name if name.startswith(prefix) else f"{prefix}{name}"
+        t.register(spark, view)
+        names.append(view)
+    return names
+
+
 def quality_profile(df: DataFrame) -> DataFrame:
     """Column completeness % in one pass (reference: gold_agilean.py:103-162
     but without its per-column full-scan loop). Returns

@@ -194,13 +194,16 @@ class Table:
         scan surfaces them as NULL (parquet schema merge by name), so no
         rewrite happens — the Iceberg add-column semantics. Dropping or
         retyping columns is intentionally unsupported (destructive)."""
+        from pyspark.sql.types import StructType
+
         version = self.current_version()
         meta = self.metadata(version)
-        existing = {c.split()[0] for c in meta.schema_ddl.split(",")}
-        for col in ddl.split(","):
-            name = col.strip().split()[0]
-            if name in existing:
-                raise ValueError(f"column {name!r} already exists")
+        # real DDL parse on both sides — naive ','-splitting mis-tokenizes
+        # decimal(10,2) / map<k,v> / struct<...> types
+        existing = {f.name for f in StructType.fromDDL(meta.schema_ddl).fields}
+        for f in StructType.fromDDL(ddl).fields:
+            if f.name in existing:
+                raise ValueError(f"column {f.name!r} already exists")
         meta.schema_ddl = f"{meta.schema_ddl}, {ddl.strip()}"
         self._write_metadata_version(version + 1, meta)
 
@@ -243,6 +246,7 @@ class Table:
         operation: str,
         new_manifest: pd.DataFrame,
         summary: Optional[dict] = None,
+        properties: Optional[dict] = None,
     ) -> Snapshot:
         """Commit the next snapshot (atomic).
 
@@ -250,9 +254,16 @@ class Table:
         files; they are concatenated onto the current manifest. Any other
         operation (replace/merge/expire): ``new_manifest`` IS the full new
         file list.
+
+        ``properties`` are merged into the table properties in the SAME
+        metadata version — the non-prunable state streaming sinks use for
+        per-app transaction versions (snapshot summaries can be expired;
+        properties survive every expiry).
         """
         version = self.current_version()
         meta = self.metadata(version)
+        if properties:
+            meta.properties.update({str(k): str(v) for k, v in properties.items()})
         if operation == "append" and meta.current_snapshot_id is not None:
             new_manifest = pd.concat(
                 [self.manifest_pdf(), new_manifest], ignore_index=True
@@ -375,6 +386,88 @@ class Table:
             df = df.filter(_pred_to_column(col, op, value))
         if columns:
             df = df.select(*columns)
+        return df
+
+    def changes(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: Optional[int] = None,
+        columns: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        """Incremental scan: rows LOGICALLY ADDED after ``from_snapshot_id``
+        up to ``to_snapshot_id`` (inclusive; default current) — the
+        snapshot-diff consumption pattern the reference approximates with
+        Glue job bookmarks (/root/reference/terraform/glue_digit.tf:14,
+        SURVEY.md §2.9 T5), planned from manifest diffs instead of
+        directory listing.
+
+        Per-snapshot semantics (Iceberg incremental-read rules):
+
+        - ``append``  → all files new to that snapshot's manifest.
+        - ``merge``   → only the delta files (the upserted source rows;
+          the snapshot summary records their prefix). Keep-side rewrites
+          carry no new logical rows.
+        - ``replace`` / ``expire`` → physical reorganization only; no
+          logical change, nothing emitted.
+
+        A consumer that checkpoints the last snapshot id it processed and
+        reads ``changes(last, current)`` sees every appended/upserted row
+        exactly once.
+        """
+        meta = self.metadata()
+        to_sid = to_snapshot_id if to_snapshot_id is not None else meta.current_snapshot_id
+        if to_sid is None or to_sid < from_snapshot_id:
+            raise ValueError(f"bad snapshot range [{from_snapshot_id}, {to_sid}]")
+        chain = sorted(
+            (s for s in meta.snapshots if from_snapshot_id < s.snapshot_id <= to_sid),
+            key=lambda s: s.snapshot_id,
+        )
+        try:
+            prev_paths = set(self.manifest_pdf(from_snapshot_id)["path"])
+        except KeyError as e:
+            raise KeyError(
+                f"snapshot {from_snapshot_id} expired — incremental "
+                f"consumers must keep up with the expiry retention window"
+            ) from e
+        new_paths: list = []
+        for s in chain:
+            cur_paths = set(self.manifest_pdf(s.snapshot_id)["path"])
+            added = cur_paths - prev_paths
+            if s.operation == "append":
+                new_paths += sorted(added)
+            elif s.operation == "merge":
+                delta_prefix = s.summary.get("delta_prefix")
+                if delta_prefix:
+                    new_paths += sorted(
+                        p for p in added if p.startswith(delta_prefix)
+                    )
+            # replace / expire: physical-only, nothing emitted
+            prev_paths = cur_paths
+        if not new_paths:
+            return spark.createDataFrame([], schema=meta.schema_ddl)
+        df = spark.read.schema(self._schema(spark)).parquet(
+            *[os.path.join(self.root, p) for p in new_paths]
+        )
+        if columns:
+            df = df.select(*columns)
+        return df
+
+    def register(
+        self,
+        spark: SparkSession,
+        name: str,
+        snapshot_id: Optional[int] = None,
+        as_of_ms: Optional[int] = None,
+    ) -> DataFrame:
+        """Expose this table to ``spark.sql`` as a temp view (the Athena /
+        SQL-analytics surface, SURVEY.md §2.1 S13 — the reference serves
+        its gold layer exclusively through SQL,
+        /root/reference/sql/athena_gold_queries.sql:8-95,
+        /root/reference/terraform/athena.tf:7-53). The view pins the scan
+        made at registration time (snapshot isolation carries over)."""
+        df = self.scan(spark, snapshot_id=snapshot_id, as_of_ms=as_of_ms)
+        df.createOrReplaceTempView(name)
         return df
 
     def _schema(self, spark: SparkSession):

@@ -5,11 +5,15 @@ DynamoDB cursor — SURVEY.md §2.9 T1/T2). This module provides the
 Spark-native upgrade path the north_star architecture implies:
 
 - ``stream_append``: ``readStream`` (file source) → ``foreachBatch`` →
-  ``Table.commit("append")``. Exactly-once into OUR format: Structured
-  Streaming's checkpoint replays a failed micro-batch with the SAME
-  batch_id, and the commit hook skips batch ids already recorded in a
-  snapshot summary — the same idempotence contract Delta's
-  ``txnAppId``/``txnVersion`` sink options implement.
+  ``Table.commit("append")``. Exactly-once into OUR format with Delta's
+  ``txnAppId``/``txnVersion`` contract: idempotence is scoped PER STREAM
+  (app id defaults to a digest of the checkpoint path), and the latest
+  committed batch id per app is persisted in table PROPERTIES in the
+  same atomic metadata commit as the data — so (a) a different stream /
+  fresh checkpoint over new files is never conflated with an old
+  stream's batch numbering, and (b) ``expire_snapshots`` can prune every
+  old snapshot without re-opening replay windows (properties survive
+  expiry; snapshot summaries do not).
 - ``windowed_event_rollup``: watermarked tumbling-window aggregation for
   late data (the gold-layer continuous variant of the reference's daily
   rollups).
@@ -28,13 +32,49 @@ from pyspark.sql import functions as F
 from ..sources.tableformat import Table
 
 
-def committed_batch_ids(table: Table) -> set:
-    """Streaming batch ids already durably committed to this table."""
-    return {
-        s.summary.get("stream_batch_id")
-        for s in table.metadata().snapshots
-        if s.summary.get("stream_batch_id") is not None
-    }
+def _txn_prop(app_id: str) -> str:
+    return f"stream.txn.{app_id}"
+
+
+def default_app_id(checkpoint_dir: str) -> str:
+    """Stable per-checkpoint stream identity (Delta's txnAppId analogue):
+    restarts of the same checkpoint share it; a fresh checkpoint gets a
+    new one, so batch numbering is never conflated across streams."""
+    import hashlib
+    import os
+
+    return hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:16]
+
+
+def last_committed_batch(table: Table, app_id: str) -> int:
+    """Latest micro-batch id this stream durably committed (−1 if none).
+    Stored in table properties — NOT in snapshot summaries — so snapshot
+    expiry can never re-open a replay window."""
+    return int(table.metadata().properties.get(_txn_prop(app_id), -1))
+
+
+def exactly_once_append(
+    table: Table, app_id: str, batch_id: int, batch_df: DataFrame
+) -> bool:
+    """Commit one micro-batch idempotently (txnAppId/txnVersion rule:
+    skip iff batch_id ≤ last committed version for THIS app). Returns
+    True if committed, False if skipped as a duplicate replay."""
+    if batch_id <= last_committed_batch(table, app_id):
+        return False  # replayed after failure → already durable
+    entries = table.write_files(batch_df)
+    table.commit(
+        "append",
+        entries,
+        {
+            "stage": "stream-append",
+            "stream_app_id": app_id,
+            "stream_batch_id": int(batch_id),
+        },
+        properties={_txn_prop(app_id): int(batch_id)},
+    )
+    return True
 
 
 def stream_append(
@@ -43,6 +83,7 @@ def stream_append(
     source_dir: str,
     checkpoint_dir: str,
     *,
+    app_id: Optional[str] = None,
     schema_ddl: Optional[str] = None,
     available_now: bool = True,
     max_files_per_trigger: Optional[int] = None,
@@ -55,21 +96,12 @@ def stream_append(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
-
-    done = committed_batch_ids(table)
+    app = app_id or default_app_id(checkpoint_dir)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in done:  # replayed after failure → already durable
-            return
         if batch_df.isEmpty():
             return
-        entries = table.write_files(batch_df)
-        table.commit(
-            "append",
-            entries,
-            {"stage": "stream-append", "stream_batch_id": int(batch_id)},
-        )
-        done.add(batch_id)
+        exactly_once_append(table, app, batch_id, batch_df)
 
     writer = (
         stream.writeStream.foreachBatch(commit_batch)

@@ -7,7 +7,9 @@ from pyspark.sql import functions as F
 from aws_medallion_datalake_spark.sources.generator import SCHEMA, generate_images
 from aws_medallion_datalake_spark.sources.tableformat import Table
 from aws_medallion_datalake_spark.streaming.ingest import (
-    committed_batch_ids,
+    default_app_id,
+    exactly_once_append,
+    last_committed_batch,
     stream_append,
     windowed_event_rollup,
 )
@@ -30,7 +32,7 @@ def test_stream_append_drains_directory(tmp_path, spark):
     )
     q.awaitTermination(120)
     assert t.scan(spark).count() == 60
-    assert len(committed_batch_ids(t)) >= 1
+    assert last_committed_batch(t, default_app_id(str(tmp_path / "ckpt"))) >= 0
     # new files landing later are picked up by the next run, same checkpoint
     generate_images(spark, 20, n_files=1, start=60).write.mode("append").parquet(src)
     q2 = stream_append(spark, t, src, str(tmp_path / "ckpt"))
@@ -38,18 +40,44 @@ def test_stream_append_drains_directory(tmp_path, spark):
     assert t.scan(spark).count() == 80
 
 
-def test_stream_append_is_idempotent_on_replay(tmp_path, spark):
-    """Re-running with the table already containing a batch id must not
-    duplicate rows (the foreachBatch replay contract)."""
+def test_stream_exactly_once_is_scoped_per_app(tmp_path, spark):
+    """The Delta txnAppId/txnVersion contract (ADVICE r1): replaying a
+    batch id within ONE stream is skipped, but a DIFFERENT stream
+    (fresh checkpoint) reusing batch id 0 over new data must NOT be
+    silently dropped — and snapshot expiry must not re-open the replay
+    window, because the txn version lives in table properties."""
+    t = _mk_table(tmp_path)
+    batch_a = generate_images(spark, 30, n_files=1)
+    assert exactly_once_append(t, "app-A", 0, batch_a) is True
+    n1 = t.scan(spark).count()
+    # same app, same batch id → duplicate replay after a crash between
+    # table commit and checkpoint offset write → skipped
+    assert exactly_once_append(t, "app-A", 0, batch_a) is False
+    assert t.scan(spark).count() == n1 == 30
+    # DIFFERENT app (fresh checkpoint), batch id 0, NEW files → must land
+    batch_b = generate_images(spark, 20, n_files=1, start=1000)
+    assert exactly_once_append(t, "app-B", 0, batch_b) is True
+    assert t.scan(spark).count() == 50
+    # expire every old snapshot; replay of (app-A, 0) must STILL skip
+    from aws_medallion_datalake_spark.operators.expire import expire_snapshots
+
+    expire_snapshots(t, keep_last=1)
+    assert exactly_once_append(t, "app-A", 0, batch_a) is False
+    assert exactly_once_append(t, "app-B", 0, batch_b) is False
+    assert t.scan(spark).count() == 50
+    assert last_committed_batch(t, "app-A") == 0
+
+
+def test_stream_replay_same_checkpoint_no_duplicates(tmp_path, spark):
+    """End-to-end: re-running the drained stream with the SAME checkpoint
+    appends nothing (no new batches, no duplicate rows)."""
     src = str(tmp_path / "incoming")
     generate_images(spark, 30, n_files=1).write.parquet(src)
     t = _mk_table(tmp_path)
     q = stream_append(spark, t, src, str(tmp_path / "ckpt1"))
     q.awaitTermination(120)
     n1 = t.scan(spark).count()
-    # fresh checkpoint → Structured Streaming replays batch 0; the
-    # commit hook sees stream_batch_id 0 already in a snapshot and skips
-    q2 = stream_append(spark, t, src, str(tmp_path / "ckpt2"))
+    q2 = stream_append(spark, t, src, str(tmp_path / "ckpt1"))
     q2.awaitTermination(120)
     assert t.scan(spark).count() == n1 == 30
 

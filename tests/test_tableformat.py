@@ -138,3 +138,50 @@ def test_add_columns_schema_evolution(table, spark):
     assert df2.filter(F.col("quality_score").isNotNull()).count() == 10
     with pytest.raises(ValueError):
         table.add_columns("phash long")  # duplicate name rejected
+
+
+def test_add_columns_complex_types(table, spark):
+    """DDL with commas inside types must parse correctly (ADVICE r1)."""
+    table.add_columns("price decimal(10,2), tags map<string,int>")
+    df = table.scan(spark)
+    assert "price" in df.columns and "tags" in df.columns
+    with pytest.raises(ValueError, match="price"):
+        table.add_columns("price decimal(12,4)")
+
+
+def test_changes_snapshot_diff(table, spark, tmp_path):
+    """T5 incremental scan: an append then a MERGE; a consumer reading
+    changes(last_seen, current) sees exactly the new logical rows, and
+    physical-only rewrites (compaction) emit nothing."""
+    from aws_medallion_datalake_spark.operators.compact import compact
+    from aws_medallion_datalake_spark.operators.merge import merge_into
+    from aws_medallion_datalake_spark.sources.generator import generate_updates
+
+    s1 = table.metadata().current_snapshot_id
+    batch2 = generate_images(spark, 30, n_files=2, start=5000)
+    table.commit("append", table.write_files(batch2))
+    s2 = table.metadata().current_snapshot_id
+    got = table.changes(spark, s1, s2)
+    assert got.count() == 30
+    assert (
+        got.select("image_id").subtract(batch2.select("image_id")).count() == 0
+    )
+    # merge: updates existing keys + inserts new ones → changes = source
+    src = generate_updates(spark, 200, n_updates=25, n_inserts=10)
+    merge_into(table, spark, src)
+    s3 = table.metadata().current_snapshot_id
+    got2 = table.changes(spark, s2, s3)
+    assert got2.count() == 35
+    assert got2.select("image_id").subtract(src.select("image_id")).count() == 0
+    # compaction is physical-only: no new logical rows
+    compact(table, spark, target_file_size_bytes=1 << 20)
+    s4 = table.metadata().current_snapshot_id
+    assert table.changes(spark, s3, s4).count() == 0
+    # chained consumption from the first snapshot sees append + merge rows
+    assert table.changes(spark, s1, s4).count() == 65
+    # expired starting point is a loud error, not silent wrong data
+    from aws_medallion_datalake_spark.operators.expire import expire_snapshots
+
+    expire_snapshots(table, keep_last=1)
+    with pytest.raises(KeyError, match="expired"):
+        table.changes(spark, s1)
