@@ -121,8 +121,24 @@ def _curve_key(curve: str, cols: tuple):
     return morton64_expr(c0, c1, c2)  # morton / zorder: JVM-only
 
 
+_PART_SEP = "\x1f"  # multi-level partition tuple separator
+
+
+def _part_key_col(partition_cols: list):
+    """One string per partition TUPLE — supports multi-level specs like
+    the reference's year=/month=/day= layout
+    (/root/reference/scripts/bronze_digit.py:143-148)."""
+    if len(partition_cols) == 1:
+        return F.col(partition_cols[0])
+    return F.concat_ws(_PART_SEP, *[F.col(c) for c in partition_cols])
+
+
 def _composite(key, partition_cols: list, part_values: list):
     """Sortable long: (partition idx << 56 | key>>10 << 2 | per-row salt).
+
+    The partition idx orders the full partition TUPLE (all partition
+    columns, multi-level specs included), so the global sort is
+    partition-major across every level, then key-ordered within.
 
     The key+salt field is exactly 56 bits (64 - 10 + 2) so it NEVER
     overlaps the partition-index field — an overlap would OR high-key
@@ -135,7 +151,7 @@ def _composite(key, partition_cols: list, part_values: list):
         comp = F.shiftleft(comp, _SALT_BITS).bitwiseOR(salt)
     if partition_cols and part_values:
         idx = F.array_position(
-            F.array(*[F.lit(v) for v in part_values]), F.col(partition_cols[0])
+            F.array(*[F.lit(v) for v in part_values]), _part_key_col(partition_cols)
         ).cast("long")  # 1-based; 0 (not found / __mixed__) sorts first
         comp = F.shiftleft(idx, 56).bitwiseOR(comp)
     return comp
@@ -199,26 +215,31 @@ def cluster(
     src_snapshot = meta.current_snapshot_id
     man = table.manifest_pdf(snapshot_id)
 
-    # distinct partition values straight from the manifest (no data read)
+    # distinct partition TUPLES straight from the manifest (no data read);
+    # multi-level specs (year=/month=/day=) join levels with _PART_SEP
     part_values: list = []
     if meta.partition_cols:
         import json as _json
 
-        vals = {
-            _json.loads(pj).get(meta.partition_cols[0])
-            for pj in man["partition_json"].unique()
-        }
-        part_values = sorted(v for v in vals if v is not None and v != "__mixed__")
+        vals = set()
+        for pj in man["partition_json"].unique():
+            d = _json.loads(pj)
+            levels = [d.get(c) for c in meta.partition_cols]
+            if any(v is None or v == "__mixed__" for v in levels):
+                continue
+            vals.add(_PART_SEP.join(str(v) for v in levels))
+        part_values = sorted(vals)
         if not part_values:
-            # date-mixed input files (raw bronze): learn the partition
-            # values from a column-pruned distinct — reads one string
-            # column, no payloads — so clustering is partition-major
+            # mixed input files (raw bronze): learn the partition tuples
+            # from a column-pruned distinct — reads only the partition
+            # columns, no payloads — so clustering is partition-major
             # even on a table whose current layout ignores partitions.
             part_values = sorted(
                 r[0]
                 for r in table.scan(
-                    spark, snapshot_id=snapshot_id, columns=[meta.partition_cols[0]]
+                    spark, snapshot_id=snapshot_id, columns=list(meta.partition_cols)
                 )
+                .select(_part_key_col(list(meta.partition_cols)).alias("pk"))
                 .distinct()
                 .collect()
                 if r[0] is not None

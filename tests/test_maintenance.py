@@ -382,3 +382,39 @@ def test_cluster_tiles_and_resume(tmp_path, spark, monkeypatch):
     # per-file-group sort) — still a clear win over the unsorted state
     q = clustering_quality(t, "phash")
     assert q < q_before
+
+
+def test_multilevel_partition_cluster(tmp_path, spark):
+    """Multi-level partition spec (the reference's year=/month=/day=
+    hive layout, bronze_digit.py:143-148): cluster must order by the
+    FULL partition tuple and produce tuple-homogeneous files whose
+    manifest prunes on every level."""
+    from aws_medallion_datalake_spark.sources.tableformat import prune_manifest
+
+    t = Table.create(
+        str(tmp_path / "ml"),
+        SCHEMA + ", year string, day string",
+        partition_cols=["year", "day"],
+        stats_cols=["phash", "w", "h", "year", "day"],
+    )
+    df = generate_images(spark, 600, n_files=8, n_dates=4).withColumn(
+        "year", F.substring("ingest_date", 1, 4)
+    ).withColumn("day", F.substring("ingest_date", 9, 2))
+    t.commit("append", t.write_files(df))
+    before = t.scan(spark).count()
+    cluster(t, spark, curve="morton", target_file_size_bytes=TARGET // 8)
+    assert t.scan(spark).count() == before
+    man = t.manifest_pdf()
+    import json
+
+    parts = [json.loads(p) for p in man["partition_json"]]
+    homog = [p for p in parts if "__mixed__" not in p.values()]
+    # nearly every output file is homogeneous in BOTH levels (range
+    # boundaries may straddle at most n_partitions - 1 files)
+    assert len(man) - len(homog) < len({(p["year"], p["day"]) for p in parts})
+    # pruning works on the second level too
+    days = sorted({p.get("day") for p in homog})
+    kept = prune_manifest(man, [("day", "=", days[0])], ["year", "day"])
+    assert 0 < len(kept) < len(man)
+    q = clustering_quality(t, "phash")
+    assert q < 0.2
