@@ -157,6 +157,14 @@ def _composite(key, partition_cols: list, part_values: list):
     return comp
 
 
+# Below this output-file count, routing stays a pure-JVM expression
+# (whole-stage codegen, no Arrow hop): an n_out-element literal array is
+# harmless at this size and measurably faster than the Python boundary.
+# Above it, the broadcast binary-search UDF keeps the plan O(1) in
+# n_out (an 800k-literal plan at 10^12 scale is the failure mode).
+_JVM_ROUTE_MAX = 512
+
+
 def _route_udf(spark: SparkSession, bounds: np.ndarray, salts: np.ndarray):
     """Vectorized bucket router: count of boundaries < key (binary
     search), mapped through the exact-route salt table. The two arrays
@@ -172,6 +180,15 @@ def _route_udf(spark: SparkSession, bounds: np.ndarray, salts: np.ndarray):
         return pd.Series(s[np.searchsorted(b, v, side="left")])
 
     return route, bc
+
+
+def _route_jvm(ck_col, bounds: np.ndarray, salts: np.ndarray):
+    """Small-n_out router as a Catalyst expression over the MATERIALIZED
+    key column (single evaluation per row; whole-stage codegen)."""
+    barr = F.array(*[F.lit(int(b)) for b in bounds])
+    bucket = F.size(F.filter(barr, lambda b: b < ck_col))
+    sarr = F.array(*[F.lit(int(s)) for s in salts])
+    return F.element_at(sarr, bucket + 1).cast("int")
 
 
 def _plan_tiles(man: pd.DataFrame, target_bytes: int, max_files_per_job: int) -> list:
@@ -280,19 +297,25 @@ def cluster(
                 "ck", probs, 1.0 / (4 * n_out)
             )
             bounds = np.sort(np.array(bounds, dtype=np.int64))
-            # 2. one full pass: route (broadcast binary search) → exact
-            #    shuffle → sort → write
-            route, bc = _route_udf(spark, bounds, exact_route_salts(n_out))
-            broadcasts.append(bc)
+            # 2. one full pass: route → exact shuffle → sort → write.
+            #    The composite key is materialized as a column FIRST so
+            #    it is evaluated once per row on either route path.
+            salts = exact_route_salts(n_out)
             ckf = F.coalesce(
                 _composite(F.col(_KEY), meta.partition_cols, part_values),
                 F.lit(np.iinfo(np.int64).min + 1),
             )
+            keyed = full.withColumn("__ck", ckf)
+            if n_out <= _JVM_ROUTE_MAX:
+                routed = keyed.withColumn(_ROUTE, _route_jvm(F.col("__ck"), bounds, salts))
+            else:
+                route, bc = _route_udf(spark, bounds, salts)
+                broadcasts.append(bc)
+                routed = keyed.withColumn(_ROUTE, route(F.col("__ck")))
             out = (
-                full.withColumn(_ROUTE, route(ckf))
-                .repartition(n_out, F.col(_ROUTE))
+                routed.repartition(n_out, F.col(_ROUTE))
                 .sortWithinPartitions(*sort_cols)
-                .drop(_KEY, _ROUTE)
+                .drop(_KEY, _ROUTE, "__ck")
             )
         prefix = table.new_data_prefix()
         out.write.mode("append").parquet(prefix)

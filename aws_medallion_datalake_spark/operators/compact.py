@@ -74,7 +74,9 @@ def _rewrite_group(
     sort_cols = part_cols + ([key] if key is not None else [])
     if group.n_output_files == 1:
         df = df.coalesce(1)
-        if sort_cols:
+        if sort_cols and group.ordered:
+            # re-sort only range-structured inputs (clustered layout);
+            # sorting random bronze buys no pruning and costs CPU
             df = df.sortWithinPartitions(*sort_cols)
     elif key is not None:
         df = df.repartitionByRange(group.n_output_files, *sort_cols)

@@ -30,6 +30,11 @@ class CompactionGroup:
     input_bytes: int
     input_records: int
     n_output_files: int = 1
+    # True when the inputs carry range structure worth preserving (their
+    # key spans are near-disjoint): the rewrite then re-sorts the packed
+    # output. Random-order inputs (raw bronze, span-overlapping) skip the
+    # sort — it buys no pruning and costs CPU.
+    ordered: bool = False
 
 
 @dataclass
@@ -47,6 +52,24 @@ class CompactionPlan:
             "files_out": sum(g.n_output_files for g in self.groups),
             "bytes": sum(g.input_bytes for g in self.groups),
         }
+
+
+def _is_range_structured(rows: list, order_col: str) -> bool:
+    """True when the files' key spans are near-disjoint (sum of per-file
+    spans ≲ the group's total span) — i.e., a previously clustered
+    layout whose order the rewrite should preserve with a re-sort."""
+    lo_c, hi_c = f"min_{order_col}", f"max_{order_col}"
+    if not rows or lo_c not in rows[0].index:
+        return False
+    los = [r[lo_c] for r in rows]
+    his = [r[hi_c] for r in rows]
+    if any(pd.isna(v) for v in los + his):
+        return False
+    total_span = float(max(his)) - float(min(los))
+    if total_span <= 0:
+        return False
+    sum_spans = sum(float(h) - float(lo) for lo, h in zip(los, his))
+    return sum_spans <= 2.0 * total_span
 
 
 def plan_compaction(
@@ -112,6 +135,7 @@ def plan_compaction(
                     input_bytes=int(sum(r["file_size_bytes"] for r in rows)),
                     input_records=int(sum(r["record_count"] for r in rows)),
                     n_output_files=1,
+                    ordered=_is_range_structured(rows, order_col),
                 )
             )
             gid += 1

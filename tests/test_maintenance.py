@@ -418,3 +418,18 @@ def test_multilevel_partition_cluster(tmp_path, spark):
     assert 0 < len(kept) < len(man)
     q = clustering_quality(t, "phash")
     assert q < 0.2
+
+
+def test_cluster_udf_route_path(tmp_path, spark, monkeypatch):
+    """Force the broadcast binary-search route (the >512-files path used
+    at scale) and assert identical semantics to the JVM route."""
+    import importlib
+
+    cm = importlib.import_module("aws_medallion_datalake_spark.operators.cluster")
+    monkeypatch.setattr(cm, "_JVM_ROUTE_MAX", 0)
+    t = make_table(tmp_path, spark, n=800, n_files=16)
+    before = table_fingerprint(t, spark)
+    q_before = clustering_quality(t, "phash")
+    cluster(t, spark, curve="morton", target_file_size_bytes=TARGET // 4)
+    assert table_fingerprint(t, spark) == before
+    assert clustering_quality(t, "phash") < q_before
