@@ -39,9 +39,13 @@ HEADLINE = [
     "token_stats",
     "simhash",
     "minhash_signature",
+    "minhash_candidate_pairs",
     "ngram_jaccard_pairs",
     "embedding_topk",
+    "embedding_neardup_pairs",
     "label_centroid_sim",
+    "gold_star_rollup",
+    "gold_fact_dim_join",
 ]
 
 
