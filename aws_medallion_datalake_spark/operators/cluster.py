@@ -268,6 +268,10 @@ def cluster(
     schema = table._schema(spark)
 
     tiles = _plan_tiles(man, target_file_size_bytes, max_files_per_job)
+    if not tiles:  # empty table: nothing to rewrite
+        return table.commit(
+            "replace", man, {"stage": "cluster", "noop": True, "tiles": 0}
+        )
     prefixes: dict = {}
     broadcasts: list = []
 

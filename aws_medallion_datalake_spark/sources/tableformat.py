@@ -372,15 +372,28 @@ class Table:
                 raise ValueError("pass snapshot_id or as_of_ms, not both")
             snapshot_id = self.snapshot_as_of(as_of_ms).snapshot_id
         meta = self.metadata()
-        man = self.manifest_pdf(snapshot_id)
-        if len(man) == 0:
-            return spark.createDataFrame([], schema=meta.schema_ddl)
         preds = list(predicates or [])
         statable = list(meta.partition_cols) + list(meta.stats_cols)
-        keep = prune_manifest(man, preds, statable)
-        if len(keep) == 0:
+        # planner path picked by manifest size WITHOUT materializing it: the
+        # parquet footer gives the row count. Below the threshold pandas
+        # plans driver-side (no job overhead); above it the same pruning
+        # predicate runs as a Spark job over the manifest parquet and
+        # only surviving paths come back to the driver.
+        s = self.snapshot(snapshot_id)
+        mpath = os.path.join(self.root, s.manifest_path)
+        n_entries = pq.ParquetFile(mpath).metadata.num_rows
+        if n_entries == 0:
             return spark.createDataFrame([], schema=meta.schema_ddl)
-        paths = [os.path.join(self.root, p) for p in keep["path"]]
+        if n_entries > SPARK_MANIFEST_THRESHOLD:
+            rel_paths = prune_manifest_spark(
+                spark.read.parquet(mpath), preds, statable
+            )
+        else:
+            man = self.manifest_pdf(snapshot_id)
+            rel_paths = list(prune_manifest(man, preds, statable)["path"])
+        if len(rel_paths) == 0:
+            return spark.createDataFrame([], schema=meta.schema_ddl)
+        paths = [os.path.join(self.root, p) for p in rel_paths]
         df = spark.read.schema(self._schema(spark)).parquet(*paths)
         for col, op, value in preds:
             df = df.filter(_pred_to_column(col, op, value))
@@ -423,6 +436,19 @@ class Table:
             (s for s in meta.snapshots if from_snapshot_id < s.snapshot_id <= to_sid),
             key=lambda s: s.snapshot_id,
         )
+        # the chain must be parent-contiguous: a pruned intermediate
+        # snapshot would silently fold its appended rows into a later
+        # replace (emitting nothing) — fail loudly instead
+        expected_parent = from_snapshot_id
+        for s in chain:
+            if s.parent_snapshot_id != expected_parent:
+                raise KeyError(
+                    f"snapshot chain broken at {s.snapshot_id} (parent "
+                    f"{s.parent_snapshot_id}, expected {expected_parent}): "
+                    f"an intermediate snapshot expired — incremental "
+                    f"consumers must keep up with the expiry retention window"
+                )
+            expected_parent = s.snapshot_id
         try:
             prev_paths = set(self.manifest_pdf(from_snapshot_id)["path"])
         except KeyError as e:
@@ -508,6 +534,33 @@ def _pred_to_column(col: str, op: str, value):
     if op == "between":
         return (c >= value[0]) & (c <= value[1])
     raise ValueError(f"unsupported predicate op {op!r}")
+
+
+def prune_manifest_spark(man_df: DataFrame, preds, stats_cols) -> list:
+    """File-level min/max pruning as a Spark job over the manifest
+    parquet (the ≥ SPARK_MANIFEST_THRESHOLD planner path — at 10^8 files
+    the manifest itself is big data). Same soundness rules as
+    :func:`prune_manifest`; returns the surviving relative paths."""
+    cond = F.lit(True)
+    cols = set(man_df.columns)
+    for col, op, value in preds:
+        if col not in stats_cols or f"min_{col}" not in cols:
+            continue
+        mn, mx = F.col(f"min_{col}"), F.col(f"max_{col}")
+        has = mn.isNotNull() & mx.isNotNull()
+        if op == ">=":
+            c = mx >= value
+        elif op == "<=":
+            c = mn <= value
+        elif op == "=":
+            c = (mn <= value) & (mx >= value)
+        elif op == "between":
+            lo, hi = value
+            c = (mx >= lo) & (mn <= hi)
+        else:
+            raise ValueError(f"unsupported predicate op {op!r}")
+        cond = cond & F.when(has, c).otherwise(F.lit(True))
+    return [r[0] for r in man_df.filter(cond).select("path").collect()]
 
 
 def prune_manifest(man: pd.DataFrame, preds, stats_cols) -> pd.DataFrame:

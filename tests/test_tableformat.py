@@ -185,3 +185,19 @@ def test_changes_snapshot_diff(table, spark, tmp_path):
     expire_snapshots(table, keep_last=1)
     with pytest.raises(KeyError, match="expired"):
         table.changes(spark, s1)
+
+
+def test_scan_spark_manifest_planner_path(table, spark, monkeypatch):
+    """Above SPARK_MANIFEST_THRESHOLD the pruning predicate runs as a
+    Spark job over the manifest parquet; results must be identical to
+    the pandas planner path."""
+    import aws_medallion_datalake_spark.sources.tableformat as tf
+
+    man = table.manifest_pdf()
+    lo = int(man["min_phash"].min())
+    preds = [("phash", "between", (lo, lo + (1 << 60)))]
+    pandas_rows = table.scan(spark, predicates=preds).count()
+    pandas_all = table.scan(spark).count()
+    monkeypatch.setattr(tf, "SPARK_MANIFEST_THRESHOLD", 0)
+    assert table.scan(spark, predicates=preds).count() == pandas_rows
+    assert table.scan(spark).count() == pandas_all

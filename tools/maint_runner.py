@@ -48,6 +48,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(10**6).select(F.sum("id")).collect()  # JVM warmup
 
+    def cpu_baseline() -> float:
+        # perfectly-parallel CPU-only job (sha256 over range, zero IO,
+        # zero engine code) — the shared box's throughput ceiling probe
+        t0 = time.time()
+        spark.range(0, 60_000_000, 1, cpus * 8).select(
+            F.sum(F.crc32(F.sha2(F.col("id").cast("string"), 256)))
+        ).collect()
+        return round(time.time() - t0, 3)
+
     root = tempfile.mkdtemp(
         prefix=f"scale{cpus}_",
         dir=os.path.dirname(local_dir) if local_dir else None,
@@ -56,6 +65,7 @@ def main() -> None:
     try:
         shutil.copytree(table_src, os.path.join(root, "t"))
         t = Table.load(os.path.join(root, "t"))
+        baseline_pre = cpu_baseline()  # contention probe BEFORE stages
         n_rows = int(t.manifest_pdf()["record_count"].sum())
         src = spark.read.parquet(source_parquet)
         n_src = src.count()  # materialize reader metadata outside timings
@@ -92,14 +102,13 @@ def main() -> None:
         times["verify"] = round(time.time() - t0, 3)
         assert bad == 0, f"{bad} rows failed decode-hash verification"
 
-        # box ceiling: a perfectly-parallel CPU-only Spark job at this
-        # level; sized ~8s at 2 cores so fixed job overhead (~0.3s) does
-        # not distort the ratio
-        t0 = time.time()
-        spark.range(0, 60_000_000, 1, cpus * 8).select(
-            F.sum(F.crc32(F.sha2(F.col("id").cast("string"), 256)))
-        ).collect()
-        times["cpu_baseline"] = round(time.time() - t0, 3)
+        # box ceiling: probed BEFORE and AFTER the stages; the ratio uses
+        # the min (least-contended estimate of the ceiling), the noise
+        # gate in scaling_bench uses the max (a rep is clean only if the
+        # box was quiet around the whole measurement window)
+        baseline_post = cpu_baseline()
+        times["cpu_baseline"] = min(baseline_pre, baseline_post)
+        times["cpu_gate"] = max(baseline_pre, baseline_post)
 
         total = times["compact"] + times["cluster"] + times["merge"] + times["verify"]
         print(

@@ -99,14 +99,16 @@ def main() -> None:
                           str(lv), table_dir, src_dir], env=env)
                 )
                 cpu = r["times"]["cpu_baseline"]
+                gate = r["times"].get("cpu_gate", cpu)
                 best_cpu[lv] = min(best_cpu.get(lv, cpu), cpu)
-                is_clean = cpu <= best_cpu[lv] * 1.25
+                is_clean = gate <= best_cpu[lv] * 1.25
                 if is_clean:
                     # retro-invalidate earlier "clean" reps if this one
                     # reveals a much lower baseline
                     runs[lv] = [
                         x for x in runs[lv]
-                        if x["times"]["cpu_baseline"] <= best_cpu[lv] * 1.25
+                        if x["times"].get("cpu_gate", x["times"]["cpu_baseline"])
+                        <= best_cpu[lv] * 1.25
                     ]
                     runs[lv].append(r)
                     clean[lv] = len(runs[lv])
