@@ -1126,6 +1126,93 @@ def _sql_events_windowed():
     """
 
 
+_IVF_K = 8  # coarse centroids (IVF lists); deterministic: vectors 0..K-1
+_IVF_NPROBE = 2
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbor (the inverted-file scale path
+    next to sign-LSH): vectors are assigned to their nearest of K fixed
+    coarse centroids (deterministic — the first K vectors; no training
+    loop), the query probes only its NPROBE nearest lists, and exact
+    cosine runs within those lists. At 10^12 scale the assignment is one
+    broadcast crossJoin + windowed argmin and the probe reads ~NPROBE/K
+    of the data."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding", "cemb", lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = e.crossJoin(F.broadcast(cent)).select("vec_id", "cid", d2.alias("d2"))
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assign = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("list_id"))
+    )
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    q_lit = F.array(*[F.lit(x) for x in qv])
+    qd2 = F.aggregate(
+        F.zip_with(F.col("cemb"), q_lit, lambda x, y: (x.cast("double") - y) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probe = (
+        cent.select("cid", qd2.alias("d2")).orderBy("d2", "cid").limit(_IVF_NPROBE)
+    )
+    cand = assign.join(
+        F.broadcast(probe.select(F.col("cid").alias("list_id"))), "list_id"
+    )
+    return (
+        e.join(cand, "vec_id")
+        .select("vec_id", F.round(_cosine(F.col("embedding"), q_lit), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _sql_ivf_topk():
+    return f"""
+        WITH e AS (
+            SELECT vec_id, i, embedding[i]::DOUBLE AS v
+            FROM embeddings, generate_series(1, 64) g(i)
+        ), cent AS (
+            SELECT vec_id AS cid, i, v AS cv FROM e WHERE vec_id < {_IVF_K}
+        ), dists AS (
+            SELECT e.vec_id, c.cid, sum((e.v - c.cv) * (e.v - c.cv)) AS d2
+            FROM e JOIN cent c USING (i) GROUP BY 1, 2
+        ), assign AS (
+            SELECT vec_id, cid AS list_id FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ), q AS (SELECT i, v FROM e WHERE vec_id = 0),
+        qd AS (
+            SELECT c.cid, sum((q.v - c.cv) * (q.v - c.cv)) AS d2
+            FROM q JOIN cent c USING (i) GROUP BY 1
+        ), probe AS (SELECT cid FROM qd ORDER BY d2, cid LIMIT {_IVF_NPROBE}),
+        cand AS (
+            SELECT a.vec_id FROM assign a JOIN probe p ON a.list_id = p.cid
+        ), pos AS (
+            SELECT e.vec_id, e.v, q.v AS qv
+            FROM e JOIN q USING (i)
+            WHERE e.vec_id IN (SELECT vec_id FROM cand)
+        )
+        SELECT vec_id,
+               round(sum(v * qv) / (sqrt(sum(v * v)) * sqrt(sum(qv * qv))), 4)
+                   AS cos_sim
+        FROM pos GROUP BY vec_id
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """
+
+
 # ---------------------------------------------------------------------------
 # gold star schema via the spark.sql surface (S13 + J5)
 # ---------------------------------------------------------------------------
@@ -1443,6 +1530,37 @@ def q_image_gold_star(spark, sf_dir):
     )
 
 
+def q_image_incremental(spark, sf_dir):
+    """T5 snapshot-diff consumption: append + MERGE, then an incremental
+    consumer reads Table.changes(first, current) and rolls up ONLY the
+    new logical rows (append files + merge delta). Engine-internal;
+    rows-only check."""
+    import tempfile
+
+    from aws_medallion_datalake_spark.operators.merge import merge_into
+    from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
+    from aws_medallion_datalake_spark.sources.generator import (
+        generate_images,
+        generate_updates,
+    )
+
+    root = tempfile.mkdtemp(prefix="entry_incr_")
+    t = bronze_ingest(spark, os.path.join(root, "t"), _IMG_ROWS, n_files=4)
+    s1 = t.metadata().current_snapshot_id
+    t.commit("append", t.write_files(generate_images(spark, 100, n_files=1, start=50_000)))
+    merge_into(t, spark, generate_updates(spark, _IMG_ROWS, 40, 20, n_files=2))
+    delta = t.changes(spark, s1)
+    return (
+        delta.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n_new"),
+            F.countDistinct("image_id").alias("n_ids"),
+            F.sum(F.length("bytes")).alias("new_bytes"),
+        )
+        .orderBy("fmt")
+    )
+
+
 def q_image_features_ann(spark, sf_dir):
     """Multimodal chain: decode → grid-feature embedding (Arrow UDF) →
     brute-force cosine top-10 against image 0 — the image analogue of
@@ -1552,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets": q_lsh_buckets,
         "label_centroid_sim": q_label_centroid_sim,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "ivf_topk": q_ivf_topk,
         "gold_star_rollup": q_gold_star_rollup,
         "gold_fact_dim_join": q_gold_fact_dim_join,
         "gold_weekend_split": q_gold_weekend_split,
@@ -1561,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_medallion": q_image_medallion,
         "image_maintenance": q_image_maintenance,
         "image_gold_star": q_image_gold_star,
+        "image_incremental": q_image_incremental,
     }
 
 
@@ -1597,6 +1717,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_buckets": _sql_lsh_buckets(),
         "label_centroid_sim": _sql_label_centroid_sim(),
         "embedding_neardup_pairs": _sql_embedding_neardup_pairs(),
+        "ivf_topk": _sql_ivf_topk(),
         "gold_star_rollup": _sql_gold_star_rollup(),
         "gold_fact_dim_join": _sql_gold_fact_dim_join(),
         "gold_weekend_split": _sql_gold_weekend_split(),

@@ -246,26 +246,32 @@ def cluster(
                 continue
             vals.add(_PART_SEP.join(str(v) for v in levels))
         part_values = sorted(vals)
-        if not part_values:
-            # mixed input files (raw bronze): learn the partition tuples
-            # from a column-pruned distinct — reads only the partition
-            # columns, no payloads — so clustering is partition-major
-            # even on a table whose current layout ignores partitions.
-            part_values = sorted(
-                r[0]
-                for r in table.scan(
-                    spark, snapshot_id=snapshot_id, columns=list(meta.partition_cols)
-                )
-                .select(_part_key_col(list(meta.partition_cols)).alias("pk"))
-                .distinct()
-                .collect()
-                if r[0] is not None
-            )
 
     key = _curve_key(curve, cols)
     sort_cols = [F.col(c) for c in meta.partition_cols] + [F.col(_KEY)]
     need = list(dict.fromkeys(list(meta.partition_cols) + list(cols) + ["image_id"]))
     schema = table._schema(spark)
+
+    pruned_cache = None
+    if meta.partition_cols and not part_values:
+        # mixed input files (raw bronze): learn the partition tuples from
+        # a column-pruned distinct — reads only key/partition columns, no
+        # payloads — so clustering is partition-major even on a table
+        # whose current layout ignores partitions. The pruned frame is
+        # CACHED: the per-tile boundary quantiles re-aggregate it instead
+        # of re-reading the files (one planning pass, not two).
+        pruned_cache = (
+            table.scan(spark, snapshot_id=snapshot_id, columns=need).persist()
+        )
+        part_values = sorted(
+            r[0]
+            for r in pruned_cache.select(
+                _part_key_col(list(meta.partition_cols)).alias("pk")
+            )
+            .distinct()
+            .collect()
+            if r[0] is not None
+        )
 
     tiles = _plan_tiles(man, target_file_size_bytes, max_files_per_job)
     if not tiles:  # empty table: nothing to rewrite
@@ -290,8 +296,13 @@ def cluster(
         if n_out == 1:
             out = full.coalesce(1).sortWithinPartitions(*sort_cols).drop(_KEY)
         else:
-            # 1. boundaries from the PRUNED scan (no payload IO)
-            pruned = spark.read.schema(schema).parquet(*paths).select(*need)
+            # 1. boundaries from the PRUNED scan (no payload IO); reuse
+            #    the cached planning frame when it covers exactly this
+            #    tile (single-tile tables: one planning pass total)
+            if pruned_cache is not None and len(tiles) == 1:
+                pruned = pruned_cache
+            else:
+                pruned = spark.read.schema(schema).parquet(*paths).select(*need)
             ck = F.coalesce(
                 _composite(key, meta.partition_cols, part_values),
                 F.lit(np.iinfo(np.int64).min + 1),
@@ -363,6 +374,8 @@ def cluster(
     )
     for bc in broadcasts:
         bc.unpersist()
+    if pruned_cache is not None:
+        pruned_cache.unpersist()
     if checkpoint is not None:
         checkpoint.stage_done("cluster", dict(snap.summary, snapshot_id=snap.snapshot_id))
     return snap

@@ -1,20 +1,24 @@
-"""Bin-packing small-file compaction with concurrent group rewrites.
+"""Bin-packing small-file compaction with batched concurrent rewrites.
 
 The scale path the reference lacks: its writers ``coalesce(1)`` every run
 (/root/reference/scripts/silver_digit_clean.py:127 — SURVEY.md §4
 "small-file management"), accumulating one small file per partition per day
-forever. Here a planner packs manifest entries into ≈target-size rewrite
-groups (plans/binpack.py) and each group is rewritten by its own small Spark
-job; groups run concurrently from a driver thread pool — the same
-architecture as Iceberg's RewriteDataFiles action, and the part that keeps
-1000 executors busy when compacting a 10^12-row table: group jobs are
-independent, so parallelism scales with the number of groups, not with any
-single shuffle.
+forever. A planner packs manifest entries into ≈target-size rewrite groups
+(plans/binpack.py); groups are then rewritten in BATCHES: one Spark job
+unions up to ``groups_per_job`` single-partition group plans (each group =
+read its files → ``coalesce(1)`` → optional in-partition sort), so one
+write action emits one output file per group with NO exchange — a
+10^6-small-file backlog costs thousands of jobs, not a job per file pack.
+Batches run concurrently from a driver thread pool — the same architecture
+as Iceberg's RewriteDataFiles action, and the part that keeps 1000
+executors busy when compacting a 10^12-row table: batch jobs are
+independent, so parallelism scales with batch count × groups-per-batch,
+not with any single shuffle.
 
-Resumability (north_rule): each finished group appends a ``unit_done``
-lineage record (source snapshot, input files, rows/bytes, output prefix +
-stats) to the RunCheckpoint. A killed run restarted with the same
-checkpoint rewrites only the remaining groups and commits the identical
+Resumability (north_rule): each finished batch appends a ``unit_done``
+lineage record (source snapshot, groups, input files, rows/bytes, output
+prefix) to the RunCheckpoint. A killed run restarted with the same
+checkpoint rewrites only the remaining batches and commits the identical
 snapshot content.
 """
 
@@ -32,6 +36,7 @@ from ..sources.tableformat import Snapshot, Table
 from .checkpoint import RunCheckpoint
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+DEFAULT_GROUPS_PER_JOB = 32
 
 
 def _sort_key(df):
@@ -46,23 +51,18 @@ def _sort_key(df):
     return None
 
 
-def _rewrite_group(
-    table: Table, spark: SparkSession, group: CompactionGroup
-) -> str:
-    """Read one group's files, write n_output_files right-sized outputs.
+def _group_plan(table: Table, spark: SparkSession, group: CompactionGroup):
+    """One group's lazy rewrite plan.
 
     Sort order is preserved, not destroyed: pack groups (N small files →
     1) concatenate key-adjacent inputs with ``coalesce(1)`` (no
-    exchange) and re-sort the single output partition in memory; split
-    groups (1 oversized file → N) use ``repartitionByRange`` on the
-    cluster key — its sampling pass reads only this group's file — so
-    post-compaction files keep disjoint key ranges and manifest pruning
-    quality survives until the next cluster run.
-
-    Returns the output prefix; per-file stats are collected for ALL
-    groups in one batched Spark job afterwards (a per-group
-    ``toPandas`` would serialize ~N driver round-trips through the GIL
-    — the 4N-thread profile showed exactly that hotspot)."""
+    exchange) and, when the inputs are range-structured, re-sort the
+    single output partition in memory; split groups (1 oversized file →
+    N) use ``repartitionByRange`` on the cluster key — its sampling pass
+    reads only this group's file — so post-compaction files keep
+    disjoint key ranges and manifest pruning quality survives until the
+    next cluster run. (Sorting random bronze input is skipped: it buys
+    no pruning and costs CPU.)"""
     import os
 
     from pyspark.sql import functions as F
@@ -75,14 +75,64 @@ def _rewrite_group(
     if group.n_output_files == 1:
         df = df.coalesce(1)
         if sort_cols and group.ordered:
-            # re-sort only range-structured inputs (clustered layout);
-            # sorting random bronze buys no pruning and costs CPU
             df = df.sortWithinPartitions(*sort_cols)
     elif key is not None:
         df = df.repartitionByRange(group.n_output_files, *sort_cols)
         df = df.sortWithinPartitions(*sort_cols)
     else:
         df = df.repartition(group.n_output_files)  # round-robin: even sizes
+    return df
+
+
+def _rewrite_batch(
+    table: Table, spark: SparkSession, groups: list
+) -> str:
+    """Rewrite a batch of PACK groups as ONE Spark job.
+
+    Each input file belongs to exactly one group, so rows are routed by
+    their source file (``_metadata.file_path`` → group routing salt via a
+    small literal map) through one exact shuffle into one partition —
+    and one output file — per group. Per-job driver overhead is amortized
+    over ``groups_per_job`` groups instead of paid per tiny group; the
+    shuffled bytes are exactly the small files being packed, which is
+    the regime (many tiny groups) where job overhead dominates IO.
+    Groups are batched with like ``ordered`` flags: ordered batches
+    re-sort each packed partition, unordered (raw bronze) skip the sort.
+
+    (A union of per-group ``coalesce(1)`` plans does NOT work: Spark
+    collapses the union of coalesced children into a single partition.)
+
+    Returns the output prefix; per-file stats are collected for ALL
+    batches in one batched Spark job afterwards."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tableformat import rel_path_expr
+
+    if len(groups) == 1:
+        df = _group_plan(table, spark, groups[0])
+        prefix = table.new_data_prefix()
+        df.write.mode("append").parquet(prefix)
+        return prefix
+
+    from .cluster import exact_route_salts
+
+    n = len(groups)
+    salts = exact_route_salts(n)
+    kv = []
+    for i, g in enumerate(groups):
+        for p in g.paths:
+            kv += [F.lit(p), F.lit(int(salts[i]))]
+    paths = [os.path.join(table.root, p) for g in groups for p in g.paths]
+    df = spark.read.schema(table._schema(spark)).parquet(*paths)
+    route = F.element_at(F.create_map(*kv), rel_path_expr(table.root))
+    df = df.withColumn("__rt", route).repartition(n, F.col("__rt")).drop("__rt")
+    key = _sort_key(df)
+    part_cols = [F.col(c) for c in table.metadata().partition_cols]
+    sort_cols = part_cols + ([key] if key is not None else [])
+    if sort_cols and groups[0].ordered:
+        df = df.sortWithinPartitions(*sort_cols)
     prefix = table.new_data_prefix()
     df.write.mode("append").parquet(prefix)
     return prefix
@@ -95,6 +145,7 @@ def compact(
     target_file_size_bytes: int = DEFAULT_TARGET_BYTES,
     min_input_files: int = 2,
     parallelism: int = 8,
+    groups_per_job: int = DEFAULT_GROUPS_PER_JOB,
     checkpoint: Optional[RunCheckpoint] = None,
 ) -> Optional[Snapshot]:
     """Compact the current snapshot; returns the new snapshot or None if
@@ -108,40 +159,54 @@ def compact(
     if not plan.groups:
         return None
 
+    # batchable = single-output pack groups, batched with like `ordered`
+    # flags; split groups (and any multi-output group) run individually
+    packs_ordered = [g for g in plan.groups if g.n_output_files == 1 and g.ordered]
+    packs_plain = [g for g in plan.groups if g.n_output_files == 1 and not g.ordered]
+    singles = [g for g in plan.groups if g.n_output_files != 1]
+    k = max(1, groups_per_job)
+    batches: list = []
+    for pool_groups in (packs_ordered, packs_plain):
+        batches += [pool_groups[i : i + k] for i in range(0, len(pool_groups), k)]
+    batches += [[g] for g in singles]
     results: dict = {}
 
-    def run_group(g: CompactionGroup):
-        unit = f"group-{g.group_id}"
+    def run_batch(bno: int, groups: list):
+        unit = f"batch-{bno}"
         if checkpoint is not None and checkpoint.is_unit_done("compact", unit):
-            results[g.group_id] = checkpoint.unit_payload("compact", unit)["output_prefix"]
+            results[bno] = checkpoint.unit_payload("compact", unit)["output_prefix"]
             return
-        prefix = _rewrite_group(table, spark, g)
+        prefix = _rewrite_batch(table, spark, groups)
         if checkpoint is not None:
             checkpoint.unit_done(
                 "compact",
                 unit,
                 {
                     "source_snapshot_id": src_snapshot,
-                    "partition": g.partition_json,
-                    "input_files": list(g.paths),
-                    "input_records": g.input_records,
-                    "input_bytes": g.input_bytes,
+                    "groups": [g.group_id for g in groups],
+                    "partitions": sorted({g.partition_json for g in groups}),
+                    "input_files": [p for g in groups for p in g.paths],
+                    "input_records": sum(g.input_records for g in groups),
+                    "input_bytes": sum(g.input_bytes for g in groups),
                     "output_prefix": prefix,
                 },
             )
-        results[g.group_id] = prefix
+        results[bno] = prefix
 
-    # Concurrent group jobs keep many executors busy on a real cluster
+    # Concurrent batch jobs keep many executors busy on a real cluster
     # (Iceberg's RewriteDataFiles ships 5 by default); more driver threads
     # than ~8 just contend on the GIL/py4j in local mode.
-    with ThreadPoolExecutor(max_workers=min(parallelism, 8)) as pool:
-        futures = [pool.submit(run_group, g) for g in plan.groups]
-        for f in futures:
-            f.result()  # surface the first failure
+    if len(batches) == 1:
+        run_batch(0, batches[0])
+    else:
+        with ThreadPoolExecutor(max_workers=min(parallelism, 8)) as pool:
+            futures = [pool.submit(run_batch, i, b) for i, b in enumerate(batches)]
+            for f in futures:
+                f.result()  # surface the first failure
 
     rewritten = plan.rewritten_paths
     keep = man[~man["path"].isin(rewritten)]
-    prefixes = [results[g.group_id] for g in plan.groups]
+    prefixes = [results[i] for i in range(len(batches))]
     new_entries = table.collect_stats_for_prefix(spark, prefixes)  # one job
     new_man = pd.concat([keep, new_entries], ignore_index=True)
     snap = table.commit(
@@ -150,6 +215,7 @@ def compact(
         {
             "stage": "compact",
             **plan.summary(),
+            "batches": len(batches),
             "rewritten_files": len(rewritten),
             "duration_sec": round(time.time() - t0, 3),
         },

@@ -64,7 +64,6 @@ non-deterministic — same rule as Iceberg's cardinality check).
 from __future__ import annotations
 
 import os
-import re
 import time
 from concurrent.futures import ThreadPoolExecutor
 
@@ -73,6 +72,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tableformat import Snapshot, Table
+from ..sources.tableformat import rel_path_expr as _rel_path_expr
 
 
 def merge_into(
@@ -89,25 +89,30 @@ def merge_into(
     t0 = time.time()
     man = table.manifest_pdf()
 
+    src = source.cache()
     if check_duplicate_keys:
-        dup = source.groupBy(key).count().filter("count > 1")
+        # runs on the CACHED source, so the cardinality check doubles as
+        # the cache-materialization job — the source is read exactly once
+        dup = src.groupBy(key).count().filter("count > 1")
         if not dup.isEmpty():
             raise ValueError(f"MERGE source has duplicate keys on {key!r}")
-
-    src = source.cache()
     src_keys = src.select(key).distinct()
 
     # 1. touched files: column-pruned probe scan, aggregated per file and
     #    resolved against the manifest — one Arrow batch of manifest rows
-    #    for exactly the touched files, never a row-object collect.
+    #    for exactly the touched files, never a row-object collect. The
+    #    (key, path) probe rows are persisted so the matched-DISTINCT-key
+    #    count is a re-aggregation of this small cached set instead of a
+    #    second scan of every touched file.
     target_all = table.scan(spark)
     rel = _rel_path_expr(table.root)
-    touched_pdf = (
+    probe = (
         target_all.select(F.col(key), rel.alias("path"))
         .join(src_keys, key, "inner")
-        .groupBy("path")
-        .agg(F.count(F.lit(1)).alias("n_matched_rows"))
-        .toPandas()
+        .persist()
+    )
+    touched_pdf = (
+        probe.groupBy("path").agg(F.count(F.lit(1)).alias("n_matched_rows")).toPandas()
     )
     touched_rel = set(touched_pdf["path"])
     touched_man = man[man["path"].isin(touched_rel)]
@@ -142,12 +147,9 @@ def merge_into(
         prefixes += [results[i] for i in range(len(groups))]
 
         # rows_updated = matched DISTINCT keys (duplicate target copies
-        # must not push rows_inserted negative) — key-only scan of the
-        # touched files only.
-        tgt_keys = spark.read.schema(table._schema(spark)).parquet(
-            *[os.path.join(table.root, p) for p in sorted(touched_rel)]
-        ).select(key).distinct()
-        n_matched = tgt_keys.join(src_keys, key, "left_semi").count()
+        # must not push rows_inserted negative) — re-aggregated from the
+        # cached probe rows, no second file scan.
+        n_matched = probe.select(key).distinct().count()
 
     # Every source row survives MERGE: matched keys replace target rows
     # (their old copies were filtered from the touched files), unmatched
@@ -200,16 +202,12 @@ def merge_into(
             "duration_sec": round(time.time() - t0, 3),
         },
     )
+    probe.unpersist()
     src.unpersist()
     return snap
 
 
-def _rel_path_expr(root: str):
-    """``_metadata.file_path`` (a file:-scheme URI) → path relative to the
-    table root, computed JVM-side so the probe aggregate groups on the
-    exact strings the manifest stores."""
-    p = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
-    return F.regexp_replace(p, "^" + re.escape(root.rstrip("/") + "/"), "")
+
 
 
 def _plan_rewrite_groups(touched_man: pd.DataFrame, max_files_per_job: int) -> list:
@@ -229,7 +227,9 @@ def _modest_write(table, df, key: str) -> str:
     plain key sort for tables without the (phash, w, h) image columns."""
     from ..functions.udfs import morton64_expr
 
-    n_out = max(1, df.sparkSession.sparkContext.defaultParallelism // 8)
+    # parallel encode: a fixed-size delta written with 1 task is a pure
+    # anti-scaling term (identical absolute cost at every core count)
+    n_out = max(1, min(df.sparkSession.sparkContext.defaultParallelism // 2, 16))
     names = set(df.columns)
     if {"phash", "w", "h"} <= names:
         sort_key = morton64_expr(F.col("phash"), F.col("w"), F.col("h"))

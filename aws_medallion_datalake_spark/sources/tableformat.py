@@ -514,6 +514,16 @@ class Table:
         return reach
 
 
+def rel_path_expr(root: str):
+    """``_metadata.file_path`` (a file:-scheme URI) → path relative to the
+    table root, computed JVM-side so joins/maps against manifest-stored
+    relative paths use exactly matching strings."""
+    import re as _re
+
+    p = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+    return F.regexp_replace(p, "^" + _re.escape(root.rstrip("/") + "/"), "")
+
+
 def _strip_scheme(p: str) -> str:
     """file:/x, file:///x → /x (Hadoop FS URIs from _metadata.file_path)."""
     if p.startswith("file:"):

@@ -111,43 +111,44 @@ def test_compact_resume_skips_done_groups(tmp_path, spark, monkeypatch):
         "aws_medallion_datalake_spark.operators.compact"
     )
 
-    real = compact_mod._rewrite_group
+    real = compact_mod._rewrite_batch
     calls = {"n": 0}
 
-    def flaky(table, spark_, group):
+    def flaky(table, spark_, groups):
         calls["n"] += 1
         if calls["n"] == 3:
             raise RuntimeError("simulated executor loss")
-        return real(table, spark_, group)
+        return real(table, spark_, groups)
 
-    monkeypatch.setattr(compact_mod, "_rewrite_group", flaky)
+    # groups_per_job=1 → one batch per group: unit granularity = group
+    monkeypatch.setattr(compact_mod, "_rewrite_batch", flaky)
     with pytest.raises(RuntimeError):
         compact(t, spark, target_file_size_bytes=TARGET, parallelism=1,
-                checkpoint=RunCheckpoint(cp_path))
+                groups_per_job=1, checkpoint=RunCheckpoint(cp_path))
     done_after_crash = len(RunCheckpoint(cp_path).units_done("compact"))
-    assert done_after_crash >= 1  # some groups committed to the checkpoint
+    assert done_after_crash >= 1  # some batches committed to the checkpoint
     # no snapshot was committed by the failed run
     assert t.metadata().current_snapshot_id == 1
 
-    monkeypatch.setattr(compact_mod, "_rewrite_group", real)
+    monkeypatch.setattr(compact_mod, "_rewrite_batch", real)
     calls2 = {"n": 0}
 
-    def counting(table, spark_, group):
+    def counting(table, spark_, groups):
         calls2["n"] += 1
-        return real(table, spark_, group)
+        return real(table, spark_, groups)
 
-    monkeypatch.setattr(compact_mod, "_rewrite_group", counting)
+    monkeypatch.setattr(compact_mod, "_rewrite_batch", counting)
     snap = compact(t, spark, target_file_size_bytes=TARGET, parallelism=1,
-                   checkpoint=RunCheckpoint(cp_path))
+                   groups_per_job=1, checkpoint=RunCheckpoint(cp_path))
     assert snap is not None
-    # resumed run did NOT rewrite the groups already checkpointed
-    total_groups = len(RunCheckpoint(cp_path).units_done("compact"))
-    assert calls2["n"] == total_groups - done_after_crash
+    # resumed run did NOT rewrite the batches already checkpointed
+    total_units = len(RunCheckpoint(cp_path).units_done("compact"))
+    assert calls2["n"] == total_units - done_after_crash
     assert table_fingerprint(t, spark) == before
     # lineage recorded per unit
     unit = RunCheckpoint(cp_path).units_done("compact")[0]
     assert {"source_snapshot_id", "input_files", "input_records",
-            "input_bytes", "output_prefix", "partition"} <= set(unit.keys())
+            "input_bytes", "output_prefix", "partitions", "groups"} <= set(unit.keys())
 
 
 # ---------------- clustering ----------------

@@ -80,6 +80,7 @@ def main() -> None:
         table_dir, src_dir = build_inputs(root, img_rows)
         levels = [2, 8, 32]
         runs: dict[int, list[dict]] = {lv: [] for lv in levels}
+        all_runs: dict[int, list[dict]] = {lv: [] for lv in levels}
         clean: dict[int, int] = {lv: 0 for lv in levels}
         best_cpu: dict[int, float] = {}
         # Cleanliness gate: the cpu_baseline stage is a fixed pure-CPU job,
@@ -98,6 +99,7 @@ def main() -> None:
                     _run([sys.executable, os.path.join(REPO, "tools", "maint_runner.py"),
                           str(lv), table_dir, src_dir], env=env)
                 )
+                all_runs[lv].append(r)
                 cpu = r["times"]["cpu_baseline"]
                 gate = r["times"].get("cpu_gate", cpu)
                 best_cpu[lv] = min(best_cpu.get(lv, cpu), cpu)
@@ -118,7 +120,14 @@ def main() -> None:
                 )
         for lv in levels:
             if not runs[lv]:
-                raise SystemExit(f"no clean reps at level {lv}")
+                # box never quiet for a whole rep at this level: fall back
+                # to per-stage minima over ALL reps (min is itself the
+                # least-contended estimator; the gate only decides when
+                # to stop looping)
+                print(f"WARN level {lv}: no gate-clean reps; using minima over all reps")
+                runs[lv] = all_runs[lv]
+            if not runs[lv]:
+                raise SystemExit(f"no reps at level {lv}")
         # per-STAGE minimum across reps: each stage's least-contended
         # estimate (noisy neighbors pollute different stages in different
         # reps; a whole-rep minimum would keep the pollution of its own
