@@ -1,6 +1,8 @@
 """Table-maintenance operators: compact, cluster, merge, expire, run."""
 
-from .cluster import cluster  # noqa: F401
+from .checkpoint import RunCheckpoint  # noqa: F401
+from .cluster import cluster, clustering_quality  # noqa: F401
 from .compact import compact  # noqa: F401
 from .expire import expire_snapshots  # noqa: F401
 from .merge import merge_into  # noqa: F401
+from .run import run_maintenance  # noqa: F401
