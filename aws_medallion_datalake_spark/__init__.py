@@ -13,7 +13,7 @@ lakehouse — see SURVEY.md) as a single idiomatic-PySpark library:
 - ``plans``     — driver-side planners: bin-packing compaction plan,
                   manifest min/max file pruning, merge copy-on-write plan.
 - ``operators`` — maintenance operators: compaction, Z-order/Hilbert
-                  clustering, MERGE INTO (salted skew path), snapshot expiry
+                  clustering, MERGE INTO (broadcast-CoW, AQE skew), snapshot expiry
                   with reachability GC, checkpointed/resumable runs.
 - ``pipeline``  — medallion bronze→silver→gold stages over the image table,
                   mirroring the reference's stage semantics

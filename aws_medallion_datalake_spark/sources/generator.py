@@ -18,7 +18,7 @@ bytes — the basis for byte-exact PNG fixtures and the MERGE oracle.
 
 Skew (FIXTURES.md §1 phash row): rows with ``i % 10 == 0`` render one of 4
 hot base patterns, so ~10% of rows collapse into 4 phash hot buckets —
-exercising the salted-key MERGE/cluster skew path.
+exercising the cluster per-row key salt and MERGE's AQE skew handling.
 """
 
 from __future__ import annotations
