@@ -63,12 +63,83 @@ print("built")
     return os.path.join(root, "t"), os.path.join(root, "src")
 
 
+
+def aggregate(all_runs: dict, levels: list) -> dict:
+    """Per-STAGE minimum across ALL reps per level: each stage's least-
+    contended estimate. Noisy neighbors pollute different stages in
+    different reps, so the min over many interleaved reps is the robust
+    estimator on this shared box; the cleanliness gate above only
+    decides when to STOP collecting reps (it never filters the minima —
+    an early noisy rep must not dominate a level, which a clean-reps-only
+    rule allowed when no later rep ever passed the gate)."""
+    best = {}
+    for lv in levels:
+        runs = all_runs[lv]
+        times = {s: min(r["times"][s] for r in runs) for s in runs[0]["times"]}
+        total = times["compact"] + times["cluster"] + times["merge"] + times["verify"]
+        r0 = runs[0]
+        best[lv] = {
+            "cpus": lv,
+            "n_reps": len(runs),
+            "times": times,
+            "maint_sec": round(total, 3),
+            "rows": r0["rows"],
+            "rows_per_sec": round(r0["rows"] / total, 1),
+            "scan_gbps": max(r["scan_gbps"] for r in runs),
+            "merge_rows_per_sec": max(r["merge_rows_per_sec"] for r in runs),
+        }
+    return best
+
+
+def parse_log(path: str, img_rows: int, levels: list) -> dict:
+    """Re-aggregate a previous run from its console log (``--from-log``):
+    every rep line carries the full per-stage times dict. Derived
+    throughputs use the per-level minimum stage times; table bytes are
+    the generator's deterministic ~14.8 KB/row."""
+    import ast
+    import re
+
+    n_src = img_rows // 10 + img_rows // 20
+    table_bytes = img_rows * 14775  # deterministic generator output size
+    all_runs: dict = {lv: [] for lv in levels}
+    pat = re.compile(r"rep\d+ local\[(\d+)\][^:]*: (\{.*\}) -> ([\d.]+) rows/s")
+    for line in open(path):
+        m = pat.search(line)
+        if not m:
+            continue
+        lv = int(m.group(1))
+        times = ast.literal_eval(m.group(2))
+        total = times["compact"] + times["cluster"] + times["merge"] + times["verify"]
+        all_runs[lv].append(
+            {
+                "times": times,
+                "rows": img_rows,
+                "rows_per_sec": round(img_rows / total, 1),
+                "scan_gbps": round(table_bytes / 1e9 / times["scan"], 3),
+                "merge_rows_per_sec": round(n_src / times["merge"], 1),
+            }
+        )
+    return all_runs
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     img_rows = int(args[0]) if args else 96000
     reps = 2
     if "--reps" in sys.argv:
         reps = int(sys.argv[sys.argv.index("--reps") + 1])
+
+    if "--from-log" in sys.argv:
+        levels = [2, 8, 32]
+        logf = sys.argv[sys.argv.index("--from-log") + 1]
+        all_runs = parse_log(logf, img_rows, levels)
+        for lv in levels:
+            if not all_runs[lv]:
+                raise SystemExit(f"no reps at level {lv} in {logf}")
+            print(f"local[{lv}]: {len(all_runs[lv])} reps from log")
+        best = aggregate(all_runs, levels)
+        report(best, levels, img_rows, reps)
+        return
 
     use_shm = "--disk" not in sys.argv and os.path.isdir("/dev/shm")
     base_dir = "/dev/shm" if use_shm else None
@@ -119,38 +190,15 @@ def main() -> None:
                     f"{r['times']} -> {r['rows_per_sec']} rows/s"
                 )
         for lv in levels:
-            if not runs[lv]:
-                # box never quiet for a whole rep at this level: fall back
-                # to per-stage minima over ALL reps (min is itself the
-                # least-contended estimator; the gate only decides when
-                # to stop looping)
-                print(f"WARN level {lv}: no gate-clean reps; using minima over all reps")
-                runs[lv] = all_runs[lv]
-            if not runs[lv]:
+            if not all_runs[lv]:
                 raise SystemExit(f"no reps at level {lv}")
-        # per-STAGE minimum across reps: each stage's least-contended
-        # estimate (noisy neighbors pollute different stages in different
-        # reps; a whole-rep minimum would keep the pollution of its own
-        # worst stage)
-        best = {}
-        for lv in levels:
-            times = {
-                s: min(r["times"][s] for r in runs[lv]) for s in runs[lv][0]["times"]
-            }
-            total = times["compact"] + times["cluster"] + times["merge"] + times["verify"]
-            r0 = runs[lv][0]
-            best[lv] = {
-                "cpus": lv,
-                "times": times,
-                "maint_sec": round(total, 3),
-                "rows": r0["rows"],
-                "rows_per_sec": round(r0["rows"] / total, 1),
-                "scan_gbps": max(r["scan_gbps"] for r in runs[lv]),
-                "merge_rows_per_sec": max(r["merge_rows_per_sec"] for r in runs[lv]),
-            }
+        best = aggregate(all_runs, levels)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+    report(best, levels, img_rows, reps)
 
+
+def report(best, levels, img_rows, reps):
     def eff(a, b, stage=None):
         if stage is None:
             return best[b]["rows_per_sec"] / best[a]["rows_per_sec"] / (b / a)
@@ -179,6 +227,7 @@ def main() -> None:
     print(json.dumps(summary))
 
     if "--update-md" in sys.argv:
+        n_reps_txt = "/".join(str(best[lv].get("n_reps", reps)) for lv in levels)
         rows = "\n".join(
             f"| local[{lv}] | {best[lv]['times']['compact']} | {best[lv]['times']['cluster']} "
             f"| {best[lv]['times']['merge']} | {best[lv]['times']['verify']} | {best[lv]['maint_sec']} "
@@ -195,8 +244,12 @@ per-row-decode-verify job over an identical pre-built {img_rows}-row
 synthetic image+caption table (deterministic generator), run at several
 `local[N]` levels, each level in a fresh JVM on a copied table
 directory. Table build + merge-source generation are setup, excluded
-from timings. Best of {reps} interleaved reps per level (the box has
-persistent noisy-neighbor load, idle loadavg 4–7).
+from timings. Reported times are PER-STAGE MINIMA over
+{n_reps_txt} interleaved reps per level — the box carries heavy
+transient noisy-neighbor load (loadavg spikes to 10–20), so each
+stage's least-contended observation is the defensible estimate; rep
+collection is gated by a pure-CPU baseline probe run before and after
+the stages of every rep.
 
 Storage: {"table + shuffle scratch on tmpfs (/dev/shm) — on a real cluster 4N executors bring 4N local disks, so the sandbox's single shared disk would add a fixed serial term that is an artifact of the box, not the engine; tmpfs emulates per-executor-scaling IO (rerun with --disk for the shared-disk numbers)" if os.environ.get("SPARK_GRAFT_LOCAL_DIR") or "--disk" not in sys.argv else "shared ext4 disk (/tmp)"}.
 
