@@ -37,8 +37,9 @@ SET * WHEN NOT MATCHED THEN INSERT *``):
    — the Iceberg RewriteDataFiles architecture: a broad merge over 10^7
    files becomes many independent medium jobs instead of one monster
    job, and group parallelism keeps a 1000-executor cluster busy.
-3. **Counts** — rows_updated counts matched DISTINCT target keys (one
-   key-only distinct-semi job over touched files), so rows_inserted =
+3. **Counts** — rows_updated counts matched DISTINCT target keys
+   (re-aggregated from the persisted probe rows — no second scan of the
+   touched files), so rows_inserted =
    |source| − rows_updated is never negative even when plain appends
    left duplicate keys across files; the duplicate copies swept by the
    rewrite are reported separately as ``rows_replaced_dupes`` (computed

@@ -277,7 +277,9 @@ Storage: {"table + shuffle scratch on tmpfs (/dev/shm) — on a real cluster 4N 
   and per-stage overhead amortizes over hour-scale stages at 10^12-row
   scale. The per-stage numbers above are the transferable evidence: no
   stage contains a driver-side loop or serialized exchange (see
-  operators/*.py — one shuffle in cluster, zero in merge).
+  operators/*.py — one exact-routed shuffle per cluster tile and per
+  batched compaction job; merge's copy-on-write keep path is
+  shuffle-free).
 - Secondary pair 8 → 32: {summary['efficiency_N8_to_N32']} (raw); box
   ceiling at 8→32 makes ≥0.8 unattainable for any job here.
 
