@@ -157,12 +157,14 @@ def _composite(key, partition_cols: list, part_values: list):
     return comp
 
 
-# Below this output-file count, routing stays a pure-JVM expression
-# (whole-stage codegen, no Arrow hop): an n_out-element literal array is
-# harmless at this size and measurably faster than the Python boundary.
-# Above it, the broadcast binary-search UDF keeps the plan O(1) in
-# n_out (an 800k-literal plan at 10^12 scale is the failure mode).
-_JVM_ROUTE_MAX = 512
+# Up to this output-file count, routing stays a pure-JVM expression
+# (whole-stage codegen, no Arrow hop): the literal boundary array is
+# bounded by TILING (a tile never plans more than max_files_per_job =
+# 4096 outputs), so the plan can never grow the 800k-literal failure
+# mode — and the codegen'd long-compare scan beats the Python boundary
+# at every tile size measured. The broadcast binary-search UDF remains
+# as the safety net for callers that raise max_files_per_job past this.
+_JVM_ROUTE_MAX = 4096
 
 
 def _route_udf(spark: SparkSession, bounds: np.ndarray, salts: np.ndarray):
