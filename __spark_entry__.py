@@ -709,37 +709,55 @@ def _sql_lang_id():
     """
 
 
+_MIN_LONG = -9223372036854775808  # bit 63's signed-int64 weight
+
+
 def q_simhash(spark, sf_dir):
-    """SimHash (16-bit, md5 token hashes) per document — near-dup key."""
+    """Full 64-bit SimHash per document (near-dup key). Per-token hash
+    bits come from md5: bits 0-59 from hex digits 1-15, bits 60-63 from
+    hex digit 16 — so all 64 signature bits are independent. The sign
+    bit (63) is assembled with the signed-int64 weight so the result is
+    a true 64-bit signature in a Spark LongType / DuckDB BIGINT."""
     d = _doc_tokens(spark, sf_dir)
     tok = d.select("doc_id", F.explode("toks").alias("tok"))
-    h = _hex15_to_long(F.md5("tok"))
+    md5 = F.md5("tok")
+    h_lo = _hex15_to_long(md5)  # bits 0-59
+    h_hi = F.conv(F.substring(md5, 16, 1), 16, 10).cast("long")  # bits 60-63
     bit_sums = [
-        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{b}")
-        for b in range(16)
+        F.sum(
+            F.shiftright(h_lo if b < 60 else h_hi, b if b < 60 else b - 60)
+            .bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"b{b}")
+        for b in range(64)
     ]
     agg = tok.groupBy("doc_id").agg(*bit_sums)
     sim = None
-    for b in range(16):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    for b in range(64):
+        weight = F.lit(_MIN_LONG) if b == 63 else F.lit(1 << b)
+        term = F.when(F.col(f"b{b}") > 0, weight).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
-    return agg.select("doc_id", sim.cast("long").alias("simhash16"))
+    return agg.select("doc_id", sim.cast("long").alias("simhash64"))
 
 
 def _sql_simhash():
-    bit_sums = ", ".join(
-        f"sum(((h >> {b}) & 1) * 2 - 1) AS b{b}" for b in range(16)
+    def src(b):
+        return f"((h_lo >> {b}) & 1)" if b < 60 else f"((h_hi >> {b - 60}) & 1)"
+
+    bit_sums = ", ".join(f"sum({src(b)} * 2 - 1) AS b{b}" for b in range(64))
+    sim = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({_MIN_LONG if b == 63 else (1 << b)} AS BIGINT) ELSE 0 END)"
+        for b in range(64)
     )
-    sim = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
     return f"""
         WITH tok AS (
             SELECT doc_id,
-                   CAST('0x' || substr(md5(t.tok), 1, 15) AS BIGINT) AS h
+                   CAST('0x' || substr(md5(t.tok), 1, 15) AS BIGINT) AS h_lo,
+                   CAST('0x' || substr(md5(t.tok), 16, 1) AS BIGINT) AS h_hi
             FROM documents, unnest(string_split(trim(text), ' ')) AS t(tok)
         ), agg AS (
             SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id
         )
-        SELECT doc_id, CAST({sim} AS BIGINT) AS simhash16 FROM agg
+        SELECT doc_id, CAST({sim} AS BIGINT) AS simhash64 FROM agg
     """
 
 
