@@ -66,7 +66,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType
 
 from ..functions.udfs import hilbert64_udf, morton64_expr
-from ..sources.tableformat import Snapshot, Table
+from ..sources.tableformat import Snapshot, Table, read_split_size
 from .checkpoint import RunCheckpoint
 
 _KEY = "__cluster_key"
@@ -350,13 +350,19 @@ def cluster(
                 },
             )
 
-    if len(tiles) == 1:
-        run_tile(0, tiles[0])
-    else:
-        with ThreadPoolExecutor(max_workers=max(1, tile_parallelism)) as pool:
-            futures = [pool.submit(run_tile, i, t) for i, t in enumerate(tiles)]
-            for f in futures:
-                f.result()  # surface the first failure
+    # Read splits aligned with the target file size for the whole stage:
+    # the default 128 MB split caps the read/route stage at
+    # total_bytes/128MB tasks no matter how many executors exist; one
+    # split ≈ one input file keeps scan parallelism proportional to the
+    # table, matching the shuffle side's n_out partitions.
+    with read_split_size(spark, target_file_size_bytes):
+        if len(tiles) == 1:
+            run_tile(0, tiles[0])
+        else:
+            with ThreadPoolExecutor(max_workers=max(1, tile_parallelism)) as pool:
+                futures = [pool.submit(run_tile, i, t) for i, t in enumerate(tiles)]
+                for f in futures:
+                    f.result()  # surface the first failure
 
     entries = table.collect_stats_for_prefix(  # one batched stats job
         spark, [prefixes[i] for i in range(len(tiles))]

@@ -73,6 +73,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tableformat import Snapshot, Table
+from ..sources.tableformat import read_split_size as _read_split_size
 from ..sources.tableformat import rel_path_expr as _rel_path_expr
 
 
@@ -121,43 +122,62 @@ def merge_into(
     prefixes: list = []
     n_matched = 0
     cols = [f.name for f in table._schema(spark).fields]
-    if len(touched_man):
-        groups = _plan_rewrite_groups(touched_man, max_files_per_job)
-        results: dict = {}
+    groups = (
+        _plan_rewrite_groups(touched_man, max_files_per_job)
+        if len(touched_man)
+        else []
+    )
+    results: dict = {}
+    delta_box: dict = {}
 
-        def rewrite(gno: int, paths: list) -> None:
-            tgt = spark.read.schema(table._schema(spark)).parquet(
-                *[os.path.join(table.root, p) for p in paths]
-            )
-            # MATCHED THEN UPDATE SET * == replace whole row → key-only
-            # anti-join; broadcast filter preserves input splits, so each
-            # read task writes its (already clustered, already
-            # ≈target-sized) partition straight back out.
-            keep = tgt.join(src_keys, key, "left_anti")
-            prefix = table.new_data_prefix()
-            keep.write.mode("append").parquet(prefix)
-            results[gno] = prefix
+    def rewrite(gno: int, paths: list) -> None:
+        tgt = spark.read.schema(table._schema(spark)).parquet(
+            *[os.path.join(table.root, p) for p in paths]
+        )
+        # MATCHED THEN UPDATE SET * == replace whole row → key-only
+        # anti-join; broadcast filter preserves input splits, so each
+        # read task writes its (already clustered, already
+        # ≈target-sized) partition straight back out.
+        keep = tgt.join(src_keys, key, "left_anti")
+        prefix = table.new_data_prefix()
+        keep.write.mode("append").parquet(prefix)
+        results[gno] = prefix
 
-        if len(groups) == 1:
-            rewrite(0, groups[0])
+    def write_delta() -> None:
+        # Every source row survives MERGE: matched keys replace target
+        # rows (their old copies were filtered from the touched files),
+        # unmatched keys are inserts — and since `touched` contains
+        # EVERY file holding a source key, updates ∪ inserts == source
+        # exactly. One wholesale delta write, no insert anti-join job.
+        delta_box["prefix"] = _modest_write(table, src.select(cols), key)
+
+    # The delta write depends only on the cached source, so it runs
+    # CONCURRENTLY with the keep-rewrites — its cost hides inside the
+    # rewrite wall time instead of adding a serial tail. Read splits are
+    # aligned with the target file size for the whole stage: the keep
+    # path writes one file per read split, so split size IS output size,
+    # and read parallelism scales with file count instead of being
+    # capped at total_bytes / 128MB.
+    with _read_split_size(spark, target_file_size_bytes):
+        if not groups:
+            write_delta()
         else:
-            with ThreadPoolExecutor(max_workers=max(1, rewrite_parallelism)) as pool:
+            with ThreadPoolExecutor(
+                max_workers=max(2, rewrite_parallelism)
+            ) as pool:
                 futures = [pool.submit(rewrite, i, g) for i, g in enumerate(groups)]
+                futures.append(pool.submit(write_delta))
                 for f in futures:
                     f.result()
-        prefixes += [results[i] for i in range(len(groups))]
 
+    prefixes += [results[i] for i in range(len(groups))]
+    if groups:
         # rows_updated = matched DISTINCT keys (duplicate target copies
         # must not push rows_inserted negative) — re-aggregated from the
         # cached probe rows, no second file scan.
         n_matched = probe.select(key).distinct().count()
 
-    # Every source row survives MERGE: matched keys replace target rows
-    # (their old copies were filtered from the touched files), unmatched
-    # keys are inserts — and since `touched` contains EVERY file holding
-    # a source key, updates ∪ inserts == source exactly. One wholesale
-    # delta write, no insert anti-join job.
-    delta_prefix = _modest_write(table, src.select(cols), key)
+    delta_prefix = delta_box["prefix"]
     prefixes.append(delta_prefix)
 
     # one batched stats job over every prefix this merge wrote

@@ -514,6 +514,36 @@ class Table:
         return reach
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def read_split_size(spark: SparkSession, nbytes: int):
+    """Align parquet read-split size with a maintenance stage's target
+    file size for the duration of the stage.
+
+    Why: ``spark.sql.files.maxPartitionBytes`` defaults to 128 MB, so a
+    rewrite whose target_file_size is smaller (or a scan over a table of
+    smaller files) bins many files into few read tasks — capping stage
+    parallelism at total_bytes/128MB tasks regardless of executor count,
+    and inflating copy-on-write outputs past the target (merge's keep
+    path writes one file per READ SPLIT). Matching split size to target
+    size keeps one task ≈ one output file and lets read-stage
+    parallelism scale with the cluster instead of the constant 128 MB.
+
+    Session-scoped by design: maintenance stages are single-driver and
+    sequential (operators/run.py); concurrent TILE/BATCH jobs inside one
+    stage all want the same split size, and the conf is restored on
+    exit."""
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(int(nbytes)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def rel_path_expr(root: str):
     """``_metadata.file_path`` (a file:-scheme URI) → path relative to the
     table root, computed JVM-side so joins/maps against manifest-stored

@@ -37,7 +37,14 @@ def main() -> None:
     # disk-backed shuffle adds a fixed serial term that is an artifact of
     # the sandbox, not the engine. SPARK_GRAFT_LOCAL_DIR=/dev/shm/...
     # emulates per-executor-scaling IO.
-    extra = {}
+    extra = {
+        # the bench table's files are ~8 MB (target_file_size below); the
+        # default 128 MB read split would bin them into total/128MB scan
+        # tasks, capping scan/verify parallelism at ~12 regardless of
+        # core count. One split ≈ one file matches what a production
+        # 128 MB-file table gets from the default conf.
+        "spark.sql.files.maxPartitionBytes": str(16 << 20),
+    }
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)
