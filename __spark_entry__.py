@@ -1144,6 +1144,47 @@ def _sql_events_windowed():
     """
 
 
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (batch twin of the
+    applyInPandasWithState streaming operator, streaming/sessionize.py):
+    lag → gap flag → cumsum session id → one aggregate. 30-minute gap,
+    bounded to user_id < 50 for a stable result set."""
+    from aws_medallion_datalake_spark.streaming.sessionize import sessionize_batch
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    out = sessionize_batch(e, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "total_value",
+    )
+
+
+def _sql_event_sessions():
+    return """
+        WITH e AS (
+            SELECT user_id, ts, coalesce(value, 0) AS value,
+                   CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events WHERE user_id < 50
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+            SELECT user_id, ts, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess
+            FROM e
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 6) AS total_value
+        FROM s GROUP BY user_id, sess
+    """
+
+
 _IVF_K = 8  # coarse centroids (IVF lists); deterministic: vectors 0..K-1
 _IVF_NPROBE = 2
 
@@ -1674,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
         "events_windowed": q_events_windowed,
+        "event_sessions": q_event_sessions,
         "quality_profile": q_quality_profile,
         "silver_casts": q_silver_casts,
         "dedup_exact": q_dedup_exact,
@@ -1721,6 +1763,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _sql_events_hourly(),
         "events_json": _sql_events_json(),
         "events_windowed": _sql_events_windowed(),
+        "event_sessions": _sql_event_sessions(),
         "quality_profile": _sql_quality_profile(),
         "silver_casts": _sql_silver_casts(),
         "dedup_exact": _sql_dedup_exact(),

@@ -118,3 +118,57 @@ def test_windowed_rollup_streaming_mode(tmp_path, spark):
     batch_total = spark.read.parquet(src).count()
     emitted = got.agg(F.sum("n_events")).first()[0] or 0
     assert 0 < emitted <= batch_total
+
+
+def test_sessionize_stream_matches_batch(tmp_path, spark):
+    """The applyInPandasWithState sessionizer must agree with the pure
+    window-algebra batch twin: in a single availableNow micro-batch every
+    session except each key's LAST (still open, no watermark to close it)
+    is provably closed and emitted."""
+    import datetime as dt
+
+    from aws_medallion_datalake_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = []
+    # user 1: sessions {0,5,10}, {60,65}, {200}; user 2: {0}, {100} (gap=30m)
+    for m in (0, 5, 10, 60, 65, 200):
+        rows.append((1, base + dt.timedelta(minutes=m), 1.5))
+    for m in (0, 100):
+        rows.append((2, base + dt.timedelta(minutes=m), 2.0))
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    src = str(tmp_path / "sess_src")
+    df.repartition(1).write.parquet(src)
+
+    batch = sessionize_batch(spark.read.parquet(src), gap_minutes=30).collect()
+    assert len(batch) == 5
+
+    stream = spark.readStream.schema("user_id bigint, ts timestamp, value double").parquet(src)
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in spark.table("sess_sink").collect()
+    }
+    # expected closed = all batch sessions minus each key's latest
+    by_key = {}
+    for r in batch:
+        by_key.setdefault(r.user_id, []).append(r)
+    expected = set()
+    for rs in by_key.values():
+        rs.sort(key=lambda r: r.session_start)
+        for r in rs[:-1]:
+            expected.add((r.user_id, r.session_start, r.session_end, r.n_events, r.total_value))
+    assert got == expected
+    assert len(got) == 3  # user1 closes 2 sessions, user2 closes 1
