@@ -68,6 +68,7 @@ from pyspark.sql.types import IntegerType
 from ..functions.udfs import hilbert64_udf, morton64_expr
 from ..sources.tableformat import Snapshot, Table, read_split_size
 from .checkpoint import RunCheckpoint
+from .timing import PhaseTimer
 
 _KEY = "__cluster_key"
 _ROUTE = "__cluster_route"
@@ -157,14 +158,15 @@ def _composite(key, partition_cols: list, part_values: list):
     return comp
 
 
-# Up to this output-file count, routing stays a pure-JVM expression
-# (whole-stage codegen, no Arrow hop): the literal boundary array is
+# Up to this output-file count, routing stays a pure-JVM expression (no
+# Arrow hop, no Python workers): the per-row cost is a linear O(n_out)
+# scan of a constant-folded boundary array, so it only wins while n_out
+# is small; past this the broadcast binary-search Arrow UDF
+# (O(log n_out), vectorized) takes over. Either way the literal count is
 # bounded by TILING (a tile never plans more than max_files_per_job =
 # 4096 outputs), so the plan can never grow the 800k-literal failure
-# mode — and the codegen'd long-compare scan beats the Python boundary
-# at every tile size measured. The broadcast binary-search UDF remains
-# as the safety net for callers that raise max_files_per_job past this.
-_JVM_ROUTE_MAX = 4096
+# mode.
+_JVM_ROUTE_MAX = 512
 
 
 def _route_udf(spark: SparkSession, bounds: np.ndarray, salts: np.ndarray):
@@ -186,9 +188,16 @@ def _route_udf(spark: SparkSession, bounds: np.ndarray, salts: np.ndarray):
 
 def _route_jvm(ck_col, bounds: np.ndarray, salts: np.ndarray):
     """Small-n_out router as a Catalyst expression over the MATERIALIZED
-    key column (single evaluation per row; whole-stage codegen)."""
+    key column (single evaluation per row). ``aggregate`` accumulates a
+    scalar rank — unlike ``size(filter(...))``, which materializes a
+    filtered ARRAY per row (n_out-element allocation × every row of the
+    tile, pure GC churn on the hot rewrite path)."""
     barr = F.array(*[F.lit(int(b)) for b in bounds])
-    bucket = F.size(F.filter(barr, lambda b: b < ck_col))
+    bucket = F.aggregate(
+        barr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(b < ck_col, 1).otherwise(0),
+    )
     sarr = F.array(*[F.lit(int(s)) for s in salts])
     return F.element_at(sarr, bucket + 1).cast("int")
 
@@ -230,6 +239,7 @@ def cluster(
     if curve not in ("hilbert", "morton", "zorder"):
         raise ValueError(f"unknown curve {curve!r}")
     t0 = time.time()
+    pt = PhaseTimer()
     meta = table.metadata()
     src_snapshot = meta.current_snapshot_id
     man = table.manifest_pdf(snapshot_id)
@@ -310,9 +320,10 @@ def cluster(
                 F.lit(np.iinfo(np.int64).min + 1),
             )
             probs = [i / n_out for i in range(1, n_out)]
-            bounds = pruned.select(ck.alias("ck")).approxQuantile(
-                "ck", probs, 1.0 / (4 * n_out)
-            )
+            with pt.phase("quantile"):
+                bounds = pruned.select(ck.alias("ck")).approxQuantile(
+                    "ck", probs, 1.0 / (4 * n_out)
+                )
             bounds = np.sort(np.array(bounds, dtype=np.int64))
             # 2. one full pass: route → exact shuffle → sort → write.
             #    The composite key is materialized as a column FIRST so
@@ -335,7 +346,8 @@ def cluster(
                 .drop(_KEY, _ROUTE, "__ck")
             )
         prefix = table.new_data_prefix()
-        out.write.mode("append").parquet(prefix)
+        with pt.phase("rewrite"):
+            out.write.mode("append").parquet(prefix)
         prefixes[tile_no] = prefix
         if checkpoint is not None:
             checkpoint.unit_done(
@@ -364,9 +376,10 @@ def cluster(
                 for f in futures:
                     f.result()  # surface the first failure
 
-    entries = table.collect_stats_for_prefix(  # one batched stats job
-        spark, [prefixes[i] for i in range(len(tiles))]
-    )
+    with pt.phase("stats"):
+        entries = table.collect_stats_for_prefix(  # one batched stats job
+            spark, [prefixes[i] for i in range(len(tiles))]
+        )
     snap = table.commit(
         "replace",
         entries,
@@ -378,6 +391,7 @@ def cluster(
             "files_out": int(len(entries)),
             "tiles": len(tiles),
             "duration_sec": round(time.time() - t0, 3),
+            "phase_sec": pt.summary(),
         },
     )
     for bc in broadcasts:

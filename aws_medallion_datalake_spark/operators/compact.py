@@ -5,15 +5,15 @@ The scale path the reference lacks: its writers ``coalesce(1)`` every run
 "small-file management"), accumulating one small file per partition per day
 forever. A planner packs manifest entries into ≈target-size rewrite groups
 (plans/binpack.py); groups are then rewritten in BATCHES: one Spark job
-unions up to ``groups_per_job`` single-partition group plans (each group =
-read its files → ``coalesce(1)`` → optional in-partition sort), so one
-write action emits one output file per group with NO exchange — a
-10^6-small-file backlog costs thousands of jobs, not a job per file pack.
-Batches run concurrently from a driver thread pool — the same architecture
-as Iceberg's RewriteDataFiles action, and the part that keeps 1000
-executors busy when compacting a 10^12-row table: batch jobs are
-independent, so parallelism scales with batch count × groups-per-batch,
-not with any single shuffle.
+routes up to ``groups_per_job`` groups' rows (broadcast path→salt join +
+one exact shuffle, plan size O(1) in the batch width) into one output
+file per group — a 10^6-small-file backlog costs hundreds of jobs, not a
+job per file pack. When the backlog exceeds one batch, batches run
+concurrently from a driver thread pool — the same architecture as
+Iceberg's RewriteDataFiles action: batch jobs are independent, so
+parallelism scales with batch count × groups-per-batch, not with any
+single shuffle. (Within one batch the exact shuffle already spreads
+across the cluster; the pool only matters for multi-batch backlogs.)
 
 Resumability (north_rule): each finished batch appends a ``unit_done``
 lineage record (source snapshot, groups, input files, rows/bytes, output
@@ -34,9 +34,13 @@ from pyspark.sql import SparkSession
 from ..plans.binpack import CompactionGroup, CompactionPlan, plan_compaction
 from ..sources.tableformat import Snapshot, Table
 from .checkpoint import RunCheckpoint
+from .timing import PhaseTimer
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
-DEFAULT_GROUPS_PER_JOB = 32
+# Same per-job width bound as cluster tiles: the routing table is data
+# (not plan literals), so a batch can carry thousands of groups; the cap
+# bounds the broadcast row count and the shuffle width of one job.
+DEFAULT_GROUPS_PER_JOB = 4096
 
 
 def _sort_key(df):
@@ -90,12 +94,15 @@ def _rewrite_batch(
     """Rewrite a batch of PACK groups as ONE Spark job.
 
     Each input file belongs to exactly one group, so rows are routed by
-    their source file (``_metadata.file_path`` → group routing salt via a
-    small literal map) through one exact shuffle into one partition —
-    and one output file — per group. Per-job driver overhead is amortized
-    over ``groups_per_job`` groups instead of paid per tiny group; the
-    shuffled bytes are exactly the small files being packed, which is
-    the regime (many tiny groups) where job overhead dominates IO.
+    their source file: a (path → routing salt) TABLE is broadcast and
+    hash-joined against ``_metadata.file_path``, then one exact shuffle
+    lands one partition — and one output file — per group. The routing
+    table is DATA, not plan literals (an earlier version in-lined a
+    ``create_map`` with one literal pair per file, which grows the plan
+    O(files-per-batch) and forced small batches — the same plan-size
+    failure mode the cluster router had); the plan is O(1) in the batch
+    size, so one job per ordered-class can carry thousands of groups and
+    the per-job driver fixed cost is amortized across ALL of them.
     Groups are batched with like ``ordered`` flags: ordered batches
     re-sort each packed partition, unordered (raw bronze) skip the sort.
 
@@ -120,14 +127,19 @@ def _rewrite_batch(
 
     n = len(groups)
     salts = exact_route_salts(n)
-    kv = []
-    for i, g in enumerate(groups):
-        for p in g.paths:
-            kv += [F.lit(p), F.lit(int(salts[i]))]
+    route_rows = [
+        (p, int(salts[i])) for i, g in enumerate(groups) for p in g.paths
+    ]
+    route_df = spark.createDataFrame(route_rows, "__route_path string, __rt int")
     paths = [os.path.join(table.root, p) for g in groups for p in g.paths]
-    df = spark.read.schema(table._schema(spark)).parquet(*paths)
-    route = F.element_at(F.create_map(*kv), rel_path_expr(table.root))
-    df = df.withColumn("__rt", route).repartition(n, F.col("__rt")).drop("__rt")
+    df = (
+        spark.read.schema(table._schema(spark))
+        .parquet(*paths)
+        .withColumn("__route_path", rel_path_expr(table.root))
+        .join(F.broadcast(route_df), "__route_path", "inner")
+        .drop("__route_path")
+    )
+    df = df.repartition(n, F.col("__rt")).drop("__rt")
     key = _sort_key(df)
     part_cols = [F.col(c) for c in table.metadata().partition_cols]
     sort_cols = part_cols + ([key] if key is not None else [])
@@ -151,11 +163,13 @@ def compact(
     """Compact the current snapshot; returns the new snapshot or None if
     nothing to do. Safe to re-run; resumable via ``checkpoint``."""
     t0 = time.time()
-    src_snapshot = table.metadata().current_snapshot_id
-    man = table.manifest_pdf()
-    plan: CompactionPlan = plan_compaction(
-        man, target_file_size_bytes, min_input_files=min_input_files
-    )
+    pt = PhaseTimer()
+    with pt.phase("plan"):
+        src_snapshot = table.metadata().current_snapshot_id
+        man = table.manifest_pdf()
+        plan: CompactionPlan = plan_compaction(
+            man, target_file_size_bytes, min_input_files=min_input_files
+        )
     if not plan.groups:
         return None
 
@@ -176,7 +190,8 @@ def compact(
         if checkpoint is not None and checkpoint.is_unit_done("compact", unit):
             results[bno] = checkpoint.unit_payload("compact", unit)["output_prefix"]
             return
-        prefix = _rewrite_batch(table, spark, groups)
+        with pt.phase("rewrite"):
+            prefix = _rewrite_batch(table, spark, groups)
         if checkpoint is not None:
             checkpoint.unit_done(
                 "compact",
@@ -207,8 +222,10 @@ def compact(
     rewritten = plan.rewritten_paths
     keep = man[~man["path"].isin(rewritten)]
     prefixes = [results[i] for i in range(len(batches))]
-    new_entries = table.collect_stats_for_prefix(spark, prefixes)  # one job
+    with pt.phase("stats"):
+        new_entries = table.collect_stats_for_prefix(spark, prefixes)  # one job
     new_man = pd.concat([keep, new_entries], ignore_index=True)
+    # residual of duration_sec minus the phases = commit/manifest IO
     snap = table.commit(
         "replace",
         new_man,
@@ -218,6 +235,7 @@ def compact(
             "batches": len(batches),
             "rewritten_files": len(rewritten),
             "duration_sec": round(time.time() - t0, 3),
+            "phase_sec": pt.summary(),
         },
     )
     if checkpoint is not None:

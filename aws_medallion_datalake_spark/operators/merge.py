@@ -22,15 +22,21 @@ SET * WHEN NOT MATCHED THEN INSERT *``):
 
    (`touched` holds EVERY file containing a source key, so
    updates ∪ inserts == source exactly — no insert anti-join needed.)
-   The anti-join carries only the key on its small side, so AQE makes it
-   a broadcast filter and **no image payload ever shuffles** — the
-   keep-side write preserves its input splits (each read task writes its
+   The key set is broadcast EXPLICITLY (``F.broadcast``) whenever the
+   source is small enough (``broadcast_key_limit`` rows, default 4M ≈
+   a few hundred MB of hash map): relying on AQE to convert the
+   anti-join was measured NOT to fire here — the planner keeps a
+   sort-merge join and funnels every payload byte through a
+   ``shuffle.partitions``-wide exchange (1.4 GB through 8 reducers in
+   the 96k-row bench), which is both a full extra copy of the table
+   and a parallelism cap. With the explicit hint the anti-join is a
+   broadcast filter: **no image payload ever shuffles** — the keep-side
+   write preserves its input splits (each read task writes its
    already-clustered, already-sized partition straight back out,
    Iceberg-style copy-on-write), and the source lands as modest
-   cluster-key-sorted delta files. A naive full-outer join (the obvious
-   translation) sort-merges every payload byte; an intermediate version
-   re-range-partitioned the union and still paid a full 730 MB exchange
-   — this formulation pays zero.
+   cluster-key-sorted delta files. Sources above the limit fall back to
+   the shuffled anti-join (AQE skew handling applies) — at that size the
+   source rivals the table and a shuffle is the honest cost.
 
    Touched files are rewritten in **bounded groups** (≤
    ``max_files_per_job``) running concurrently from a driver thread pool
@@ -75,6 +81,7 @@ from pyspark.sql import functions as F
 from ..sources.tableformat import Snapshot, Table
 from ..sources.tableformat import read_split_size as _read_split_size
 from ..sources.tableformat import rel_path_expr as _rel_path_expr
+from .timing import PhaseTimer
 
 
 def merge_into(
@@ -87,18 +94,26 @@ def merge_into(
     max_files_per_job: int = 4096,
     rewrite_parallelism: int = 4,
     check_duplicate_keys: bool = True,
+    broadcast_key_limit: int = 4_000_000,
 ) -> Snapshot:
     t0 = time.time()
+    pt = PhaseTimer()
     man = table.manifest_pdf()
 
     src = source.cache()
-    if check_duplicate_keys:
-        # runs on the CACHED source, so the cardinality check doubles as
-        # the cache-materialization job — the source is read exactly once
-        dup = src.groupBy(key).count().filter("count > 1")
-        if not dup.isEmpty():
-            raise ValueError(f"MERGE source has duplicate keys on {key!r}")
+    with pt.phase("source_check"):
+        if check_duplicate_keys:
+            # runs on the CACHED source, so the cardinality check doubles as
+            # the cache-materialization job — the source is read exactly once
+            dup = src.groupBy(key).count().filter("count > 1")
+            if not dup.isEmpty():
+                raise ValueError(f"MERGE source has duplicate keys on {key!r}")
+        n_src_keys = src.count()  # cached: key-only metadata aggregate
     src_keys = src.select(key).distinct()
+    if n_src_keys <= broadcast_key_limit:
+        # explicit hint — see module docstring: AQE does NOT convert this
+        # anti-join on its own, and the SMJ it keeps shuffles the payload
+        src_keys = F.broadcast(src_keys)
 
     # 1. touched files: column-pruned probe scan, aggregated per file and
     #    resolved against the manifest — one Arrow batch of manifest rows
@@ -113,9 +128,12 @@ def merge_into(
         .join(src_keys, key, "inner")
         .persist()
     )
-    touched_pdf = (
-        probe.groupBy("path").agg(F.count(F.lit(1)).alias("n_matched_rows")).toPandas()
-    )
+    with pt.phase("probe"):
+        touched_pdf = (
+            probe.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_matched_rows"))
+            .toPandas()
+        )
     touched_rel = set(touched_pdf["path"])
     touched_man = man[man["path"].isin(touched_rel)]
 
@@ -158,7 +176,7 @@ def merge_into(
     # path writes one file per read split, so split size IS output size,
     # and read parallelism scales with file count instead of being
     # capped at total_bytes / 128MB.
-    with _read_split_size(spark, target_file_size_bytes):
+    with pt.phase("rewrite"), _read_split_size(spark, target_file_size_bytes):
         if not groups:
             write_delta()
         else:
@@ -175,7 +193,8 @@ def merge_into(
         # rows_updated = matched DISTINCT keys (duplicate target copies
         # must not push rows_inserted negative) — re-aggregated from the
         # cached probe rows, no second file scan.
-        n_matched = probe.select(key).distinct().count()
+        with pt.phase("count_matched"):
+            n_matched = probe.select(key).distinct().count()
 
     delta_prefix = delta_box["prefix"]
     prefixes.append(delta_prefix)
@@ -184,7 +203,8 @@ def merge_into(
     nonempty = [p for p in prefixes if _has_parquet(p)]
     new_entries_frames = []
     if nonempty:
-        entries = table.collect_stats_for_prefix(spark, nonempty)
+        with pt.phase("stats"):
+            entries = table.collect_stats_for_prefix(spark, nonempty)
         new_entries_frames.append(entries)
         n_src = int(
             entries[entries["path"].str.startswith(_rel(table, delta_prefix))][
@@ -221,6 +241,7 @@ def merge_into(
             "rows_replaced_dupes": int(n_dupes),
             "files_rewritten": len(touched_rel),
             "duration_sec": round(time.time() - t0, 3),
+            "phase_sec": pt.summary(),
         },
     )
     probe.unpersist()

@@ -59,6 +59,13 @@ def get_session(
         # image payloads are KB–MB each: bound Arrow batch size (SURVEY §4)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # maintenance shuffles route wide binary rows into up-to-4096
+        # output partitions; the bypass writer opens one file PER REDUCE
+        # PARTITION per map task (a handle storm that also diverges from
+        # the >200-partition production path, which always uses the
+        # serialized sorter). Route everything wider than 64 through the
+        # serialized sort writer: one spill file per map task.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "64")
         .config("spark.ui.enabled", "false")
         # local-mode driver == all executors; the 1g default heap OOMs on
         # binary image shuffles (irrelevant on a real cluster where

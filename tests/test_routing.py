@@ -79,3 +79,27 @@ def test_driver_murmur3_matches_spark_hash(spark):
     )
     for v, h in zip(pdf["v"], pdf["h"]):
         assert _murmur3_int32(int(v)) == int(h), v
+
+
+def test_route_jvm_matches_searchsorted(spark):
+    """The Catalyst aggregate-rank router must agree with the Arrow
+    UDF's np.searchsorted(side='left') on every edge: below the first
+    bound, exactly on a bound, duplicated bounds, above the last."""
+    import numpy as np
+
+    from aws_medallion_datalake_spark.operators.cluster import _route_jvm
+
+    bounds = np.sort(np.array([10, 20, 20, 57, 99], dtype=np.int64))
+    salts = exact_route_salts(len(bounds) + 1)
+    keys = [-5, 10, 15, 20, 21, 57, 98, 99, 1000]
+    df = spark.createDataFrame(pd.DataFrame({"ck": keys}))
+    out = (
+        df.withColumn("r", _route_jvm(F.col("ck").cast("long"), bounds, salts))
+        .toPandas()
+        .sort_values("ck")
+    )
+    exp = [
+        int(salts[i])
+        for i in np.searchsorted(bounds, np.array(sorted(keys)), side="left")
+    ]
+    assert list(out["r"]) == exp

@@ -96,6 +96,29 @@ def _(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 
 
+@check("merge keep-path: broadcast anti-join, zero payload exchange")
+def _(spark, sf_dir):
+    # the copy-on-write keep plan must broadcast the source KEY set and
+    # stream the touched files straight to the writer — an Exchange here
+    # means the whole image payload shuffles (the measured AQE-SMJ
+    # failure mode this guards against: 1.4 GB through 8 reducers)
+    import tempfile
+
+    from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
+    from aws_medallion_datalake_spark.sources.generator import generate_updates
+
+    root = tempfile.mkdtemp(prefix="audit_mrg_")
+    t = bronze_ingest(spark, os.path.join(root, "t"), 400, n_files=4)
+    src = generate_updates(spark, 400, 40, 20, n_files=2).cache()
+    src_keys = F.broadcast(src.select("image_id").distinct())
+    tgt = t.scan(spark)
+    keep = tgt.join(src_keys, "image_id", "left_anti")
+    p = plan_of(keep)
+    assert "BroadcastHashJoin" in p, p
+    assert "Exchange hashpartitioning" not in p, p
+    src.unpersist()
+
+
 @check("manifest stats pruning lists fewer files (engine scan)")
 def _(spark, sf_dir):
     import tempfile

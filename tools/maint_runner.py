@@ -64,6 +64,20 @@ def main() -> None:
         ).collect()
         return round(time.time() - t0, 3)
 
+    def alloc_baseline() -> float:
+        # fresh-page-fault probe: this sandbox host intermittently
+        # degrades guest memory faults to ~1ms/page (a fresh 64 MB touch
+        # then costs 20+ s instead of ~20 ms), which poisons every
+        # allocation-heavy stage while pure-CPU probes stay fast. Time
+        # first-touch of 64 MB of NEW pages; reps taken while this is
+        # pathological must be discarded.
+        import numpy as np
+
+        t0 = time.time()
+        arr = np.empty(1 << 26, dtype=np.uint8)
+        arr[::4096] = 1  # one touch per page
+        return round(time.time() - t0, 3)
+
     root = tempfile.mkdtemp(
         prefix=f"scale{cpus}_",
         dir=os.path.dirname(local_dir) if local_dir else None,
@@ -73,22 +87,28 @@ def main() -> None:
         shutil.copytree(table_src, os.path.join(root, "t"))
         t = Table.load(os.path.join(root, "t"))
         baseline_pre = cpu_baseline()  # contention probe BEFORE stages
+        alloc_pre = alloc_baseline()
         n_rows = int(t.manifest_pdf()["record_count"].sum())
         src = spark.read.parquet(source_parquet)
         n_src = src.count()  # materialize reader metadata outside timings
 
+        phases = {}
+
         t0 = time.time()
-        compact(t, spark, target_file_size_bytes=8 << 20, parallelism=cpus)
+        s = compact(t, spark, target_file_size_bytes=8 << 20, parallelism=cpus)
         times["compact"] = round(time.time() - t0, 3)
+        phases["compact"] = (s.summary if s else {}).get("phase_sec", {})
 
         t0 = time.time()
-        cluster(t, spark, curve="morton", target_file_size_bytes=8 << 20)
+        s = cluster(t, spark, curve="morton", target_file_size_bytes=8 << 20)
         times["cluster"] = round(time.time() - t0, 3)
+        phases["cluster"] = s.summary.get("phase_sec", {})
 
         t0 = time.time()
-        merge_into(t, spark, src, key="image_id", target_file_size_bytes=8 << 20)
+        s = merge_into(t, spark, src, key="image_id", target_file_size_bytes=8 << 20)
         merge_sec = time.time() - t0
         times["merge"] = round(merge_sec, 3)
+        phases["merge"] = s.summary.get("phase_sec", {})
 
         t0 = time.time()
         scanned = t.scan(spark).agg(F.sum(F.length("bytes")).alias("b")).first()
@@ -116,6 +136,9 @@ def main() -> None:
         baseline_post = cpu_baseline()
         times["cpu_baseline"] = min(baseline_pre, baseline_post)
         times["cpu_gate"] = max(baseline_pre, baseline_post)
+        # healthy first-touch of 64 MB is ~20-50 ms; >1 s means the host
+        # was servicing guest page faults pathologically during this rep
+        times["alloc_gate"] = max(alloc_pre, alloc_baseline())
 
         total = times["compact"] + times["cluster"] + times["merge"] + times["verify"]
         print(
@@ -123,6 +146,7 @@ def main() -> None:
                 {
                     "cpus": cpus,
                     "times": times,
+                    "phases": phases,
                     "maint_sec": round(total, 3),
                     "rows": n_rows,
                     "rows_per_sec": round(n_rows / total, 1),

@@ -174,7 +174,13 @@ def main() -> None:
                 cpu = r["times"]["cpu_baseline"]
                 gate = r["times"].get("cpu_gate", cpu)
                 best_cpu[lv] = min(best_cpu.get(lv, cpu), cpu)
-                is_clean = gate <= best_cpu[lv] * 1.25
+                # alloc_gate: host page-fault health (see maint_runner) —
+                # a rep taken while first-touch of fresh memory costs
+                # seconds is pollution regardless of CPU contention
+                is_clean = (
+                    gate <= best_cpu[lv] * 1.25
+                    and r["times"].get("alloc_gate", 0.0) <= 1.0
+                )
                 if is_clean:
                     # retro-invalidate earlier "clean" reps if this one
                     # reveals a much lower baseline
@@ -182,6 +188,7 @@ def main() -> None:
                         x for x in runs[lv]
                         if x["times"].get("cpu_gate", x["times"]["cpu_baseline"])
                         <= best_cpu[lv] * 1.25
+                        and x["times"].get("alloc_gate", 0.0) <= 1.0
                     ]
                     runs[lv].append(r)
                     clean[lv] = len(runs[lv])
