@@ -1554,6 +1554,97 @@ def _sql_minhash_candidate_pairs():
     """
 
 
+_NEARDUP_JACCARD = 0.5
+
+
+def q_neardup_components(spark, sf_dir):
+    """Near-dup DEDUP CLUSTERS: connected components over the verified
+    MinHash candidate-pair graph (edges = candidate pairs whose exact
+    shingle-Jaccard ≥ threshold). Iterative min-label propagation — each
+    round is one hash-join of the current labels against the symmetric
+    edge list plus a min-aggregate, the standard distributed CC shape
+    (GraphFrames/Pregel); rounds ≤ component diameter, tiny for near-dup
+    clusters. Labels and edges carry ONLY (doc_id, label) int64 pairs —
+    at 10^12 docs no payload ever moves and each round shuffles the edge
+    list once. Output: one row per component with a canonical id
+    (min doc_id) and a deterministic member list — the keep-one-copy
+    decision a training-data pipeline actually executes."""
+    pairs = q_minhash_candidate_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= _NEARDUP_JACCARD
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .persist()
+    )
+    for _ in range(20):  # diameter bound; propagation converges far sooner
+        nbr = sym.join(labels, sym["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "lbl"
+        )
+        new = (
+            labels.select("node", "lbl")
+            .unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .persist()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "old"), "node")
+            .filter(F.col("lbl") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    out = (
+        labels.groupBy("lbl")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .select(F.col("lbl").alias("component"), "n_docs", "members")
+        .orderBy("component")
+    )
+    sym.unpersist()
+    return out
+
+
+def _sql_neardup_components():
+    pairs_sql = _sql_minhash_candidate_pairs()
+    return f"""
+        WITH RECURSIVE
+        pairs AS ({pairs_sql}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            WHERE jaccard >= {_NEARDUP_JACCARD}
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs WHERE jaccard >= {_NEARDUP_JACCARD}
+        ),
+        reach(node, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+        SELECT component, count(*) AS n_docs,
+               string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+        FROM comp GROUP BY component ORDER BY component
+    """
+
+
 def q_image_gold_star(spark, sf_dir):
     """Engine-side S13: medallion pipeline → gold STAR SCHEMA (dims +
     facts + persisted quality table, gold_digit_fixed.py:34-146 /
@@ -1736,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gold_weekend_split": q_gold_weekend_split,
         "events_json_explode": q_events_json_explode,
         "minhash_candidate_pairs": q_minhash_candidate_pairs,
+        "neardup_components": q_neardup_components,
         "image_features_ann": q_image_features_ann,
         "image_medallion": q_image_medallion,
         "image_maintenance": q_image_maintenance,
@@ -1784,6 +1876,7 @@ def oracle_sql() -> dict[str, str]:
         "gold_weekend_split": _sql_gold_weekend_split(),
         "events_json_explode": _sql_events_json_explode(),
         "minhash_candidate_pairs": _sql_minhash_candidate_pairs(),
+        "neardup_components": _sql_neardup_components(),
         # image_medallion / image_maintenance / image_gold_star:
         # engine-internal table format + Arrow codec UDFs — not
         # SQL-expressible (rows-only).
