@@ -76,12 +76,23 @@ def aggregate(all_runs: dict, levels: list) -> dict:
     for lv in levels:
         runs = all_runs[lv]
         times = {s: min(r["times"][s] for r in runs) for s in runs[0]["times"]}
+        # per-phase minima (plan/rewrite/stats/... within each stage):
+        # attributes the scaling of each stage to executor compute vs
+        # parallelism-independent driver work
+        phases: dict = {}
+        for stage in ("compact", "cluster", "merge"):
+            per_rep = [r.get("phases", {}).get(stage, {}) for r in runs]
+            keys = {k for p in per_rep for k in p}
+            phases[stage] = {
+                k: min(p[k] for p in per_rep if k in p) for k in sorted(keys)
+            }
         total = times["compact"] + times["cluster"] + times["merge"] + times["verify"]
         r0 = runs[0]
         best[lv] = {
             "cpus": lv,
             "n_reps": len(runs),
             "times": times,
+            "phases": phases,
             "maint_sec": round(total, 3),
             "rows": r0["rows"],
             "rows_per_sec": round(r0["rows"] / total, 1),
@@ -228,6 +239,7 @@ def report(best, levels, img_rows, reps):
         },
         "cpu_ceiling_N2_to_N8": round(ceil_2_8, 3),
         "cpu_ceiling_N8_to_N32": round(ceil_8_32, 3),
+        "phase_minima": {str(lv): best[lv].get("phases", {}) for lv in levels},
         "relative_efficiency_N2_to_N8": round(min(eff_2_8 / ceil_2_8, 1.5), 3),
         "pass_0_8": eff_2_8 >= 0.8,
     }
