@@ -268,7 +268,10 @@ class Table:
             new_manifest = pd.concat(
                 [self.manifest_pdf(), new_manifest], ignore_index=True
             )
-        sid = (meta.current_snapshot_id or 0) + 1
+        # next id = max over HISTORY, not current+1: after rollback() the
+        # current pointer sits on an old snapshot while later ids still
+        # exist in the log — current+1 would overwrite their manifests
+        sid = max((s.snapshot_id for s in meta.snapshots), default=0) + 1
         rel = self._write_manifest(sid, new_manifest)
         snap = Snapshot(
             snapshot_id=sid,
@@ -287,6 +290,20 @@ class Table:
         meta.current_snapshot_id = sid
         self._write_metadata_version(version + 1, meta)
         return snap
+
+    def rollback(self, snapshot_id: int) -> Snapshot:
+        """Iceberg-style rollback: a NEW metadata version whose current
+        pointer returns to an earlier snapshot. History is preserved —
+        time travel still reads the rolled-back snapshots until
+        ``expire_snapshots`` reaps them — and the next ``commit`` branches
+        from here with a fresh (never-reused) snapshot id."""
+        version = self.current_version()
+        meta = self.metadata(version)
+        if snapshot_id not in {s.snapshot_id for s in meta.snapshots}:
+            raise KeyError(f"unknown snapshot {snapshot_id}")
+        meta.current_snapshot_id = int(snapshot_id)
+        self._write_metadata_version(version + 1, meta)
+        return self.snapshot(snapshot_id)
 
     # ---------- write paths ----------
 

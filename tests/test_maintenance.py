@@ -434,3 +434,60 @@ def test_cluster_udf_route_path(tmp_path, spark, monkeypatch):
     cluster(t, spark, curve="morton", target_file_size_bytes=TARGET // 4)
     assert table_fingerprint(t, spark) == before
     assert clustering_quality(t, "phash") < q_before
+
+
+# ---------------- DELETE + rollback ----------------
+
+
+def test_delete_where_copy_on_write(tmp_path, spark):
+    from aws_medallion_datalake_spark.operators import delete_where
+
+    t = make_table(tmp_path, spark)
+    cluster(t, spark, curve="morton", target_file_size_bytes=TARGET)
+    before = table_fingerprint(t, spark)
+    man_before = t.manifest_pdf()
+    lo = int(man_before["min_phash"].min())
+    hi = int(man_before["min_phash"].quantile(0.3))
+    pred = [("phash", "between", (lo, hi))]
+    expect_deleted = t.scan(spark, predicates=pred).count()
+    assert expect_deleted > 0
+
+    snap = delete_where(t, spark, pred, target_file_size_bytes=TARGET)
+    assert snap is not None and snap.operation == "delete"
+    assert snap.summary["rows_deleted"] == expect_deleted
+    # clustered table: pruning means only overlapping files rewrote
+    assert snap.summary["files_rewritten"] < len(man_before)
+    # untouched files keep their identity (true copy-on-write)
+    man_after = t.manifest_pdf()
+    untouched = set(man_before["path"]) & set(man_after["path"])
+    assert len(untouched) == len(man_before) - snap.summary["files_rewritten"]
+    # content: rows matching the predicate are gone, everything else kept
+    assert t.scan(spark).count() == before[0] - expect_deleted
+    assert t.scan(spark, predicates=pred).count() == 0
+    # snapshot isolation: the pre-delete snapshot still sees every row
+    assert t.scan(spark, snapshot_id=snap.parent_snapshot_id).count() == before[0]
+    # no-op delete (range below every file's min) commits nothing
+    assert delete_where(t, spark, [("phash", "<=", lo - 1)]) is None
+
+
+def test_rollback_restores_and_branches(tmp_path, spark):
+    t = make_table(tmp_path, spark)
+    rows_v1 = t.scan(spark).count()
+    sid1 = t.metadata().current_snapshot_id
+    t.commit("append", t.write_files(generate_images(spark, 120, n_files=2, start=10000)))
+    sid2 = t.metadata().current_snapshot_id
+    assert t.scan(spark).count() == rows_v1 + 120
+
+    back = t.rollback(sid1)
+    assert back.snapshot_id == sid1
+    assert t.scan(spark).count() == rows_v1
+    # abandoned snapshot still time-travel readable until expiry
+    assert t.scan(spark, snapshot_id=sid2).count() == rows_v1 + 120
+
+    # committing after rollback branches with a FRESH id (no overwrite)
+    t.commit("append", t.write_files(generate_images(spark, 60, n_files=1, start=20000)))
+    sid3 = t.metadata().current_snapshot_id
+    assert sid3 > sid2
+    assert t.snapshot(sid3).parent_snapshot_id == sid1
+    assert t.scan(spark).count() == rows_v1 + 60
+    assert t.scan(spark, snapshot_id=sid2).count() == rows_v1 + 120
