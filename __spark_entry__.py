@@ -1750,13 +1750,17 @@ def q_image_medallion(spark, sf_dir):
 
 
 def q_image_maintenance(spark, sf_dir):
-    """compact → cluster(hilbert) → merge → expire on the image table,
-    then a post-maintenance scan aggregate (deterministic invariants:
-    row counts, distinct ids, byte totals per partition)."""
+    """compact → cluster(hilbert) → merge → delete → expire on the image
+    table, then a post-maintenance scan aggregate (deterministic
+    invariants: row counts, distinct ids, byte totals per partition).
+    The delete stage removes a deterministic phash range via
+    stats-pruned copy-on-write (operators/delete.py), so the final
+    aggregate also witnesses row-level delete correctness."""
     import tempfile
 
     from aws_medallion_datalake_spark.operators.cluster import cluster
     from aws_medallion_datalake_spark.operators.compact import compact
+    from aws_medallion_datalake_spark.operators.delete import delete_where
     from aws_medallion_datalake_spark.operators.expire import expire_snapshots
     from aws_medallion_datalake_spark.operators.merge import merge_into
     from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
@@ -1768,6 +1772,7 @@ def q_image_maintenance(spark, sf_dir):
     cluster(t, spark, curve="hilbert", target_file_size_bytes=1 << 22)
     src = generate_updates(spark, _IMG_ROWS, 40, 20, n_files=4)
     merge_into(t, spark, src, key="image_id", target_file_size_bytes=1 << 22)
+    delete_where(t, spark, [("phash", "<=", 1 << 59)])  # deterministic range
     expire_snapshots(t, keep_last=1)
     return (
         t.scan(spark)
