@@ -63,6 +63,7 @@ def main() -> None:
     import __spark_entry__ as entry
     from aws_medallion_datalake_spark.operators.cluster import cluster
     from aws_medallion_datalake_spark.operators.compact import compact
+    from aws_medallion_datalake_spark.operators.delete import delete_where
     from aws_medallion_datalake_spark.operators.expire import expire_snapshots
     from aws_medallion_datalake_spark.operators.merge import merge_into
     from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
@@ -114,6 +115,16 @@ def main() -> None:
         merge_into(t, spark, src, key="image_id", target_file_size_bytes=8 << 20)
         merge_sec = time.time() - t0
         times["maint_merge"] = round(merge_sec, 3)
+
+        t0 = time.time()
+        lo_del = int(t.manifest_pdf()["min_phash"].min())
+        delete_where(
+            t,
+            spark,
+            [("phash", "between", (lo_del, lo_del + (1 << 57)))],
+            target_file_size_bytes=8 << 20,
+        )
+        times["maint_delete"] = round(time.time() - t0, 3)
 
         t0 = time.time()
         expire_snapshots(t, keep_last=2)
