@@ -26,6 +26,7 @@ from ..sources.tableformat import Table
 from .checkpoint import RunCheckpoint
 from .cluster import cluster
 from .compact import compact
+from .delete import delete_where
 from .expire import expire_snapshots
 from .merge import merge_into
 
@@ -37,6 +38,7 @@ def run_maintenance(
     checkpoint_path: str,
     stages: Sequence[str] = ("compact", "cluster", "merge", "expire"),
     merge_source: Optional[DataFrame] = None,
+    delete_predicates: Optional[Sequence[tuple]] = None,
     target_file_size_bytes: int = 128 * 1024 * 1024,
     curve: str = "morton",
     keep_last: int = 1,
@@ -79,6 +81,22 @@ def run_maintenance(
                 )
                 metrics = dict(snap.summary, snapshot_id=snap.snapshot_id)
             cp.stage_done("merge", metrics)
+        elif stage == "delete":
+            if not delete_predicates:
+                metrics = {"noop": "no delete predicates"}
+            else:
+                snap = delete_where(
+                    table,
+                    spark,
+                    delete_predicates,
+                    target_file_size_bytes=target_file_size_bytes,
+                )
+                metrics = (
+                    dict(snap.summary, snapshot_id=snap.snapshot_id)
+                    if snap
+                    else {"noop": "no matching rows"}
+                )
+            cp.stage_done("delete", metrics)
         elif stage == "expire":
             metrics = expire_snapshots(table, keep_last=keep_last)
             cp.stage_done("expire", metrics)
@@ -109,6 +127,12 @@ print(build_pyfiles_zip())')" run_maintenance.py \
     p.add_argument("--checkpoint", required=True, help="run-checkpoint path")
     p.add_argument("--stages", default="compact,cluster,merge,expire")
     p.add_argument("--merge-source", default=None, help="parquet path of MERGE source")
+    p.add_argument(
+        "--delete-where",
+        default=None,
+        help='JSON predicate triples for the delete stage, e.g. '
+        '\'[["phash","between",[0, 1000]]]\'',
+    )
     p.add_argument("--target-file-size-mb", type=int, default=128)
     p.add_argument("--curve", default="morton", choices=["morton", "zorder", "hilbert"])
     p.add_argument("--keep-last", type=int, default=1)
@@ -123,12 +147,19 @@ print(build_pyfiles_zip())')" run_maintenance.py \
     spark = get_session(master=args.master or "local[*]")
     table = Table.load(args.table)
     src = spark.read.parquet(args.merge_source) if args.merge_source else None
+    preds = None
+    if args.delete_where:
+        preds = [
+            (c, op, tuple(v) if isinstance(v, list) else v)
+            for c, op, v in json.loads(args.delete_where)
+        ]
     metrics = run_maintenance(
         table,
         spark,
         checkpoint_path=args.checkpoint,
         stages=tuple(s.strip() for s in args.stages.split(",") if s.strip()),
         merge_source=src,
+        delete_predicates=preds,
         target_file_size_bytes=args.target_file_size_mb << 20,
         curve=args.curve,
         keep_last=args.keep_last,

@@ -278,16 +278,19 @@ def test_run_maintenance_cli(tmp_path, spark):
             [
                 "--table", t.root,
                 "--checkpoint", str(tmp_path / "ckpt"),
-                "--stages", "compact,cluster,merge,expire",
+                "--stages", "compact,cluster,merge,delete,expire",
                 "--merge-source", src_dir,
+                "--delete-where", '[["phash", "<=", %d]]' % (1 << 59),
                 "--target-file-size-mb", "4",
             ]
         )
     metrics = json.loads(buf.getvalue().strip().splitlines()[-1])
-    assert set(metrics) == {"compact", "cluster", "merge", "expire"}
+    assert set(metrics) == {"compact", "cluster", "merge", "delete", "expire"}
     assert metrics["merge"]["rows_inserted"] == 10
     assert metrics["merge"]["rows_updated"] == 30
-    assert t.scan(spark).count() == 310
+    n_deleted = metrics["delete"].get("rows_deleted", 0)
+    assert t.scan(spark).count() == 310 - n_deleted
+    assert t.scan(spark, predicates=[("phash", "<=", 1 << 59)]).count() == 0
 
 
 # ---------------- round-2 behaviors ----------------
