@@ -54,6 +54,31 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(10**6).select(F.sum("id")).collect()  # JVM warmup
+    # Fault in executor heap + spawn/warm the Arrow python workers OUTSIDE
+    # the timed stages: production executors are long-lived (their heap
+    # high-water mark is already resident), while each bench rep starts a
+    # fresh JVM whose first GB of page faults would otherwise be charged
+    # to whichever stage touches it first — and this host's fault
+    # servicing is intermittently ~1 ms/page (see alloc_baseline).
+    try:
+        spark.range(0, cpus * 24, 1, cpus * 4).select(
+            F.sum(F.length(F.repeat(F.lit("warmxxxx"), 4 << 20)))
+        ).collect()
+        import pandas as _pd
+
+        @F.pandas_udf("long")
+        def _touch(v: _pd.Series) -> _pd.Series:
+            import numpy as _np
+
+            buf = _np.empty(64 << 20, dtype=_np.uint8)
+            buf[::4096] = 1  # fault 64 MB of worker memory per batch
+            return v
+
+        spark.range(0, cpus * 4, 1, cpus).select(
+            F.sum(_touch(F.col("id")))
+        ).collect()
+    except Exception as e:  # noqa: BLE001 — warmup is best-effort
+        sys.stderr.write(f"warmup skipped: {e}\n")
 
     def cpu_baseline() -> float:
         # perfectly-parallel CPU-only job (sha256 over range, zero IO,
