@@ -15,10 +15,18 @@ reachability GC, manifest-list rewrite"):
 4. write a new metadata version whose snapshot list contains only the
    retained snapshots.
 
-The walk is driver-side ``os.walk`` here; at 10^8-file scale the listing
-and the reachable-set anti-join run as a Spark job over the manifest
-DataFrames (the reachable set is already columnar parquet) — the policy
-logic is identical.
+Two GC executions share that policy:
+
+- **driver path** (default below ``SPARK_MANIFEST_THRESHOLD`` manifest
+  entries): ``os.walk`` + a python set — zero job overhead for the
+  common small/medium table.
+- **Spark path** (``spark=`` given and the retained manifests are large,
+  or ``force_spark=True``): the listing parallelizes over commit
+  prefixes (one executor task walks each slice), the reachable set is
+  the retained manifests read as parquet, orphans = listing ANTI-JOIN
+  reachable, and deletion runs in ``foreachPartition`` — no file list
+  ever materializes on the driver, so 10^8-file tables GC at executor
+  parallelism.
 """
 
 from __future__ import annotations
@@ -30,12 +38,81 @@ from typing import Optional
 
 import pyarrow.parquet as pq
 
-from ..sources.tableformat import Table
+from ..sources.tableformat import SPARK_MANIFEST_THRESHOLD, Table
+
+
+def _spark_gc(table: Table, spark, retained, dry_run: bool) -> tuple:
+    """Distributed orphan GC over ``data_dir``: returns
+    (deleted_files, freed_bytes) for files unreachable from any retained
+    manifest."""
+    from pyspark.sql import functions as F
+
+    sc = spark.sparkContext
+    prefixes = sorted(
+        os.path.join(table.data_dir, d)
+        for d in os.listdir(table.data_dir)
+        if os.path.isdir(os.path.join(table.data_dir, d))
+    )
+    if not prefixes:
+        return 0, 0
+
+    def _walk(paths):
+        import os as _os
+
+        for p in paths:
+            for dirpath, _dn, fns in _os.walk(p):
+                for fn in fns:
+                    full = _os.path.join(dirpath, fn)
+                    try:
+                        yield (full, _os.path.getsize(full))
+                    except OSError:  # racing writer/cleaner
+                        pass
+
+    n_slices = max(1, min(len(prefixes), sc.defaultParallelism * 4))
+    listing = spark.createDataFrame(
+        sc.parallelize(prefixes, n_slices).mapPartitions(_walk),
+        schema="abs_path string, size long",
+    )
+    manifest_paths = [os.path.join(table.root, s.manifest_path) for s in retained]
+    if manifest_paths:
+        sep = os.sep
+        reach = (
+            spark.read.parquet(*manifest_paths)
+            .select(
+                F.concat(F.lit(table.root + sep), F.col("path")).alias("abs_path")
+            )
+            .distinct()
+        )
+        orphans = listing.join(reach, "abs_path", "left_anti")
+    else:
+        orphans = listing
+    orphans = orphans.persist()
+    try:
+        agg = orphans.agg(
+            F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("size"), F.lit(0)).alias("b")
+        ).first()
+        if not dry_run and agg["n"]:
+
+            def _rm(rows):
+                import os as _os
+
+                for r in rows:
+                    try:
+                        _os.remove(r.abs_path)
+                    except OSError:
+                        pass
+
+            orphans.foreachPartition(_rm)
+    finally:
+        orphans.unpersist()
+    return int(agg["n"]), int(agg["b"])
 
 
 def expire_snapshots(
     table: Table,
     *,
+    spark=None,
+    force_spark: bool = False,
     keep_last: int = 1,
     older_than_ms: Optional[int] = None,
     dry_run: bool = False,
@@ -57,22 +134,34 @@ def expire_snapshots(
     )
     expired = [s for s in snaps if s not in retained]
 
-    reachable = set()
-    for s in retained:
-        reachable.add(os.path.join(table.root, s.manifest_path))
-        man = pq.read_table(os.path.join(table.root, s.manifest_path), columns=["path"])
-        reachable.update(os.path.join(table.root, p) for p in man.column("path").to_pylist())
-
-    deleted_files = 0
-    freed_bytes = 0
-    for dirpath, _dirnames, filenames in os.walk(table.data_dir):
-        for fn in filenames:
-            full = os.path.join(dirpath, fn)
-            if full not in reachable:
-                freed_bytes += os.path.getsize(full)
-                deleted_files += 1
-                if not dry_run:
-                    os.remove(full)
+    retained_manifests = {os.path.join(table.root, s.manifest_path) for s in retained}
+    n_entries = sum(
+        pq.ParquetFile(m).metadata.num_rows for m in retained_manifests
+    )
+    use_spark = spark is not None and (
+        force_spark or n_entries > SPARK_MANIFEST_THRESHOLD
+    )
+    reachable = set(retained_manifests)
+    if use_spark:
+        deleted_files, freed_bytes = _spark_gc(table, spark, retained, dry_run)
+    else:
+        for s in retained:
+            man = pq.read_table(
+                os.path.join(table.root, s.manifest_path), columns=["path"]
+            )
+            reachable.update(
+                os.path.join(table.root, p) for p in man.column("path").to_pylist()
+            )
+        deleted_files = 0
+        freed_bytes = 0
+        for dirpath, _dirnames, filenames in os.walk(table.data_dir):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                if full not in reachable:
+                    freed_bytes += os.path.getsize(full)
+                    deleted_files += 1
+                    if not dry_run:
+                        os.remove(full)
     # expired manifests
     for s in expired:
         mpath = os.path.join(table.root, s.manifest_path)

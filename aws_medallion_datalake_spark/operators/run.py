@@ -98,7 +98,7 @@ def run_maintenance(
                 )
             cp.stage_done("delete", metrics)
         elif stage == "expire":
-            metrics = expire_snapshots(table, keep_last=keep_last)
+            metrics = expire_snapshots(table, spark=spark, keep_last=keep_last)
             cp.stage_done("expire", metrics)
         else:
             raise ValueError(f"unknown stage {stage!r}")

@@ -234,6 +234,52 @@ def test_expire_gc(tmp_path, spark):
     assert on_disk == set(t.manifest_pdf()["path"])
 
 
+def test_expire_gc_spark_path(tmp_path, spark):
+    """force_spark exercises the distributed listing/anti-join/delete GC;
+    outcome must be identical to the driver path."""
+    t = make_table(tmp_path, spark)
+    compact(t, spark, target_file_size_bytes=TARGET)
+    cluster(t, spark, target_file_size_bytes=TARGET)
+    rows = t.scan(spark).count()
+    dry = expire_snapshots(t, spark=spark, force_spark=True, keep_last=1, dry_run=True)
+    assert dry["deleted_files"] > 0 and dry["freed_bytes"] > 0
+    metrics = expire_snapshots(t, spark=spark, force_spark=True, keep_last=1)
+    assert metrics["expired_snapshots"] == [1, 2]
+    assert metrics["deleted_files"] == dry["deleted_files"]
+    assert t.scan(spark).count() == rows
+    on_disk = set()
+    for dirpath, _d, files in os.walk(t.data_dir):
+        for fn in files:
+            on_disk.add(os.path.relpath(os.path.join(dirpath, fn), t.root))
+    assert on_disk == set(t.manifest_pdf()["path"])
+
+
+def test_merge_smj_fallback_matches_oracle(tmp_path, spark):
+    """broadcast_key_limit=0 forces the sort-merge fallback (the path a
+    non-broadcastable 10^10-key source takes); result must equal the
+    broadcast path's upsert algebra."""
+    n = 300
+    t = make_table(tmp_path, spark, n=n, n_files=8)
+    compact(t, spark, target_file_size_bytes=TARGET)
+    target_before = t.scan(spark).select("image_id", "caption", "phash").cache()
+    source = generate_updates(spark, n, n_updates=70, n_inserts=30).cache()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        snap = merge_into(t, spark, source, broadcast_key_limit=0)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert snap.summary["rows_updated"] == 70
+    assert snap.summary["rows_inserted"] == 30
+    expected = (
+        target_before.join(source.select("image_id"), "image_id", "left_anti")
+        .unionByName(source.select("image_id", "caption", "phash"))
+    )
+    merged = t.scan(spark).select("image_id", "caption", "phash")
+    assert merged.count() == n + 30
+    assert merged.exceptAll(expected).isEmpty()
+
+
 # ---------------- full run driver ----------------
 
 
