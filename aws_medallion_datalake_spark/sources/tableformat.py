@@ -475,26 +475,56 @@ class Table:
                 )
             expected_parent = s.snapshot_id
         try:
-            prev_paths = set(self.manifest_pdf(from_snapshot_id)["path"])
+            self.snapshot(from_snapshot_id)
         except KeyError as e:
             raise KeyError(
                 f"snapshot {from_snapshot_id} expired — incremental "
                 f"consumers must keep up with the expiry retention window"
             ) from e
+        # planner path, like scan(): driver-side python sets are O(manifest)
+        # memory per snapshot; above the threshold the added-file diff runs
+        # as a Spark anti-join per chain link and only the ADDED paths (the
+        # actual incremental payload, retention-bounded) reach the driver
+        mrows = (
+            pq.ParquetFile(
+                os.path.join(self.root, self.snapshot(from_snapshot_id).manifest_path)
+            ).metadata.num_rows
+        )
+        use_spark = mrows > SPARK_MANIFEST_THRESHOLD
         new_paths: list = []
-        for s in chain:
-            cur_paths = set(self.manifest_pdf(s.snapshot_id)["path"])
-            added = cur_paths - prev_paths
-            if s.operation == "append":
-                new_paths += sorted(added)
-            elif s.operation == "merge":
-                delta_prefix = s.summary.get("delta_prefix")
-                if delta_prefix:
-                    new_paths += sorted(
-                        p for p in added if p.startswith(delta_prefix)
-                    )
-            # replace / expire: physical-only, nothing emitted
-            prev_paths = cur_paths
+        if use_spark:
+            prev_man = self.manifest_df(spark, from_snapshot_id).select("path")
+            for s in chain:
+                cur_man = self.manifest_df(spark, s.snapshot_id).select("path")
+                if s.operation in ("append", "merge"):
+                    added_df = cur_man.join(prev_man, "path", "left_anti")
+                    if s.operation == "merge":
+                        delta_prefix = s.summary.get("delta_prefix")
+                        added_df = (
+                            added_df.filter(
+                                F.col("path").startswith(delta_prefix)
+                            )
+                            if delta_prefix
+                            else added_df.limit(0)
+                        )
+                    new_paths += sorted(r["path"] for r in added_df.collect())
+                # replace / expire: physical-only, nothing emitted
+                prev_man = cur_man
+        else:
+            prev_paths = set(self.manifest_pdf(from_snapshot_id)["path"])
+            for s in chain:
+                cur_paths = set(self.manifest_pdf(s.snapshot_id)["path"])
+                added = cur_paths - prev_paths
+                if s.operation == "append":
+                    new_paths += sorted(added)
+                elif s.operation == "merge":
+                    delta_prefix = s.summary.get("delta_prefix")
+                    if delta_prefix:
+                        new_paths += sorted(
+                            p for p in added if p.startswith(delta_prefix)
+                        )
+                # replace / expire: physical-only, nothing emitted
+                prev_paths = cur_paths
         if not new_paths:
             return spark.createDataFrame([], schema=meta.schema_ddl)
         df = spark.read.schema(self._schema(spark)).parquet(

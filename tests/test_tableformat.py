@@ -187,6 +187,26 @@ def test_changes_snapshot_diff(table, spark, tmp_path):
         table.changes(spark, s1)
 
 
+def test_changes_spark_diff_path(table, spark, monkeypatch):
+    """Forcing the ≥threshold planner, the manifest anti-join diff must
+    emit exactly what the driver-side set diff emits."""
+    import aws_medallion_datalake_spark.sources.tableformat as tf
+    from aws_medallion_datalake_spark.operators.compact import compact
+    from aws_medallion_datalake_spark.operators.merge import merge_into
+    from aws_medallion_datalake_spark.sources.generator import generate_updates
+
+    s1 = table.metadata().current_snapshot_id
+    table.commit("append", table.write_files(generate_images(spark, 30, n_files=2, start=7000)))
+    src = generate_updates(spark, 200, n_updates=25, n_inserts=10)
+    merge_into(table, spark, src)
+    compact(table, spark, target_file_size_bytes=1 << 20)
+    s4 = table.metadata().current_snapshot_id
+    expected = {r.image_id for r in table.changes(spark, s1, s4).collect()}
+    monkeypatch.setattr(tf, "SPARK_MANIFEST_THRESHOLD", 0)
+    got = {r.image_id for r in table.changes(spark, s1, s4).collect()}
+    assert got == expected and len(got) == 65
+
+
 def test_scan_spark_manifest_planner_path(table, spark, monkeypatch):
     """Above SPARK_MANIFEST_THRESHOLD the pruning predicate runs as a
     Spark job over the manifest parquet; results must be identical to
