@@ -31,7 +31,12 @@ from typing import Optional
 import pandas as pd
 from pyspark.sql import SparkSession
 
-from ..plans.binpack import CompactionGroup, CompactionPlan, plan_compaction
+from ..plans.binpack import (
+    CompactionGroup,
+    CompactionPlan,
+    plan_compaction,
+    plan_compaction_spark,
+)
 from ..sources.tableformat import Snapshot, Table
 from .checkpoint import RunCheckpoint
 from .timing import PhaseTimer
@@ -165,11 +170,29 @@ def compact(
     t0 = time.time()
     pt = PhaseTimer()
     with pt.phase("plan"):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from ..sources.tableformat import SPARK_MANIFEST_THRESHOLD
+
         src_snapshot = table.metadata().current_snapshot_id
-        man = table.manifest_pdf()
-        plan: CompactionPlan = plan_compaction(
-            man, target_file_size_bytes, min_input_files=min_input_files
-        )
+        mpath = os.path.join(table.root, table.snapshot().manifest_path)
+        n_entries = pq.ParquetFile(mpath).metadata.num_rows
+        if n_entries > SPARK_MANIFEST_THRESHOLD:
+            # distributed planning: the FFD loop runs per-partition on
+            # executors; the driver gets one row per GROUP, not per file
+            plan: CompactionPlan = plan_compaction_spark(
+                table.manifest_df(spark),
+                target_file_size_bytes,
+                min_input_files=min_input_files,
+            )
+        else:
+            plan = plan_compaction(
+                table.manifest_pdf(),
+                target_file_size_bytes,
+                min_input_files=min_input_files,
+            )
     if not plan.groups:
         return None
 
@@ -220,6 +243,8 @@ def compact(
                 f.result()  # surface the first failure
 
     rewritten = plan.rewritten_paths
+    # the commit manifest is pandas either way; load it once, here
+    man = table.manifest_pdf()
     keep = man[~man["path"].isin(rewritten)]
     prefixes = [results[i] for i in range(len(batches))]
     with pt.phase("stats"):

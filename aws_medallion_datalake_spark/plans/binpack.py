@@ -9,9 +9,12 @@ file. Oversized files get their own split groups.
 
 Planning is O(files log files) pure pandas on the manifest — no data read.
 At 10^8-file scale the same FFD runs per-partition inside a Spark
-``applyInPandas`` over the manifest DataFrame (partition count is the
-parallelism); the planner is deliberately a pure function of manifest rows
-so both paths share it.
+``applyInPandas`` over the manifest DataFrame (``plan_compaction_spark``;
+partition count is the parallelism) — ``compact()`` picks the path by
+manifest row count, like ``Table.scan``'s planner split. The planner is
+deliberately a pure function of manifest rows so both paths share it; the
+driver receives only the resulting GROUPS (bounded by the rewrite batch,
+and their path lists are needed driver-side anyway to submit the read).
 """
 
 from __future__ import annotations
@@ -153,4 +156,76 @@ def plan_compaction(
                 )
             )
             gid += 1
+    return CompactionPlan(groups=groups)
+
+
+_GROUP_ROW_DDL = (
+    "partition_json string, kind string, paths array<string>, "
+    "input_bytes long, input_records long, n_output_files int, ordered boolean"
+)
+
+
+def plan_compaction_spark(
+    manifest_df,
+    target_file_size_bytes: int,
+    *,
+    min_input_files: int = 2,
+    small_file_ratio: float = 0.75,
+    max_file_ratio: float = 1.8,
+    order_col: str = "phash",
+) -> CompactionPlan:
+    """The ≥``SPARK_MANIFEST_THRESHOLD`` planner: run ``plan_compaction``
+    per partition inside ``applyInPandas`` over the manifest DataFrame.
+    The quadratic-ish FFD/next-fit loop executes on executors (one task
+    per partition); the driver collects one row per GROUP, not per file."""
+
+    def _plan_slice(pdf: pd.DataFrame) -> pd.DataFrame:
+        plan = plan_compaction(
+            pdf,
+            target_file_size_bytes,
+            min_input_files=min_input_files,
+            small_file_ratio=small_file_ratio,
+            max_file_ratio=max_file_ratio,
+            order_col=order_col,
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "partition_json": g.partition_json,
+                    "kind": g.kind,
+                    "paths": list(g.paths),
+                    "input_bytes": g.input_bytes,
+                    "input_records": g.input_records,
+                    "n_output_files": g.n_output_files,
+                    "ordered": bool(g.ordered),
+                }
+                for g in plan.groups
+            ],
+            columns=[
+                "partition_json", "kind", "paths", "input_bytes",
+                "input_records", "n_output_files", "ordered",
+            ],
+        )
+
+    rows = (
+        manifest_df.groupBy("partition_json")
+        .applyInPandas(_plan_slice, _GROUP_ROW_DDL)
+        .toPandas()
+    )
+    # deterministic group ids across runs: order by partition, kind, lead path
+    rows["_lead"] = rows["paths"].map(lambda ps: ps[0] if len(ps) else "")
+    rows = rows.sort_values(["partition_json", "kind", "_lead"]).reset_index(drop=True)
+    groups = [
+        CompactionGroup(
+            group_id=i,
+            partition_json=str(r["partition_json"]),
+            kind=str(r["kind"]),
+            paths=list(r["paths"]),
+            input_bytes=int(r["input_bytes"]),
+            input_records=int(r["input_records"]),
+            n_output_files=int(r["n_output_files"]),
+            ordered=bool(r["ordered"]),
+        )
+        for i, r in rows.iterrows()
+    ]
     return CompactionPlan(groups=groups)
