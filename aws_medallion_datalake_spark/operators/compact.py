@@ -170,15 +170,10 @@ def compact(
     t0 = time.time()
     pt = PhaseTimer()
     with pt.phase("plan"):
-        import os
-
-        import pyarrow.parquet as pq
-
         from ..sources.tableformat import SPARK_MANIFEST_THRESHOLD
 
         src_snapshot = table.metadata().current_snapshot_id
-        mpath = os.path.join(table.root, table.snapshot().manifest_path)
-        n_entries = pq.ParquetFile(mpath).metadata.num_rows
+        n_entries = table.manifest_rows()
         if n_entries > SPARK_MANIFEST_THRESHOLD:
             # distributed planning: the FFD loop runs per-partition on
             # executors; the driver gets one row per GROUP, not per file

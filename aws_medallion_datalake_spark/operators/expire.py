@@ -73,7 +73,9 @@ def _spark_gc(table: Table, spark, retained, dry_run: bool) -> tuple:
         sc.parallelize(prefixes, n_slices).mapPartitions(_walk),
         schema="abs_path string, size long",
     )
-    manifest_paths = [os.path.join(table.root, s.manifest_path) for s in retained]
+    manifest_paths = sorted(
+        {os.path.join(table.root, rel) for s in retained for rel in s.manifest_paths}
+    )
     if manifest_paths:
         sep = os.sep
         reach = (
@@ -134,7 +136,9 @@ def expire_snapshots(
     )
     expired = [s for s in snaps if s not in retained]
 
-    retained_manifests = {os.path.join(table.root, s.manifest_path) for s in retained}
+    retained_manifests = {
+        os.path.join(table.root, rel) for s in retained for rel in s.manifest_paths
+    }
     n_entries = sum(
         pq.ParquetFile(m).metadata.num_rows for m in retained_manifests
     )
@@ -145,10 +149,8 @@ def expire_snapshots(
     if use_spark:
         deleted_files, freed_bytes = _spark_gc(table, spark, retained, dry_run)
     else:
-        for s in retained:
-            man = pq.read_table(
-                os.path.join(table.root, s.manifest_path), columns=["path"]
-            )
+        for mpath in sorted(retained_manifests):
+            man = pq.read_table(mpath, columns=["path"])
             reachable.update(
                 os.path.join(table.root, p) for p in man.column("path").to_pylist()
             )
@@ -162,9 +164,12 @@ def expire_snapshots(
                     deleted_files += 1
                     if not dry_run:
                         os.remove(full)
-    # expired manifests
-    for s in expired:
-        mpath = os.path.join(table.root, s.manifest_path)
+    # expired manifests (delta manifests shared with a retained snapshot's
+    # manifest list survive — reachable includes every retained manifest)
+    expired_manifests = {
+        os.path.join(table.root, rel) for s in expired for rel in s.manifest_paths
+    } - retained_manifests
+    for mpath in sorted(expired_manifests):
         if os.path.exists(mpath) and mpath not in reachable:
             freed_bytes += os.path.getsize(mpath)
             deleted_files += 1

@@ -31,7 +31,7 @@ from .tableformat import MANIFEST_BASE_COLS, Table
 
 _SNAPSHOTS_DDL = (
     "snapshot_id long, parent_snapshot_id long, committed_at timestamp, "
-    "operation string, manifest_path string, summary map<string,string>"
+    "operation string, manifest_paths array<string>, summary map<string,string>"
 )
 
 _HISTORY_DDL = (
@@ -61,7 +61,7 @@ def snapshots_df(table: Table, spark: SparkSession) -> DataFrame:
             s.parent_snapshot_id,
             _ts(s.timestamp_ms),
             s.operation,
-            s.manifest_path,
+            list(s.manifest_paths),
             _summary_map(s.summary),
         )
         for s in table.metadata().snapshots

@@ -72,8 +72,22 @@ class Snapshot:
     parent_snapshot_id: Optional[int]
     timestamp_ms: int
     operation: str  # append | replace | merge | expire
-    manifest_path: str  # relative to table root
+    # manifest LIST (Iceberg-style): the snapshot's file set is the union
+    # of these manifest parquets. An append commit writes ONLY a delta
+    # manifest and shares its ancestors' manifests, so appending to a
+    # 10^8-file table writes O(added files) manifest bytes, not O(table).
+    # Rewriting operations (replace/merge/expire) emit one full manifest.
+    manifest_paths: list = field(default_factory=list)  # relative to root
     summary: dict = field(default_factory=dict)
+
+    @staticmethod
+    def from_dict(d: dict) -> "Snapshot":
+        d = dict(d)
+        # format v1 compat: single `manifest_path` string
+        legacy = d.pop("manifest_path", None)
+        if legacy is not None and not d.get("manifest_paths"):
+            d["manifest_paths"] = [legacy]
+        return Snapshot(**d)
 
 
 @dataclass
@@ -113,7 +127,7 @@ class TableMetadata:
             partition_cols=d["partition_cols"],
             stats_cols=d["stats_cols"],
             current_snapshot_id=d["current_snapshot_id"],
-            snapshots=[Snapshot(**s) for s in d["snapshots"]],
+            snapshots=[Snapshot.from_dict(s) for s in d["snapshots"]],
             properties=d.get("properties", {}),
         )
 
@@ -209,16 +223,31 @@ class Table:
 
     # ---------- manifests ----------
 
+    def manifest_abs_paths(self, snapshot_id: Optional[int] = None) -> list:
+        """Absolute paths of the snapshot's manifest list."""
+        s = self.snapshot(snapshot_id)
+        return [os.path.join(self.root, p) for p in s.manifest_paths]
+
+    def manifest_rows(self, snapshot_id: Optional[int] = None) -> int:
+        """Manifest entry count (= data-file count) from parquet footers —
+        no manifest read; drives the pandas-vs-Spark planner split."""
+        return sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in self.manifest_abs_paths(snapshot_id)
+        )
+
     def manifest_pdf(self, snapshot_id: Optional[int] = None) -> pd.DataFrame:
         """Manifest as pandas (planner-side). Columns: MANIFEST_BASE_COLS +
         min_<c>/max_<c>/nulls_<c> per stats column."""
-        s = self.snapshot(snapshot_id)
-        return pq.read_table(os.path.join(self.root, s.manifest_path)).to_pandas()
+        parts = [
+            pq.read_table(p).to_pandas()
+            for p in self.manifest_abs_paths(snapshot_id)
+        ]
+        return parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
 
     def manifest_df(self, spark: SparkSession, snapshot_id: Optional[int] = None) -> DataFrame:
         """Manifest as a Spark DataFrame (the ≥ SPARK_MANIFEST_THRESHOLD path)."""
-        s = self.snapshot(snapshot_id)
-        return spark.read.parquet(os.path.join(self.root, s.manifest_path))
+        return spark.read.parquet(*self.manifest_abs_paths(snapshot_id))
 
     def _write_manifest(self, snapshot_id: int, entries: pd.DataFrame) -> str:
         rel = os.path.join("metadata", f"manifest-{snapshot_id}.parquet")
@@ -251,9 +280,11 @@ class Table:
         """Commit the next snapshot (atomic).
 
         ``operation == "append"``: ``new_manifest`` holds only the ADDED
-        files; they are concatenated onto the current manifest. Any other
+        files; they are written as a DELTA manifest and the snapshot's
+        manifest LIST shares every ancestor manifest — an append to a
+        10^8-file table writes O(added) manifest bytes. Any other
         operation (replace/merge/expire): ``new_manifest`` IS the full new
-        file list.
+        file list, written as a single fresh manifest.
 
         ``properties`` are merged into the table properties in the SAME
         metadata version — the non-prunable state streaming sinks use for
@@ -264,32 +295,62 @@ class Table:
         meta = self.metadata(version)
         if properties:
             meta.properties.update({str(k): str(v) for k, v in properties.items()})
-        if operation == "append" and meta.current_snapshot_id is not None:
-            new_manifest = pd.concat(
-                [self.manifest_pdf(), new_manifest], ignore_index=True
-            )
         # next id = max over HISTORY, not current+1: after rollback() the
         # current pointer sits on an old snapshot while later ids still
         # exist in the log — current+1 would overwrite their manifests
         sid = max((s.snapshot_id for s in meta.snapshots), default=0) + 1
-        rel = self._write_manifest(sid, new_manifest)
+        added_records = int(new_manifest["record_count"].sum()) if len(new_manifest) else 0
+        added_bytes = int(new_manifest["file_size_bytes"].sum()) if len(new_manifest) else 0
+        if operation == "append" and meta.current_snapshot_id is not None:
+            parent = self.snapshot(meta.current_snapshot_id)
+            manifest_paths = list(parent.manifest_paths)
+            if len(new_manifest):
+                manifest_paths.append(self._write_manifest(sid, new_manifest))
+            ps = parent.summary
+            if "added_or_total_files" in ps:
+                total_files = int(ps["added_or_total_files"])
+            else:  # snapshot from an external writer: count the footers
+                total_files = self.manifest_rows(parent.snapshot_id)
+            totals = dict(
+                added_or_total_files=total_files + int(len(new_manifest)),
+                total_records=int(ps.get("total_records", 0)) + added_records,
+                total_bytes=int(ps.get("total_bytes", 0)) + added_bytes,
+            )
+        else:
+            manifest_paths = [self._write_manifest(sid, new_manifest)]
+            totals = dict(
+                added_or_total_files=int(len(new_manifest)),
+                total_records=added_records,
+                total_bytes=added_bytes,
+            )
         snap = Snapshot(
             snapshot_id=sid,
             parent_snapshot_id=meta.current_snapshot_id,
             timestamp_ms=int(time.time() * 1000),
             operation=operation,
-            manifest_path=rel,
-            summary=dict(
-                summary or {},
-                added_or_total_files=int(len(new_manifest)),
-                total_records=int(new_manifest["record_count"].sum()) if len(new_manifest) else 0,
-                total_bytes=int(new_manifest["file_size_bytes"].sum()) if len(new_manifest) else 0,
-            ),
+            manifest_paths=manifest_paths,
+            summary=dict(summary or {}, **totals),
         )
         meta.snapshots.append(snap)
         meta.current_snapshot_id = sid
         self._write_metadata_version(version + 1, meta)
         return snap
+
+    def rewrite_manifests(self, min_manifests: int = 2) -> Optional[Snapshot]:
+        """Compact the current snapshot's manifest LIST into one manifest
+        (Iceberg's ``rewriteManifests``): long append chains accumulate one
+        delta manifest per commit, which taxes every scan's footer reads.
+        Physical metadata reorganization only — committed as a ``replace``
+        so incremental consumers (``changes``) correctly see no new rows.
+        No-op (returns None) when the list is already small."""
+        s = self.snapshot()
+        if len(s.manifest_paths) < max(2, min_manifests):
+            return None
+        return self.commit(
+            "replace",
+            self.manifest_pdf(),
+            {"stage": "rewrite_manifests", "manifests_in": len(s.manifest_paths)},
+        )
 
     def rollback(self, snapshot_id: int) -> Snapshot:
         """Iceberg-style rollback: a NEW metadata version whose current
@@ -405,13 +466,12 @@ class Table:
         # predicate runs as a Spark job over the manifest parquet and
         # only surviving paths come back to the driver.
         s = self.snapshot(snapshot_id)
-        mpath = os.path.join(self.root, s.manifest_path)
-        n_entries = pq.ParquetFile(mpath).metadata.num_rows
+        n_entries = self.manifest_rows(s.snapshot_id)
         if n_entries == 0:
             return spark.createDataFrame([], schema=meta.schema_ddl)
         if n_entries > SPARK_MANIFEST_THRESHOLD:
             rel_paths = prune_manifest_spark(
-                spark.read.parquet(mpath), preds, statable
+                self.manifest_df(spark, s.snapshot_id), preds, statable
             )
         else:
             man = self.manifest_pdf(snapshot_id)
@@ -485,12 +545,7 @@ class Table:
         # memory per snapshot; above the threshold the added-file diff runs
         # as a Spark anti-join per chain link and only the ADDED paths (the
         # actual incremental payload, retention-bounded) reach the driver
-        mrows = (
-            pq.ParquetFile(
-                os.path.join(self.root, self.snapshot(from_snapshot_id).manifest_path)
-            ).metadata.num_rows
-        )
-        use_spark = mrows > SPARK_MANIFEST_THRESHOLD
+        use_spark = self.manifest_rows(from_snapshot_id) > SPARK_MANIFEST_THRESHOLD
         new_paths: list = []
         if use_spark:
             prev_man = self.manifest_df(spark, from_snapshot_id).select("path")
@@ -563,9 +618,12 @@ class Table:
         meta = self.metadata()
         reach = set()
         for s in meta.snapshots:
-            reach.add(s.manifest_path)
-            man = pq.read_table(os.path.join(self.root, s.manifest_path), columns=["path"])
-            reach.update(man.column("path").to_pylist())
+            for rel in s.manifest_paths:
+                if rel in reach:  # manifest lists share ancestor manifests
+                    continue
+                reach.add(rel)
+                man = pq.read_table(os.path.join(self.root, rel), columns=["path"])
+                reach.update(man.column("path").to_pylist())
         return reach
 
 

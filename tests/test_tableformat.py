@@ -187,6 +187,51 @@ def test_changes_snapshot_diff(table, spark, tmp_path):
         table.changes(spark, s1)
 
 
+def test_append_writes_delta_manifest(table, spark):
+    """An append commit shares ancestor manifests and adds ONE delta —
+    O(added) manifest bytes, not O(table)."""
+    s1 = table.snapshot()
+    table.commit("append", table.write_files(generate_images(spark, 40, n_files=2, start=600)))
+    s2 = table.snapshot()
+    assert s2.manifest_paths[: len(s1.manifest_paths)] == s1.manifest_paths
+    assert len(s2.manifest_paths) == len(s1.manifest_paths) + 1
+    # totals stay table-cumulative across the manifest list
+    assert s2.summary["total_records"] == 240
+    assert table.manifest_pdf()["record_count"].sum() == 240
+    assert table.scan(spark).count() == 240
+
+
+def test_rewrite_manifests(table, spark):
+    for i in range(3):
+        table.commit(
+            "append",
+            table.write_files(generate_images(spark, 20, n_files=1, start=1000 + 20 * i)),
+        )
+    before_rows = table.scan(spark).count()
+    s_pre = table.snapshot()
+    assert len(s_pre.manifest_paths) == 4
+    snap = table.rewrite_manifests()
+    assert snap is not None and snap.operation == "replace"
+    assert len(table.snapshot().manifest_paths) == 1
+    assert table.scan(spark).count() == before_rows == 260
+    # physical-only: incremental consumers see no new rows across it
+    assert table.changes(spark, s_pre.snapshot_id).count() == 0
+    assert table.rewrite_manifests() is None  # already compact
+
+
+def test_legacy_manifest_path_metadata_loads():
+    from aws_medallion_datalake_spark.sources.tableformat import TableMetadata
+
+    text = """{"format_version": 1, "table_uuid": "u", "location": "/x",
+    "schema_ddl": "a int", "partition_cols": [], "stats_cols": [],
+    "current_snapshot_id": 1, "snapshots": [{"snapshot_id": 1,
+    "parent_snapshot_id": null, "timestamp_ms": 5, "operation": "append",
+    "manifest_path": "metadata/manifest-1.parquet", "summary": {}}],
+    "properties": {}}"""
+    meta = TableMetadata.from_json(text)
+    assert meta.snapshots[0].manifest_paths == ["metadata/manifest-1.parquet"]
+
+
 def test_changes_spark_diff_path(table, spark, monkeypatch):
     """Forcing the ≥threshold planner, the manifest anti-join diff must
     emit exactly what the driver-side set diff emits."""
