@@ -195,3 +195,60 @@ def expire_snapshots(
         "dry_run": dry_run,
         "duration_sec": round(time.time() - t0, 3),
     }
+
+
+def remove_orphan_files(
+    table: Table,
+    *,
+    older_than_ms: Optional[int] = None,
+    older_than_hours: float = 24.0,
+    dry_run: bool = False,
+) -> dict:
+    """Delete data files not referenced by ANY snapshot (Iceberg's
+    ``removeOrphanFiles``). Distinct from :func:`expire_snapshots`: no
+    history is dropped — this sweeps only debris from aborted writes
+    (a rewrite job that died between writing files and committing).
+
+    The age gate is the safety contract: files younger than the cutoff
+    (default 24 h, Iceberg's default) are kept because they may belong
+    to an in-flight commit whose manifest isn't visible yet. Pass
+    ``older_than_ms`` (epoch ms) to override, e.g. ``0`` never deletes,
+    ``time.time()*1000`` sweeps everything unreferenced (single-writer
+    test setups only).
+    """
+    t0 = time.time()
+    cutoff_ms = (
+        older_than_ms
+        if older_than_ms is not None
+        else (time.time() - older_than_hours * 3600) * 1000
+    )
+    reachable = {
+        os.path.join(table.root, rel) for rel in table.all_reachable_paths()
+    }
+    deleted_files = 0
+    freed_bytes = 0
+    for dirpath, _dirnames, filenames in os.walk(table.data_dir):
+        for fn in filenames:
+            full = os.path.join(dirpath, fn)
+            try:
+                if full in reachable or os.path.getmtime(full) * 1000 >= cutoff_ms:
+                    continue
+                size = os.path.getsize(full)
+            except OSError:  # racing writer
+                continue
+            freed_bytes += size
+            deleted_files += 1
+            if not dry_run:
+                os.remove(full)
+    if not dry_run:
+        for entry in os.listdir(table.data_dir):
+            full = os.path.join(table.data_dir, entry)
+            if os.path.isdir(full) and not any(os.scandir(full)):
+                shutil.rmtree(full)
+    return {
+        "stage": "remove_orphan_files",
+        "deleted_files": deleted_files,
+        "freed_bytes": int(freed_bytes),
+        "dry_run": dry_run,
+        "duration_sec": round(time.time() - t0, 3),
+    }

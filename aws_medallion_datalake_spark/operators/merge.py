@@ -95,7 +95,19 @@ def merge_into(
     rewrite_parallelism: int = 4,
     check_duplicate_keys: bool = True,
     broadcast_key_limit: int = 4_000_000,
+    when_matched: str = "update",
 ) -> Snapshot:
+    """See module docstring. ``when_matched``:
+
+    - ``"update"`` (default): WHEN MATCHED THEN UPDATE SET * WHEN NOT
+      MATCHED THEN INSERT * — the delta is the source wholesale.
+    - ``"delete"``: WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN
+      INSERT * — matched target rows are dropped by the same key-only
+      anti-join rewrite; the delta is only the UNMATCHED source rows
+      (the retention/replace merge shape).
+    """
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
     t0 = time.time()
     pt = PhaseTimer()
     man = table.manifest_pdf()
@@ -121,7 +133,22 @@ def merge_into(
     #    (key, path) probe rows are persisted so the matched-DISTINCT-key
     #    count is a re-aggregation of this small cached set instead of a
     #    second scan of every touched file.
-    target_all = table.scan(spark)
+    #    When the merge key carries manifest min/max stats, the probe scan
+    #    is additionally pruned to files whose key range intersects the
+    #    SOURCE key range — sound (every match lies inside [min(src),
+    #    max(src)]), and the difference between scanning the whole key
+    #    column of a 10^12-row table and scanning a sliver of it when
+    #    merges are recency-biased (monotone ids: the common production
+    #    case). Uniform-random source keys span the table and prune
+    #    nothing, which is the honest cost.
+    meta = table.metadata()
+    probe_preds = None
+    if n_src_keys and key in (list(meta.partition_cols) + list(meta.stats_cols)):
+        with pt.phase("source_key_range"):
+            b = src.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+        if b["lo"] is not None:
+            probe_preds = [(key, "between", (b["lo"], b["hi"]))]
+    target_all = table.scan(spark, predicates=probe_preds)
     rel = _rel_path_expr(table.root)
     probe = (
         target_all.select(F.col(key), rel.alias("path"))
@@ -162,12 +189,20 @@ def merge_into(
         results[gno] = prefix
 
     def write_delta() -> None:
-        # Every source row survives MERGE: matched keys replace target
-        # rows (their old copies were filtered from the touched files),
-        # unmatched keys are inserts — and since `touched` contains
-        # EVERY file holding a source key, updates ∪ inserts == source
-        # exactly. One wholesale delta write, no insert anti-join job.
-        delta_box["prefix"] = _modest_write(table, src.select(cols), key)
+        # Every source row survives an UPDATE-mode MERGE: matched keys
+        # replace target rows (their old copies were filtered from the
+        # touched files), unmatched keys are inserts — and since
+        # `touched` contains EVERY file holding a source key,
+        # updates ∪ inserts == source exactly. One wholesale delta
+        # write, no insert anti-join job. DELETE mode keeps only the
+        # unmatched (insert) source rows: matched rows vanish with the
+        # keep-side anti-join.
+        delta_src = src.select(cols)
+        if when_matched == "delete":
+            delta_src = delta_src.join(
+                probe.select(key).distinct(), key, "left_anti"
+            )
+        delta_box["prefix"] = _modest_write(table, delta_src, key)
 
     # The delta write depends only on the cached source, so it runs
     # CONCURRENTLY with the keep-rewrites — its cost hides inside the
@@ -218,7 +253,9 @@ def merge_into(
         )
     else:
         n_src = keep_records = 0
-    n_inserts = n_src - n_matched
+    # delete mode: the delta holds only unmatched rows, so its record
+    # count IS the insert count; matched keys were dropped, not updated
+    n_inserts = n_src if when_matched == "delete" else n_src - n_matched
     touched_records = int(touched_man["record_count"].sum()) if len(touched_man) else 0
     n_dupes = max(0, touched_records - keep_records - n_matched)
 
@@ -236,7 +273,9 @@ def merge_into(
             # delta files = the upserted source rows; Table.changes()
             # uses this prefix for snapshot-diff incremental reads (T5)
             "delta_prefix": _rel(table, delta_prefix) + "/",
-            "rows_updated": int(n_matched),
+            "when_matched": when_matched,
+            "rows_updated": int(n_matched) if when_matched == "update" else 0,
+            "rows_deleted": int(n_matched) if when_matched == "delete" else 0,
             "rows_inserted": int(n_inserts),
             "rows_replaced_dupes": int(n_dupes),
             "files_rewritten": len(touched_rel),

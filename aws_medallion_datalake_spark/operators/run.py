@@ -97,6 +97,17 @@ def run_maintenance(
                     else {"noop": "no matching rows"}
                 )
             cp.stage_done("delete", metrics)
+        elif stage == "rewrite_manifests":
+            # physical metadata maintenance: compact the append chain's
+            # delta-manifest list back to one manifest (north_rule's
+            # "manifest rewrite"); a no-op when the list is already short
+            snap = table.rewrite_manifests()
+            metrics = (
+                dict(snap.summary, snapshot_id=snap.snapshot_id)
+                if snap
+                else {"noop": "manifest list already compact"}
+            )
+            cp.stage_done("rewrite_manifests", metrics)
         elif stage == "expire":
             metrics = expire_snapshots(table, spark=spark, keep_last=keep_last)
             cp.stage_done("expire", metrics)
@@ -125,7 +136,12 @@ print(build_pyfiles_zip())')" run_maintenance.py \
     p = argparse.ArgumentParser(description="lakehouse maintenance driver")
     p.add_argument("--table", required=True, help="table root directory")
     p.add_argument("--checkpoint", required=True, help="run-checkpoint path")
-    p.add_argument("--stages", default="compact,cluster,merge,expire")
+    p.add_argument(
+        "--stages",
+        default="compact,cluster,merge,expire",
+        help="comma list from: compact, cluster, merge, delete, "
+        "rewrite_manifests, expire",
+    )
     p.add_argument("--merge-source", default=None, help="parquet path of MERGE source")
     p.add_argument(
         "--delete-where",

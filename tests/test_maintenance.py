@@ -312,6 +312,83 @@ def test_merge_smj_fallback_matches_oracle(tmp_path, spark):
     assert merged.exceptAll(expected).isEmpty()
 
 
+def test_merge_when_matched_delete(tmp_path, spark):
+    """WHEN MATCHED THEN DELETE / WHEN NOT MATCHED THEN INSERT: matched
+    target rows vanish, unmatched source rows land, metrics say which."""
+    t = make_table(tmp_path, spark, n=200, n_files=8)
+    source = generate_updates(spark, 200, n_updates=50, n_inserts=20)
+    s0 = t.snapshot().snapshot_id
+    snap = merge_into(t, spark, source, when_matched="delete")
+    assert snap.summary["when_matched"] == "delete"
+    assert snap.summary["rows_deleted"] == 50
+    assert snap.summary["rows_updated"] == 0
+    assert snap.summary["rows_inserted"] == 20
+    orig = t.scan(spark, snapshot_id=s0).select("image_id")
+    final = t.scan(spark).select("image_id")
+    assert final.count() == 200 - 50 + 20
+    matched = orig.join(source.select("image_id"), "image_id", "inner")
+    assert final.join(matched, "image_id", "inner").count() == 0
+    inserts = source.select("image_id").join(orig, "image_id", "left_anti")
+    assert final.join(inserts, "image_id", "inner").count() == 20
+
+
+def test_remove_orphan_files(tmp_path, spark):
+    """Orphan sweep: uncommitted (aborted-write) files are deleted once
+    past the age gate; every snapshot's referenced files survive."""
+    import time as _t
+
+    from aws_medallion_datalake_spark.operators.expire import remove_orphan_files
+
+    t = make_table(tmp_path, spark, n=100, n_files=4)
+    prefix = t.new_data_prefix()
+    generate_images(spark, 10, n_files=1, start=900).write.mode("append").parquet(prefix)
+    # age gate: freshly written files may belong to an in-flight commit
+    r = remove_orphan_files(t)
+    assert r["deleted_files"] == 0
+    # cutoff in the future → sweep; committed data intact, history intact
+    r2 = remove_orphan_files(t, older_than_ms=int(_t.time() * 1000) + 60_000)
+    assert r2["deleted_files"] > 0
+    assert t.scan(spark).count() == 100
+    assert len(t.metadata().snapshots) >= 1
+    for p in t.manifest_pdf()["path"]:
+        assert os.path.exists(os.path.join(t.root, p))
+    assert not os.path.exists(prefix)
+
+
+def test_merge_probe_pruning_narrow_source(tmp_path, spark, monkeypatch):
+    """When the merge key has manifest stats, the touched-file probe scan
+    carries a between-predicate over the SOURCE key range (file-level
+    pruning for recency-biased merges), and results are unchanged."""
+    t = make_table(tmp_path, spark, n=300, n_files=10)
+    full = t.scan(spark)
+    ids = [
+        r[0]
+        for r in full.select("image_id").orderBy("image_id").limit(20).collect()
+    ]
+    src = full.filter(F.col("image_id").isin(ids)).withColumn(
+        "caption", F.lit("updated")
+    )
+    captured = {}
+    orig_scan = Table.scan
+
+    def spy(self, spark_, snapshot_id=None, predicates=None, columns=None, as_of_ms=None):
+        if predicates:
+            captured["preds"] = list(predicates)
+        return orig_scan(
+            self, spark_, snapshot_id=snapshot_id, predicates=predicates,
+            columns=columns, as_of_ms=as_of_ms,
+        )
+
+    monkeypatch.setattr(Table, "scan", spy)
+    snap = merge_into(t, spark, src, key="image_id")
+    assert captured["preds"] == [("image_id", "between", (ids[0], ids[-1]))]
+    assert snap.summary["rows_updated"] == 20
+    assert snap.summary["rows_inserted"] == 0
+    merged = t.scan(spark)
+    assert merged.count() == 300
+    assert merged.filter(F.col("caption") == "updated").count() == 20
+
+
 # ---------------- full run driver ----------------
 
 
@@ -334,6 +411,31 @@ def test_run_maintenance_end_to_end_and_resume(tmp_path, spark):
     )
     assert all("skipped" in m for m in out2.values())
     assert t.current_version() == v
+
+
+def test_run_maintenance_rewrite_manifests_stage(tmp_path, spark):
+    """`rewrite_manifests` as a driver stage: compacts an append chain's
+    delta-manifest list to one manifest, no-ops when already compact, and
+    resumes like every other stage."""
+    t = make_table(tmp_path, spark, n=200, n_files=4)
+    for i in range(2):
+        t.commit(
+            "append",
+            t.write_files(generate_images(spark, 50, n_files=1, start=500 + 50 * i)),
+        )
+    assert len(t.snapshot().manifest_paths) == 3
+    cp = str(tmp_path / "rm.jsonl")
+    out = run_maintenance(t, spark, checkpoint_path=cp, stages=("rewrite_manifests",))
+    assert out["rewrite_manifests"]["manifests_in"] == 3
+    assert len(t.snapshot().manifest_paths) == 1
+    assert t.scan(spark).count() == 300
+    # resume skips; a fresh run over the compacted list is a no-op
+    out2 = run_maintenance(t, spark, checkpoint_path=cp, stages=("rewrite_manifests",))
+    assert "skipped" in out2["rewrite_manifests"]
+    out3 = run_maintenance(
+        t, spark, checkpoint_path=str(tmp_path / "rm2.jsonl"), stages=("rewrite_manifests",)
+    )
+    assert out3["rewrite_manifests"]["noop"]
 
 
 def test_run_maintenance_cli(tmp_path, spark):

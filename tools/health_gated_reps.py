@@ -26,20 +26,32 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def probe_ms() -> int:
-    """First-touch 64 MB of fresh pages in a subprocess; healthy < 100 ms."""
+def probe_ms(tries: int = 3) -> int:
+    """First-touch 64 MB of fresh pages in a subprocess; healthy < 100 ms.
+
+    The degradation is BURSTY at second granularity (measured: 17 s,
+    31 ms, 10 ms back-to-back), so a single bad sample must not park the
+    collector — report the MIN of a few samples: only a persistently
+    degraded host fails all of them."""
     script = (
         "import time,numpy as np; t0=time.time();"
         "a=np.empty(1<<26,dtype=np.uint8); a[::4096]=1;"
         "print(int((time.time()-t0)*1000))"
     )
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
-        )
-        return int(out.stdout.strip())
-    except Exception:
-        return 10**9
+    best = 10**9
+    for _ in range(tries):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", script],
+                capture_output=True, text=True, timeout=300,
+            )
+            best = min(best, int(out.stdout.strip()))
+        except Exception:
+            pass
+        if best <= 1000:
+            return best
+        time.sleep(2)
+    return best
 
 
 def main() -> None:
@@ -77,13 +89,7 @@ def main() -> None:
         ms = probe_ms()
         if ms > 1000:
             log.write(f"# {time.strftime('%H:%M:%S')} host degraded probe={ms}ms, sleeping\n")
-            time.sleep(180)
-            continue
-        # double-check: a second probe must also be healthy
-        ms2 = probe_ms()
-        if ms2 > 1000:
-            log.write(f"# {time.strftime('%H:%M:%S')} probe2={ms2}ms, sleeping\n")
-            time.sleep(180)
+            time.sleep(90)
             continue
         rep += 1
         for lv in levels:
@@ -104,6 +110,10 @@ def main() -> None:
                 f"rep{rep} local[{lv}]{'' if is_clean else ' [NOISY]'}: "
                 f"{r['times']} -> {r['rows_per_sec']} rows/s\n"
             )
+            # full rep record (incl. per-phase timings) for offline
+            # phase-minima analysis, which the rep line can't carry
+            with open(log_path + ".jsonl", "a") as jf:
+                jf.write(json.dumps(r) + "\n")
             if is_clean:
                 clean[lv] += 1
             # if the host degraded mid-rep, stop burning the window
