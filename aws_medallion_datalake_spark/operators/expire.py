@@ -130,8 +130,14 @@ def expire_snapshots(
             s for s in snaps if s.timestamp_ms >= older_than_ms or s in retained
         ]
     current = [s for s in snaps if s.snapshot_id == meta.current_snapshot_id]
+    # tagged snapshots (ref.<name> properties) are pinned from expiry —
+    # Iceberg's tag-retention semantics
+    tagged_ids = {
+        int(v) for k, v in meta.properties.items() if k.startswith("ref.")
+    }
+    tagged = [s for s in snaps if s.snapshot_id in tagged_ids]
     retained = sorted(
-        {s.snapshot_id: s for s in retained + current}.values(),
+        {s.snapshot_id: s for s in retained + current + tagged}.values(),
         key=lambda s: s.snapshot_id,
     )
     expired = [s for s in snaps if s not in retained]

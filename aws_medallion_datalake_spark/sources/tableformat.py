@@ -352,6 +352,46 @@ class Table:
             {"stage": "rewrite_manifests", "manifests_in": len(s.manifest_paths)},
         )
 
+    # ---------- named refs (tags) ----------
+
+    def tag(self, name: str, snapshot_id: Optional[int] = None) -> int:
+        """Iceberg-style named ref: pin a snapshot under ``ref.<name>``
+        (default: the current snapshot). Tagged snapshots are RETAINED by
+        ``expire_snapshots`` regardless of its keep policy — the audit /
+        reproducibility handle ("the snapshot we trained run X on").
+        Metadata-only version bump; no snapshot is created."""
+        version = self.current_version()
+        meta = self.metadata(version)
+        sid = snapshot_id if snapshot_id is not None else meta.current_snapshot_id
+        if sid not in {s.snapshot_id for s in meta.snapshots}:
+            raise KeyError(f"snapshot {sid} not in table history")
+        meta.properties[f"ref.{name}"] = str(sid)
+        self._write_metadata_version(version + 1, meta)
+        return sid
+
+    def drop_tag(self, name: str) -> None:
+        version = self.current_version()
+        meta = self.metadata(version)
+        if meta.properties.pop(f"ref.{name}", None) is None:
+            raise KeyError(f"no tag {name!r}")
+        self._write_metadata_version(version + 1, meta)
+
+    def ref(self, name: str) -> int:
+        """Snapshot id a tag points at (scan it via
+        ``scan(snapshot_id=table.ref(name))``)."""
+        v = self.metadata().properties.get(f"ref.{name}")
+        if v is None:
+            raise KeyError(f"no tag {name!r}")
+        return int(v)
+
+    def tags(self) -> dict:
+        """All named refs: {name: snapshot_id}."""
+        return {
+            k[len("ref."):]: int(v)
+            for k, v in self.metadata().properties.items()
+            if k.startswith("ref.")
+        }
+
     def rollback(self, snapshot_id: int) -> Snapshot:
         """Iceberg-style rollback: a NEW metadata version whose current
         pointer returns to an earlier snapshot. History is preserved —

@@ -219,6 +219,29 @@ def test_rewrite_manifests(table, spark):
     assert table.rewrite_manifests() is None  # already compact
 
 
+def test_tags_pin_snapshots_from_expiry(table, spark):
+    """Named refs: tag() pins a snapshot; expire keeps it scannable past
+    the keep_last policy; drop_tag releases it."""
+    from aws_medallion_datalake_spark.operators.expire import expire_snapshots
+
+    tagged_sid = table.tag("train-run-1")
+    assert table.ref("train-run-1") == tagged_sid
+    for i in range(3):
+        table.commit(
+            "append",
+            table.write_files(generate_images(spark, 30, n_files=1, start=2000 + 30 * i)),
+        )
+    r = expire_snapshots(table, keep_last=1)
+    assert tagged_sid in r["retained_snapshots"]
+    assert table.scan(spark, snapshot_id=tagged_sid).count() == 200
+    assert table.tags() == {"train-run-1": tagged_sid}
+    table.drop_tag("train-run-1")
+    r2 = expire_snapshots(table, keep_last=1)
+    assert tagged_sid in r2["expired_snapshots"]
+    with pytest.raises(KeyError):
+        table.ref("train-run-1")
+
+
 def test_legacy_manifest_path_metadata_loads():
     from aws_medallion_datalake_spark.sources.tableformat import TableMetadata
 

@@ -106,13 +106,23 @@ def parse_log(path: str, img_rows: int, levels: list) -> dict:
     """Re-aggregate a previous run from its console log (``--from-log``):
     every rep line carries the full per-stage times dict. Derived
     throughputs use the per-level minimum stage times; table bytes are
-    the generator's deterministic ~14.8 KB/row."""
+    the generator's deterministic ~14.8 KB/row. If a ``<path>.jsonl``
+    sidecar exists (tools/health_gated_reps.py writes one), its full rep
+    records — including per-phase timings — are merged in as well."""
     import ast
     import re
 
     n_src = img_rows // 10 + img_rows // 20
     table_bytes = img_rows * 14775  # deterministic generator output size
     all_runs: dict = {lv: [] for lv in levels}
+    sidecar = path + ".jsonl"
+    seen = set()
+    if os.path.exists(sidecar):
+        for line in open(sidecar):
+            r = json.loads(line)
+            if r.get("cpus") in all_runs:
+                all_runs[r["cpus"]].append(r)
+                seen.add((r["cpus"], r["times"].get("compact"), r["times"].get("merge")))
     pat = re.compile(r"rep\d+ local\[(\d+)\][^:]*: (\{.*\}) -> ([\d.]+) rows/s")
     for line in open(path):
         m = pat.search(line)
@@ -120,6 +130,8 @@ def parse_log(path: str, img_rows: int, levels: list) -> dict:
             continue
         lv = int(m.group(1))
         times = ast.literal_eval(m.group(2))
+        if (lv, times.get("compact"), times.get("merge")) in seen:
+            continue  # already loaded with phases from the sidecar
         total = times["compact"] + times["cluster"] + times["merge"] + times["verify"]
         all_runs[lv].append(
             {
