@@ -70,6 +70,28 @@ def main() -> None:
     from aws_medallion_datalake_spark.session import get_session
     from aws_medallion_datalake_spark.sources.generator import generate_updates
 
+    def alloc_probe_ms() -> int:
+        # First-touch of 64 MB of fresh pages. This sandbox host
+        # intermittently degrades page-fault servicing to ~1 ms/page
+        # (healthy ≈ 20-50 ms, degraded 10-30 s), which inflates every
+        # allocation-heavy Spark stage 10-30x; reporting the probe makes
+        # a degraded-window run self-identifying (see BENCH/NOTES_r2.md).
+        import numpy as np
+
+        t0 = time.time()
+        a = np.empty(1 << 26, dtype=np.uint8)
+        a[::4096] = 1
+        return int((time.time() - t0) * 1000)
+
+    # bounded wait for a healthy window (SPARK_GRAFT_HEALTH_WAIT_SEC=0
+    # disables): a run started while the host is degraded measures the
+    # host, not the engine
+    wait_budget = float(os.environ.get("SPARK_GRAFT_HEALTH_WAIT_SEC", "600"))
+    deadline = time.time() + wait_budget
+    probe_pre = alloc_probe_ms()
+    while probe_pre > 1000 and time.time() < deadline:
+        time.sleep(30)
+        probe_pre = alloc_probe_ms()
     spark = get_session(f"local[{cpus}]", shuffle_partitions=max(8, cpus))
     spark.sparkContext.setLogLevel("ERROR")
     times: dict[str, float] = {}
@@ -165,6 +187,10 @@ def main() -> None:
                 "table_bytes": total_bytes,
                 "scan_gbps": round(scan_gbps, 3),
                 "merge_rows_per_sec": round(merge_rows_per_sec, 1),
+                # host-health gate (healthy < 100; >1000 = degraded
+                # window, timings inflated 10-30x — see BENCH/NOTES_r2.md)
+                "alloc_probe_ms_pre": probe_pre,
+                "alloc_probe_ms_post": alloc_probe_ms(),
             }
         )
     )
