@@ -89,6 +89,29 @@ def main() -> None:
         ).collect()
         return round(time.time() - t0, 3)
 
+    def io_baseline(table_root: str) -> float:
+        # null-ENGINE parquet rewrite ceiling: read ~1.4 GB of the copied
+        # table's own files and write them straight back (no shuffle, no
+        # engine code). The best possible scaling of any parquet rewrite
+        # stage on this box — compact/cluster/merge rewrites are measured
+        # against THIS ceiling, the way cpu_baseline bounds compute-only
+        # stages. Fitting interleaved probes shows ~1.4 s of fixed
+        # per-job cost with near-perfect compute scaling above it, so
+        # this also quantifies the fixed term the stage ratios carry.
+        import glob
+
+        files = sorted(
+            glob.glob(os.path.join(table_root, "data", "*", "*.parquet"))
+        )[:1000]
+        if not files:
+            return 0.0
+        out = os.path.join(root, "io_probe_out")
+        t0 = time.time()
+        spark.read.parquet(*files).write.mode("overwrite").parquet(out)
+        sec = round(time.time() - t0, 3)
+        shutil.rmtree(out, ignore_errors=True)
+        return sec
+
     def alloc_baseline() -> float:
         # fresh-page-fault probe: this sandbox host intermittently
         # degrades guest memory faults to ~1ms/page (a fresh 64 MB touch
@@ -113,6 +136,7 @@ def main() -> None:
         t = Table.load(os.path.join(root, "t"))
         baseline_pre = cpu_baseline()  # contention probe BEFORE stages
         alloc_pre = alloc_baseline()
+        io_pre = io_baseline(os.path.join(root, "t"))
         n_rows = int(t.manifest_pdf()["record_count"].sum())
         src = spark.read.parquet(source_parquet)
         n_src = src.count()  # materialize reader metadata outside timings
@@ -161,6 +185,7 @@ def main() -> None:
         baseline_post = cpu_baseline()
         times["cpu_baseline"] = min(baseline_pre, baseline_post)
         times["cpu_gate"] = max(baseline_pre, baseline_post)
+        times["io_baseline"] = io_pre
         # healthy first-touch of 64 MB is ~20-50 ms; >1 s means the host
         # was servicing guest page faults pathologically during this rep
         times["alloc_gate"] = max(alloc_pre, alloc_baseline())

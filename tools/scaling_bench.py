@@ -75,7 +75,10 @@ def aggregate(all_runs: dict, levels: list) -> dict:
     best = {}
     for lv in levels:
         runs = all_runs[lv]
-        times = {s: min(r["times"][s] for r in runs) for s in runs[0]["times"]}
+        keys = {k for r in runs for k in r["times"]}
+        times = {
+            s: min(r["times"][s] for r in runs if s in r["times"]) for s in keys
+        }
         # per-phase minima (plan/rewrite/stats/... within each stage):
         # attributes the scaling of each stage to executor compute vs
         # parallelism-independent driver work
@@ -240,6 +243,11 @@ def report(best, levels, img_rows, reps):
     # ceiling this shared box allows at all (SMT + steal + memory bw)
     ceil_2_8 = eff(2, 8, "cpu_baseline")
     ceil_8_32 = eff(8, 32, "cpu_baseline")
+    # null-engine parquet-rewrite ceiling (read 1.4 GB of the table's own
+    # files, write them back — no engine code, no shuffle): the best any
+    # IO-bound rewrite stage can scale on this box
+    has_io = all("io_baseline" in best[lv]["times"] for lv in (2, 8))
+    io_ceil_2_8 = eff(2, 8, "io_baseline") if has_io else None
     summary = {
         "img_rows": img_rows,
         "levels": {str(lv): best[lv] for lv in levels},
@@ -251,6 +259,7 @@ def report(best, levels, img_rows, reps):
         },
         "cpu_ceiling_N2_to_N8": round(ceil_2_8, 3),
         "cpu_ceiling_N8_to_N32": round(ceil_8_32, 3),
+        "io_ceiling_N2_to_N8": round(io_ceil_2_8, 3) if has_io else None,
         "phase_minima": {str(lv): best[lv].get("phases", {}) for lv in levels},
         "relative_efficiency_N2_to_N8": round(min(eff_2_8 / ceil_2_8, 1.5), 3),
         "pass_0_8": eff_2_8 >= 0.8,
@@ -311,6 +320,14 @@ Storage: {"table + shuffle scratch on tmpfs (/dev/shm) — on a real cluster 4N 
   operators/*.py — one exact-routed shuffle per cluster tile and per
   batched compaction job; merge's copy-on-write keep path is
   shuffle-free).
+{f'''- A second ceiling probe (`io_baseline`) times a NULL-ENGINE parquet
+  rewrite — read 1.4 GB of the table's own files, write them straight
+  back, zero engine code, zero shuffle — at each level:
+  {best[2]['times']['io_baseline']} s at local[2] vs
+  {best[8]['times']['io_baseline']} s at local[8], a 2→8 efficiency of
+  {summary['io_ceiling_N2_to_N8']}. This is the best ANY parquet rewrite
+  stage can scale on this box; the maintenance stages are IO-shaped like
+  it, not like the compute-only probe.''' if has_io else ''}
 - Secondary pair 8 → 32: {summary['efficiency_N8_to_N32']} (raw); box
   ceiling at 8→32 makes ≥0.8 unattainable for any job here.
 
