@@ -608,6 +608,44 @@ def _sql_doc_fingerprint():
     """
 
 
+def q_train_val_split(spark, sf_dir):
+    """Deterministic train/val/test assignment — a training-data pipeline
+    staple the reference lacks entirely: split membership must be a pure
+    function of the document id (stable across runs, machines, and
+    engine versions), never ``rand()``. Bucket = low-60-bit md5(doc_id)
+    mod 100; <90 train, <95 val, else test. Stratified report per
+    source so class drift between splits is visible. Scales: one
+    narrow-column scan + hash agg, no shuffle beyond the groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        _hex15_to_long(F.md5(F.col("doc_id").cast("string"))), F.lit(100)
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _sql_train_val_split():
+    return """
+        SELECT source,
+               CASE WHEN b < 90 THEN 'train'
+                    WHEN b < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs
+        FROM (
+            SELECT source,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+            FROM documents
+        )
+        GROUP BY 1, 2
+    """
+
+
 def q_token_stats(spark, sf_dir):
     """Token counting (whitespace tokenizer) aggregated per source."""
     d = _doc_tokens(spark, sf_dir)
@@ -1816,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silver_casts": q_silver_casts,
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
+        "train_val_split": q_train_val_split,
         "token_stats": q_token_stats,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
@@ -1865,6 +1904,7 @@ def oracle_sql() -> dict[str, str]:
         "silver_casts": _sql_silver_casts(),
         "dedup_exact": _sql_dedup_exact(),
         "doc_fingerprint": _sql_doc_fingerprint(),
+        "train_val_split": _sql_train_val_split(),
         "token_stats": _sql_token_stats(),
         "doc_quality": _sql_doc_quality(),
         "lang_id": _sql_lang_id(),

@@ -60,9 +60,19 @@ restores global sort order. This is the same division of labor as
 Iceberg's MERGE + RewriteDataFiles.
 
 Skew: the hot-phash tail concentrates matched keys in a few files; with
-broadcast key-joins there is no shuffle for skew to poison, and AQE
-skew-join splitting (session default) covers the SMJ fallback when the
-source is too large to broadcast its keys.
+broadcast key-joins there is no shuffle for skew to poison. In the SMJ
+fallback (source too large to broadcast its keys) two mechanisms apply:
+AQE skew-join splitting (session default, splits oversized LEFT
+partitions of the anti-join at runtime) and — opt-in via
+``smj_salt_buckets=N`` — explicit SALTED keys: every target row gets a
+row-local salt ``pmod(monotonically_increasing_id(), N)`` and the source
+key set is replicated across all N salt values, so a key duplicated
+across millions of target rows (hot phash bucket re-ingested many times)
+spreads over N reduce partitions instead of one. Row-salting is always
+correct for this replicate-the-keys join shape: a target row matches on
+(key, salt) iff its key matches, whatever its salt. The cost is an N×
+blow-up of the (small, key-only) build side, which is why it is opt-in
+for known-pathological tails rather than the default.
 
 Source key uniqueness is enforced (duplicate source keys make MERGE
 non-deterministic — same rule as Iceberg's cardinality check).
@@ -96,6 +106,7 @@ def merge_into(
     check_duplicate_keys: bool = True,
     broadcast_key_limit: int = 4_000_000,
     when_matched: str = "update",
+    smj_salt_buckets: int = 0,
 ) -> Snapshot:
     """See module docstring. ``when_matched``:
 
@@ -122,10 +133,37 @@ def merge_into(
                 raise ValueError(f"MERGE source has duplicate keys on {key!r}")
         n_src_keys = src.count()  # cached: key-only metadata aggregate
     src_keys = src.select(key).distinct()
+    use_salt = n_src_keys > broadcast_key_limit and smj_salt_buckets > 1
     if n_src_keys <= broadcast_key_limit:
         # explicit hint — see module docstring: AQE does NOT convert this
         # anti-join on its own, and the SMJ it keeps shuffles the payload
         src_keys = F.broadcast(src_keys)
+    elif use_salt:
+        salted_keys = src_keys.crossJoin(
+            spark.range(smj_salt_buckets).select(
+                F.col("id").cast("int").alias("__salt")
+            )
+        )
+
+    def _key_join(tgt_df: DataFrame, how: str) -> DataFrame:
+        """Join target rows against the source key set (``inner`` for the
+        probe, ``left_anti`` for the keep rewrite). In salted-SMJ mode the
+        target side gets a ROW-local salt — duplicates of one hot key
+        spread across ``smj_salt_buckets`` reduce partitions — and the
+        key set is replicated over every salt value (see module
+        docstring: correct for any row salt)."""
+        if not use_salt:
+            return tgt_df.join(src_keys, key, how)
+        return (
+            tgt_df.withColumn(
+                "__salt",
+                F.pmod(
+                    F.monotonically_increasing_id(), F.lit(smj_salt_buckets)
+                ).cast("int"),
+            )
+            .join(salted_keys, [key, "__salt"], how)
+            .drop("__salt")
+        )
 
     # 1. touched files: column-pruned probe scan, aggregated per file and
     #    resolved against the manifest — one Arrow batch of manifest rows
@@ -150,11 +188,9 @@ def merge_into(
             probe_preds = [(key, "between", (b["lo"], b["hi"]))]
     target_all = table.scan(spark, predicates=probe_preds)
     rel = _rel_path_expr(table.root)
-    probe = (
-        target_all.select(F.col(key), rel.alias("path"))
-        .join(src_keys, key, "inner")
-        .persist()
-    )
+    probe = _key_join(
+        target_all.select(F.col(key), rel.alias("path")), "inner"
+    ).persist()
     with pt.phase("probe"):
         touched_pdf = (
             probe.groupBy("path")
@@ -183,7 +219,7 @@ def merge_into(
         # anti-join; broadcast filter preserves input splits, so each
         # read task writes its (already clustered, already
         # ≈target-sized) partition straight back out.
-        keep = tgt.join(src_keys, key, "left_anti")
+        keep = _key_join(tgt, "left_anti")
         prefix = table.new_data_prefix()
         keep.write.mode("append").parquet(prefix)
         results[gno] = prefix

@@ -312,6 +312,44 @@ def test_merge_smj_fallback_matches_oracle(tmp_path, spark):
     assert merged.exceptAll(expected).isEmpty()
 
 
+def test_merge_smj_salted_skew_matches_oracle(tmp_path, spark):
+    """Explicit salted-key skew mitigation (north_rule): SMJ fallback with
+    smj_salt_buckets spreads a hot duplicated key's target rows across
+    salt buckets; result must equal the unsalted upsert algebra — row
+    salting is correct for the replicate-the-keys join shape."""
+    n = 240
+    t = make_table(tmp_path, spark, n=n, n_files=8)
+    # skew the target: re-append the same rows so every key is duplicated
+    # (the hot-phash-bucket-re-ingested-many-times shape)
+    dup = generate_images(spark, n, n_files=4, n_dates=2)
+    t.commit("append", t.write_files(dup))
+    target_before = (
+        t.scan(spark).select("image_id", "caption", "phash").distinct().cache()
+    )
+    source = generate_updates(spark, n, n_updates=60, n_inserts=25).cache()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        snap = merge_into(
+            t, spark, source, broadcast_key_limit=0, smj_salt_buckets=4
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert snap.summary["rows_updated"] == 60
+    assert snap.summary["rows_inserted"] == 25
+    # every duplicated copy of a matched key is swept by the rewrite
+    assert snap.summary["rows_replaced_dupes"] == 60
+    expected = (
+        target_before.join(source.select("image_id"), "image_id", "left_anti")
+        .unionByName(source.select("image_id", "caption", "phash"))
+    )
+    merged = t.scan(spark).select("image_id", "caption", "phash")
+    # unmatched keys keep their duplicate copies (2 each), matched keys
+    # hold exactly the source row
+    assert merged.count() == 2 * (n - 60) + 60 + 25
+    assert merged.distinct().exceptAll(expected).isEmpty()
+
+
 def test_merge_when_matched_delete(tmp_path, spark):
     """WHEN MATCHED THEN DELETE / WHEN NOT MATCHED THEN INSERT: matched
     target rows vanish, unmatched source rows land, metrics say which."""
