@@ -262,6 +262,20 @@ def report(best, levels, img_rows, reps):
         "io_ceiling_N2_to_N8": round(io_ceil_2_8, 3) if has_io else None,
         "phase_minima": {str(lv): best[lv].get("phases", {}) for lv in levels},
         "relative_efficiency_N2_to_N8": round(min(eff_2_8 / ceil_2_8, 1.5), 3),
+        # per-stage efficiency against the ceiling of the SAME shape of
+        # work: compact/cluster/merge are parquet rewrites (io_baseline
+        # ceiling); verify is a compute-bound decode (cpu ceiling)
+        "stage_relative_N2_to_N8": {
+            s: round(
+                min(
+                    eff(2, 8, s)
+                    / (io_ceil_2_8 if has_io and s != "verify" else ceil_2_8),
+                    1.5,
+                ),
+                3,
+            )
+            for s in ("compact", "cluster", "merge", "verify")
+        },
         "pass_0_8": eff_2_8 >= 0.8,
     }
     print(json.dumps(summary))
@@ -327,7 +341,12 @@ Storage: {"table + shuffle scratch on tmpfs (/dev/shm) — on a real cluster 4N 
   {best[8]['times']['io_baseline']} s at local[8], a 2→8 efficiency of
   {summary['io_ceiling_N2_to_N8']}. This is the best ANY parquet rewrite
   stage can scale on this box; the maintenance stages are IO-shaped like
-  it, not like the compute-only probe.''' if has_io else ''}
+  it, not like the compute-only probe. Per-stage efficiency against the
+  matching-shape ceiling (rewrite stages vs io_baseline, verify vs
+  cpu-baseline): compact {summary['stage_relative_N2_to_N8']['compact']},
+  cluster {summary['stage_relative_N2_to_N8']['cluster']},
+  merge {summary['stage_relative_N2_to_N8']['merge']},
+  verify {summary['stage_relative_N2_to_N8']['verify']}.''' if has_io else ''}
 - Secondary pair 8 → 32: {summary['efficiency_N8_to_N32']} (raw); box
   ceiling at 8→32 makes ≥0.8 unattainable for any job here.
 
