@@ -68,6 +68,8 @@ def main() -> None:
         "SPARK_GRAFT_LOCAL_DIR", os.path.join(os.path.dirname(table_dir), "spark-local")
     )
     levels = [2, 8, 32]
+    if "--levels" in sys.argv:
+        levels = [int(x) for x in sys.argv[sys.argv.index("--levels") + 1].split(",")]
     clean = {lv: 0 for lv in levels}
     # resume: count clean reps already in the log
     if os.path.exists(log_path):
