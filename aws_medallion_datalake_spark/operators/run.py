@@ -101,7 +101,7 @@ def run_maintenance(
             # physical metadata maintenance: compact the append chain's
             # delta-manifest list back to one manifest (north_rule's
             # "manifest rewrite"); a no-op when the list is already short
-            snap = table.rewrite_manifests()
+            snap = table.rewrite_manifests(spark=spark)
             metrics = (
                 dict(snap.summary, snapshot_id=snap.snapshot_id)
                 if snap

@@ -63,6 +63,8 @@ from pyspark.sql import functions as F
 
 SPARK_MANIFEST_THRESHOLD = 2_000_000  # manifest rows before planning moves to Spark
 
+MANIFEST_PART_ROWS = 1_000_000  # rows per manifest part in a Spark rewrite
+
 MANIFEST_BASE_COLS = ["path", "partition_json", "record_count", "file_size_bytes"]
 
 
@@ -336,21 +338,95 @@ class Table:
         self._write_metadata_version(version + 1, meta)
         return snap
 
-    def rewrite_manifests(self, min_manifests: int = 2) -> Optional[Snapshot]:
+    def rewrite_manifests(
+        self,
+        min_manifests: int = 2,
+        spark: Optional[SparkSession] = None,
+        force_spark: bool = False,
+    ) -> Optional[Snapshot]:
         """Compact the current snapshot's manifest LIST into one manifest
         (Iceberg's ``rewriteManifests``): long append chains accumulate one
         delta manifest per commit, which taxes every scan's footer reads.
         Physical metadata reorganization only — committed as a ``replace``
         so incremental consumers (``changes``) correctly see no new rows.
-        No-op (returns None) when the list is already small."""
+        No-op (returns None) when the list is already small.
+
+        Same planner split as scan/compact/expire: below
+        ``SPARK_MANIFEST_THRESHOLD`` entries the rewrite is a driver-side
+        pandas concat; above it (``spark`` given, or ``force_spark``) the
+        manifest is re-sharded BY SPARK into ``MANIFEST_PART_ROWS``-row
+        parquet parts — a 10^8-file manifest (~10 GB) never materializes
+        on the driver."""
         s = self.snapshot()
         if len(s.manifest_paths) < max(2, min_manifests):
             return None
-        return self.commit(
-            "replace",
-            self.manifest_pdf(),
-            {"stage": "rewrite_manifests", "manifests_in": len(s.manifest_paths)},
+        use_spark = spark is not None and (
+            force_spark or self.manifest_rows() > SPARK_MANIFEST_THRESHOLD
         )
+        if not use_spark:
+            return self.commit(
+                "replace",
+                self.manifest_pdf(),
+                {"stage": "rewrite_manifests", "manifests_in": len(s.manifest_paths)},
+            )
+        mdf = self.manifest_df(spark)
+        tot = mdf.agg(
+            F.count("*").alias("files"),
+            F.sum("record_count").alias("records"),
+            F.sum("file_size_bytes").alias("bytes"),
+        ).collect()[0]
+        n_parts = max(1, -(-int(tot["files"]) // MANIFEST_PART_ROWS))
+        rel_dir = os.path.join("metadata", f"manifest-rw-{uuid.uuid4().hex}")
+        mdf.repartition(n_parts).write.parquet(os.path.join(self.root, rel_dir))
+        out_dir = os.path.join(self.root, rel_dir)
+        rel_paths = sorted(
+            os.path.join(rel_dir, f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        )
+        return self._commit_manifest_list(
+            "replace",
+            rel_paths,
+            dict(
+                added_or_total_files=int(tot["files"]),
+                total_records=int(tot["records"] or 0),
+                total_bytes=int(tot["bytes"] or 0),
+            ),
+            {
+                "stage": "rewrite_manifests",
+                "manifests_in": len(s.manifest_paths),
+                "spark_path": "true",
+            },
+        )
+
+    def _commit_manifest_list(
+        self,
+        operation: str,
+        manifest_paths: list,
+        totals: dict,
+        summary: Optional[dict] = None,
+        properties: Optional[dict] = None,
+    ) -> Snapshot:
+        """Commit tail for manifests ALREADY WRITTEN (by Spark executors):
+        same snapshot/metadata bookkeeping as ``commit`` without routing the
+        entry rows through the driver."""
+        version = self.current_version()
+        meta = self.metadata(version)
+        if properties:
+            meta.properties.update({str(k): str(v) for k, v in properties.items()})
+        sid = max((s.snapshot_id for s in meta.snapshots), default=0) + 1
+        snap = Snapshot(
+            snapshot_id=sid,
+            parent_snapshot_id=meta.current_snapshot_id,
+            timestamp_ms=int(time.time() * 1000),
+            operation=operation,
+            manifest_paths=list(manifest_paths),
+            summary=dict(summary or {}, **totals),
+        )
+        meta.snapshots.append(snap)
+        meta.current_snapshot_id = sid
+        self._write_metadata_version(version + 1, meta)
+        return snap
 
     # ---------- named refs (tags) ----------
 

@@ -219,6 +219,36 @@ def test_rewrite_manifests(table, spark):
     assert table.rewrite_manifests() is None  # already compact
 
 
+def test_rewrite_manifests_spark_path(table, spark):
+    """Distributed manifest rewrite (force_spark): executors re-shard the
+    manifest list; driver sees only the part paths and the totals. Result
+    must be indistinguishable from the pandas path: same rows, physical-only
+    commit, scan + changes() unaffected."""
+    for i in range(3):
+        table.commit(
+            "append",
+            table.write_files(generate_images(spark, 20, n_files=1, start=2000 + 20 * i)),
+        )
+    s_pre = table.snapshot()
+    assert len(s_pre.manifest_paths) == 4
+    snap = table.rewrite_manifests(spark=spark, force_spark=True)
+    assert snap is not None and snap.operation == "replace"
+    assert snap.summary["spark_path"] == "true"
+    assert snap.summary["total_records"] == 260
+    s_post = table.snapshot()
+    # one part at this size; every listed part exists and is parquet
+    for rel in s_post.manifest_paths:
+        assert rel.endswith(".parquet")
+    assert table.manifest_rows() == snap.summary["added_or_total_files"]
+    assert table.scan(spark).count() == 260
+    assert table.changes(spark, s_pre.snapshot_id).count() == 0
+    # expire after a spark rewrite still GCs the OLD delta manifests
+    from aws_medallion_datalake_spark.operators.expire import expire_snapshots
+
+    expire_snapshots(table, keep_last=1)
+    assert table.scan(spark).count() == 260
+
+
 def test_tags_pin_snapshots_from_expiry(table, spark):
     """Named refs: tag() pins a snapshot; expire keeps it scannable past
     the keep_last policy; drop_tag releases it."""
