@@ -223,6 +223,10 @@ def _plan_tiles(man: pd.DataFrame, target_bytes: int, max_files_per_job: int) ->
     return tiles
 
 
+_SORTED_PREFIX_PROP = "cluster.sorted_prefixes"
+_SORT_SPEC_PROP = "cluster.sort_spec"
+
+
 def cluster(
     table: Table,
     spark: SparkSession,
@@ -234,24 +238,77 @@ def cluster(
     tile_parallelism: int = 4,
     snapshot_id: Optional[int] = None,
     checkpoint: Optional[RunCheckpoint] = None,
-) -> Snapshot:
-    """Rewrite the whole table clustered by the chosen space-filling curve."""
+    mode: str = "auto",
+    incremental_max_dirty_frac: float = 0.5,
+) -> Optional[Snapshot]:
+    """Rewrite the table clustered by the chosen space-filling curve.
+
+    ``mode``:
+
+    - ``"full"`` — rewrite every data file (round-1 behavior).
+    - ``"incremental"`` — rewrite ONLY files not already produced by a
+      previous cluster run with the same sort spec. Each cluster commit
+      records its output directory prefixes in the table property
+      ``cluster.sorted_prefixes`` (+ ``cluster.sort_spec``); files still
+      living under those prefixes are key-sorted and internally disjoint,
+      so they are KEPT as-is (manifest entries reused, zero IO) and only
+      the delta — new appends, merge deltas, compaction outputs — is
+      routed/sorted/written. At 10^12-row scale this is the difference
+      between rewriting the whole table nightly and rewriting the day's
+      ingest: per-file min/max pruning quality is preserved because each
+      generation's files stay disjoint within itself.
+    - ``"auto"`` (default) — incremental when a matching sorted
+      generation exists and the dirty fraction is at most
+      ``incremental_max_dirty_frac`` of table bytes; full otherwise
+      (rewriting nearly everything incrementally would just fragment
+      generations without saving IO).
+
+    Returns None (no commit) when an incremental run finds nothing dirty.
+    """
     if curve not in ("hilbert", "morton", "zorder"):
         raise ValueError(f"unknown curve {curve!r}")
+    if mode not in ("auto", "full", "incremental"):
+        raise ValueError(f"unknown mode {mode!r}")
     t0 = time.time()
     pt = PhaseTimer()
     meta = table.metadata()
     src_snapshot = meta.current_snapshot_id
     man = table.manifest_pdf(snapshot_id)
 
+    import json as _json
+
+    # files written by a previous cluster run with this exact sort spec
+    # are already sorted + disjoint: incremental mode keeps them untouched
+    spec = f"{curve}({','.join(cols)})"
+    prev_prefixes: list = []
+    if meta.properties.get(_SORT_SPEC_PROP) == spec:
+        prev_prefixes = _json.loads(meta.properties.get(_SORTED_PREFIX_PROP, "[]"))
+    if len(man) and prev_prefixes:
+        sorted_mask = man["path"].str.startswith(
+            tuple(p.rstrip("/") + "/" for p in prev_prefixes)
+        )
+    else:
+        sorted_mask = pd.Series(False, index=man.index)
+    total_bytes = int(man["file_size_bytes"].sum()) if len(man) else 0
+    dirty_bytes = int(man.loc[~sorted_mask, "file_size_bytes"].sum()) if len(man) else 0
+    incremental = mode == "incremental" or (
+        mode == "auto"
+        and bool(sorted_mask.any())
+        and dirty_bytes <= incremental_max_dirty_frac * max(total_bytes, 1)
+    )
+    if incremental:
+        keep, work = man[sorted_mask], man[~sorted_mask]
+        if work.empty:
+            return None  # fully clustered already: nothing to commit
+    else:
+        keep, work = man.iloc[0:0], man
+
     # distinct partition TUPLES straight from the manifest (no data read);
     # multi-level specs (year=/month=/day=) join levels with _PART_SEP
     part_values: list = []
     if meta.partition_cols:
-        import json as _json
-
         vals = set()
-        for pj in man["partition_json"].unique():
+        for pj in work["partition_json"].unique():
             d = _json.loads(pj)
             levels = [d.get(c) for c in meta.partition_cols]
             if any(v is None or v == "__mixed__" for v in levels):
@@ -265,15 +322,22 @@ def cluster(
     schema = table._schema(spark)
 
     pruned_cache = None
-    if meta.partition_cols and not part_values:
+    if meta.partition_cols and not part_values and len(work):
         # mixed input files (raw bronze): learn the partition tuples from
-        # a column-pruned distinct — reads only key/partition columns, no
-        # payloads — so clustering is partition-major even on a table
-        # whose current layout ignores partitions. The pruned frame is
-        # CACHED: the per-tile boundary quantiles re-aggregate it instead
-        # of re-reading the files (one planning pass, not two).
+        # a column-pruned distinct — reads only key/partition columns of
+        # the FILES BEING REWRITTEN, no payloads — so clustering is
+        # partition-major even on a table whose current layout ignores
+        # partitions. The pruned frame is CACHED: the per-tile boundary
+        # quantiles re-aggregate it instead of re-reading the files (one
+        # planning pass, not two).
+        import os as _os
+
+        work_paths = [_os.path.join(table.root, p) for p in work["path"]]
         pruned_cache = (
-            table.scan(spark, snapshot_id=snapshot_id, columns=need).persist()
+            spark.read.schema(table._schema(spark))
+            .parquet(*work_paths)
+            .select(*need)
+            .persist()
         )
         part_values = sorted(
             r[0]
@@ -285,7 +349,7 @@ def cluster(
             if r[0] is not None
         )
 
-    tiles = _plan_tiles(man, target_file_size_bytes, max_files_per_job)
+    tiles = _plan_tiles(work, target_file_size_bytes, max_files_per_job)
     if not tiles:  # empty table: nothing to rewrite
         return table.commit(
             "replace", man, {"stage": "cluster", "noop": True, "tiles": 0}
@@ -300,7 +364,7 @@ def cluster(
         if checkpoint is not None and checkpoint.is_unit_done("cluster", unit):
             prefixes[tile_no] = checkpoint.unit_payload("cluster", unit)["output_prefix"]
             return
-        rows = man.loc[idxs]
+        rows = work.loc[idxs]
         paths = [os.path.join(table.root, p) for p in rows["path"]]
         tile_bytes = int(rows["file_size_bytes"].sum())
         n_out = max(1, round(tile_bytes / target_file_size_bytes))
@@ -380,19 +444,43 @@ def cluster(
         entries = table.collect_stats_for_prefix(  # one batched stats job
             spark, [prefixes[i] for i in range(len(tiles))]
         )
+    import os as _os
+
+    # sorted-generation bookkeeping: output prefixes of this run, plus any
+    # previous generation's prefixes that still own kept files (dead
+    # prefixes — fully rewritten by a later full run — are dropped so the
+    # property stays O(cluster runs since last full rewrite))
+    new_rel = sorted(
+        {_os.path.relpath(prefixes[i], table.root) for i in range(len(tiles))}
+    )
+    live_old = [
+        p
+        for p in prev_prefixes
+        if incremental and bool(keep["path"].str.startswith(p.rstrip("/") + "/").any())
+    ]
+    props = {
+        _SORT_SPEC_PROP: spec,
+        _SORTED_PREFIX_PROP: _json.dumps(sorted(set(live_old) | set(new_rel))),
+    }
+    full_manifest = (
+        pd.concat([keep, entries], ignore_index=True) if len(keep) else entries
+    )
     snap = table.commit(
         "replace",
-        entries,
+        full_manifest,
         {
             "stage": "cluster",
+            "mode": "incremental" if incremental else "full",
             "curve": curve,
             "cluster_cols": list(cols),
-            "files_in": int(len(man)),
+            "files_in": int(len(work)),
+            "files_kept": int(len(keep)),
             "files_out": int(len(entries)),
             "tiles": len(tiles),
             "duration_sec": round(time.time() - t0, 3),
             "phase_sec": pt.summary(),
         },
+        properties=props,
     )
     for bc in broadcasts:
         bc.unpersist()

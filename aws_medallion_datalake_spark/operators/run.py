@@ -41,6 +41,7 @@ def run_maintenance(
     delete_predicates: Optional[Sequence[tuple]] = None,
     target_file_size_bytes: int = 128 * 1024 * 1024,
     curve: str = "morton",
+    cluster_mode: str = "auto",
     keep_last: int = 1,
     compaction_parallelism: int = 8,
 ) -> dict:
@@ -68,10 +69,17 @@ def run_maintenance(
                 table,
                 spark,
                 curve=curve,
+                mode=cluster_mode,
                 target_file_size_bytes=target_file_size_bytes,
                 checkpoint=cp,
             )
-            metrics = dict(snap.summary, snapshot_id=snap.snapshot_id)
+            metrics = (
+                dict(snap.summary, snapshot_id=snap.snapshot_id)
+                if snap
+                else {"noop": "already clustered"}
+            )
+            if snap is None:
+                cp.stage_done("cluster", metrics)
         elif stage == "merge":
             if merge_source is None:
                 metrics = {"noop": "no merge source"}

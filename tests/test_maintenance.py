@@ -205,6 +205,63 @@ def test_cluster_improves_pruning(tmp_path, spark, curve):
     assert len(kept) < len(man)
 
 
+def test_cluster_incremental_rewrites_only_the_delta(tmp_path, spark):
+    t = make_table(tmp_path, spark, n=800, n_files=16)
+    full = cluster(t, spark, curve="morton", target_file_size_bytes=TARGET)
+    assert full.summary["mode"] == "full"
+    n_sorted = int(full.summary["files_out"])
+    before_paths = set(t.manifest_pdf()["path"])
+
+    # nothing dirty → auto mode is a no-op (no new snapshot)
+    sid = t.metadata().current_snapshot_id
+    assert cluster(t, spark, curve="morton", target_file_size_bytes=TARGET) is None
+    assert t.metadata().current_snapshot_id == sid
+
+    # append a small delta, then auto-cluster: only the delta is rewritten
+    t.commit(
+        "append",
+        t.write_files(generate_images(spark, 120, n_files=4, n_dates=2, start=10_000)),
+    )
+    fp = table_fingerprint(t, spark)
+    snap = cluster(t, spark, curve="morton", target_file_size_bytes=TARGET)
+    assert snap.summary["mode"] == "incremental"
+    assert snap.summary["files_in"] == 4  # the delta files, not the table
+    assert snap.summary["files_kept"] == n_sorted
+    assert table_fingerprint(t, spark) == fp  # content preserved
+    # kept files were NOT rewritten (same manifest paths survive)
+    after_paths = set(t.manifest_pdf()["path"])
+    assert before_paths <= after_paths
+    # both generations are tracked as sorted: a third run is again a no-op
+    assert cluster(t, spark, curve="morton", target_file_size_bytes=TARGET) is None
+
+
+def test_cluster_incremental_spec_change_forces_full(tmp_path, spark):
+    t = make_table(tmp_path, spark, n=400, n_files=8)
+    cluster(t, spark, curve="morton", target_file_size_bytes=TARGET)
+    # different curve ⇒ recorded generation doesn't apply ⇒ full rewrite
+    snap = cluster(t, spark, curve="hilbert", target_file_size_bytes=TARGET)
+    assert snap is not None and snap.summary["mode"] == "full"
+    assert snap.summary["files_kept"] == 0
+
+
+def test_cluster_auto_full_when_mostly_dirty(tmp_path, spark):
+    t = make_table(tmp_path, spark, n=200, n_files=4)
+    cluster(t, spark, curve="morton", target_file_size_bytes=TARGET)
+    # append far more than incremental_max_dirty_frac of the table
+    t.commit(
+        "append",
+        t.write_files(generate_images(spark, 800, n_files=16, n_dates=2, start=20_000)),
+    )
+    snap = cluster(t, spark, curve="morton", target_file_size_bytes=TARGET)
+    assert snap.summary["mode"] == "full"
+    # full rewrite resets the sorted-generation property to its own outputs
+    import json
+
+    prefixes = json.loads(t.metadata().properties["cluster.sorted_prefixes"])
+    man = t.manifest_pdf()
+    assert man["path"].str.startswith(tuple(p + "/" for p in prefixes)).all()
+
+
 # ---------------- merge ----------------
 
 
