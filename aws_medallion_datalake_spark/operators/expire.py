@@ -136,8 +136,12 @@ def expire_snapshots(
         int(v) for k, v in meta.properties.items() if k.startswith("ref.")
     }
     tagged = [s for s in snaps if s.snapshot_id in tagged_ids]
+    # staged-unpublished WAP snapshots are pinned too: their files are not
+    # reachable from any published snapshot, so an expiry between stage
+    # and publish would GC the very data the audit is gating
+    staged = [s for s in snaps if s.summary.get("staged") == "true"]
     retained = sorted(
-        {s.snapshot_id: s for s in retained + current + tagged}.values(),
+        {s.snapshot_id: s for s in retained + current + tagged + staged}.values(),
         key=lambda s: s.snapshot_id,
     )
     expired = [s for s in snaps if s not in retained]

@@ -278,6 +278,8 @@ class Table:
         new_manifest: pd.DataFrame,
         summary: Optional[dict] = None,
         properties: Optional[dict] = None,
+        stage_only: bool = False,
+        wap_id: Optional[str] = None,
     ) -> Snapshot:
         """Commit the next snapshot (atomic).
 
@@ -292,6 +294,14 @@ class Table:
         metadata version — the non-prunable state streaming sinks use for
         per-app transaction versions (snapshot summaries can be expired;
         properties survive every expiry).
+
+        ``stage_only`` (write-audit-publish): the snapshot is written to
+        the log but the current pointer does NOT move — readers keep
+        seeing the pre-commit table while an audit job scans the staged
+        snapshot by id (``scan(snapshot_id=...)``) and runs its quality
+        gate. ``publish()`` then fast-forwards (or cherry-picks an
+        append) to make it visible. Iceberg's ``spark.wap.id`` staged
+        commit. ``wap_id`` is the audit handle recorded in the summary.
         """
         version = self.current_version()
         meta = self.metadata(version)
@@ -325,16 +335,18 @@ class Table:
                 total_records=added_records,
                 total_bytes=added_bytes,
             )
+        extra = {"staged": "true", "wap.id": wap_id or ""} if stage_only else {}
         snap = Snapshot(
             snapshot_id=sid,
             parent_snapshot_id=meta.current_snapshot_id,
             timestamp_ms=int(time.time() * 1000),
             operation=operation,
             manifest_paths=manifest_paths,
-            summary=dict(summary or {}, **totals),
+            summary=dict(summary or {}, **totals, **extra),
         )
         meta.snapshots.append(snap)
-        meta.current_snapshot_id = sid
+        if not stage_only:
+            meta.current_snapshot_id = sid
         self._write_metadata_version(version + 1, meta)
         return snap
 
@@ -481,6 +493,90 @@ class Table:
         meta.current_snapshot_id = int(snapshot_id)
         self._write_metadata_version(version + 1, meta)
         return self.snapshot(snapshot_id)
+
+    # ---------- write-audit-publish (staged commits) ----------
+
+    def staged_snapshots(self) -> list:
+        """Unpublished staged snapshots (``commit(stage_only=True)``),
+        oldest first."""
+        return [
+            s
+            for s in self.metadata().snapshots
+            if s.summary.get("staged") == "true"
+        ]
+
+    def _find_staged(self, wap_id: Optional[str], snapshot_id: Optional[int]) -> Snapshot:
+        staged = self.staged_snapshots()
+        if snapshot_id is not None:
+            for s in staged:
+                if s.snapshot_id == snapshot_id:
+                    return s
+            raise KeyError(f"snapshot {snapshot_id} is not staged")
+        if wap_id:
+            hits = [s for s in staged if s.summary.get("wap.id") == wap_id]
+            if not hits:
+                raise KeyError(f"no staged snapshot with wap.id {wap_id!r}")
+            if len(hits) > 1:
+                raise ValueError(f"wap.id {wap_id!r} is ambiguous ({len(hits)} staged)")
+            return hits[0]
+        raise ValueError("publish() needs wap_id or snapshot_id")
+
+    def publish(
+        self,
+        wap_id: Optional[str] = None,
+        snapshot_id: Optional[int] = None,
+    ) -> Snapshot:
+        """Make a staged snapshot visible (Iceberg ``cherrypick_snapshot``):
+
+        - staged on the CURRENT snapshot → **fast-forward**: the current
+          pointer moves to it (metadata-only, no new snapshot);
+        - an ``append`` staged on an OLDER snapshot → **cherry-pick**: its
+          delta manifests are re-applied onto the current snapshot as a
+          NEW append commit (no data is rewritten — appends commute);
+        - any other staged operation on an older snapshot → error: a
+          rewrite's full manifest encodes the file set of its own parent,
+          so replaying it over a diverged table would silently drop the
+          intervening commits.
+        """
+        found = self._find_staged(wap_id, snapshot_id)
+        version = self.current_version()
+        meta = self.metadata(version)
+        # operate on THIS metadata load's log entry (not _find_staged's
+        # separate load) so the staged→published flip is actually written
+        s = next(x for x in meta.snapshots if x.snapshot_id == found.snapshot_id)
+        if s.parent_snapshot_id == meta.current_snapshot_id:
+            s.summary.pop("staged", None)
+            meta.current_snapshot_id = s.snapshot_id
+            self._write_metadata_version(version + 1, meta)
+            return s
+        if s.operation != "append":
+            raise ValueError(
+                f"staged {s.operation!r} snapshot {s.snapshot_id} no longer "
+                f"sits on the current snapshot — only appends can be "
+                f"cherry-picked across commits"
+            )
+        # an append commit writes exactly one delta manifest, named with
+        # its own snapshot id — identifiable even after the stage PARENT
+        # expired (expiry pins the staged snapshot, not its ancestry)
+        own = f"manifest-{s.snapshot_id}.parquet"
+        delta = [p for p in s.manifest_paths if os.path.basename(p) == own]
+        added = pd.concat(
+            [pq.read_table(os.path.join(self.root, p)).to_pandas() for p in delta],
+            ignore_index=True,
+        ) if delta else pd.DataFrame(columns=MANIFEST_BASE_COLS)
+        # persist the staged→published flip first; the cherry-pick commit
+        # below re-reads metadata, so the flip must already be on disk
+        s.summary.pop("staged", None)
+        self._write_metadata_version(version + 1, meta)
+        return self.commit(
+            "append",
+            added,
+            summary={
+                "stage": "publish",
+                "cherrypicked_from": s.snapshot_id,
+                "wap.id": s.summary.get("wap.id", ""),
+            },
+        )
 
     # ---------- write paths ----------
 
@@ -633,23 +729,25 @@ class Table:
         to_sid = to_snapshot_id if to_snapshot_id is not None else meta.current_snapshot_id
         if to_sid is None or to_sid < from_snapshot_id:
             raise ValueError(f"bad snapshot range [{from_snapshot_id}, {to_sid}]")
-        chain = sorted(
-            (s for s in meta.snapshots if from_snapshot_id < s.snapshot_id <= to_sid),
-            key=lambda s: s.snapshot_id,
-        )
-        # the chain must be parent-contiguous: a pruned intermediate
-        # snapshot would silently fold its appended rows into a later
-        # replace (emitting nothing) — fail loudly instead
-        expected_parent = from_snapshot_id
-        for s in chain:
-            if s.parent_snapshot_id != expected_parent:
+        # Ancestry walk (parent pointers), not an id-range scan: staged
+        # WAP snapshots and rollback branches put off-chain ids inside
+        # [from, to] — those carry no published rows and must be skipped,
+        # while a genuinely pruned ancestor must still fail loudly.
+        by_id = {s.snapshot_id: s for s in meta.snapshots}
+        chain: list = []
+        sid = to_sid
+        while sid != from_snapshot_id:
+            s = by_id.get(sid)
+            if s is None or s.parent_snapshot_id is None:
                 raise KeyError(
-                    f"snapshot chain broken at {s.snapshot_id} (parent "
-                    f"{s.parent_snapshot_id}, expected {expected_parent}): "
-                    f"an intermediate snapshot expired — incremental "
-                    f"consumers must keep up with the expiry retention window"
+                    f"snapshot {from_snapshot_id} is not a live ancestor of "
+                    f"{to_sid}: an intermediate snapshot expired (incremental "
+                    f"consumers must keep up with the expiry retention "
+                    f"window) or the table was rolled back across it"
                 )
-            expected_parent = s.snapshot_id
+            chain.append(s)
+            sid = s.parent_snapshot_id
+        chain.reverse()
         try:
             self.snapshot(from_snapshot_id)
         except KeyError as e:

@@ -319,3 +319,84 @@ def test_scan_spark_manifest_planner_path(table, spark, monkeypatch):
     monkeypatch.setattr(tf, "SPARK_MANIFEST_THRESHOLD", 0)
     assert table.scan(spark, predicates=preds).count() == pandas_rows
     assert table.scan(spark).count() == pandas_all
+
+
+def test_wap_stage_audit_publish_fast_forward(table, spark):
+    """Write-audit-publish: a staged append is invisible to readers,
+    auditable by snapshot id, and published by fast-forward."""
+    staged = table.commit(
+        "append",
+        table.write_files(generate_images(spark, 40, n_files=2, start=5000)),
+        stage_only=True,
+        wap_id="audit-1",
+    )
+    # readers still see the pre-stage table; the audit scans the staged id
+    assert table.metadata().current_snapshot_id == 1
+    assert table.scan(spark).count() == 200
+    assert table.scan(spark, snapshot_id=staged.snapshot_id).count() == 240
+    assert [s.snapshot_id for s in table.staged_snapshots()] == [staged.snapshot_id]
+    pub = table.publish(wap_id="audit-1")
+    assert pub.snapshot_id == staged.snapshot_id  # fast-forward, no new snapshot
+    assert table.metadata().current_snapshot_id == staged.snapshot_id
+    assert table.scan(spark).count() == 240
+    assert table.staged_snapshots() == []
+
+
+def test_wap_cherrypick_append_over_diverged_head(table, spark):
+    """A staged append whose parent is no longer current is re-applied as
+    a fresh append commit (delta manifests only, no data rewrite)."""
+    staged = table.commit(
+        "append",
+        table.write_files(generate_images(spark, 40, n_files=2, start=5000)),
+        stage_only=True,
+        wap_id="audit-2",
+    )
+    # an unrelated writer publishes first: head diverges from the stage parent
+    table.commit(
+        "append",
+        table.write_files(generate_images(spark, 10, n_files=1, start=6000)),
+    )
+    pub = table.publish(wap_id="audit-2")
+    assert pub.snapshot_id != staged.snapshot_id  # cherry-pick = new commit
+    assert pub.summary["cherrypicked_from"] == staged.snapshot_id
+    assert table.scan(spark).count() == 250  # 200 + 10 + 40
+    assert table.staged_snapshots() == []
+    # incremental consumers see the picked rows exactly once, through the
+    # published chain (the staged snapshot itself is off-chain)
+    inc = table.changes(spark, 1)
+    assert inc.count() == 50
+
+
+def test_wap_staged_rewrite_cannot_cherrypick(table, spark):
+    """Only appends commute: a staged REPLACE over a diverged head must
+    refuse to publish instead of silently dropping the interleaved commit."""
+    man = table.manifest_pdf()
+    table.commit("replace", man, stage_only=True, wap_id="audit-3")
+    table.commit(
+        "append",
+        table.write_files(generate_images(spark, 10, n_files=1, start=6000)),
+    )
+    with pytest.raises(ValueError, match="cherry-picked"):
+        table.publish(wap_id="audit-3")
+
+
+def test_wap_staged_snapshot_survives_expiry(table, spark):
+    """Expiry between stage and publish must not GC the staged files."""
+    from aws_medallion_datalake_spark.operators.expire import expire_snapshots
+
+    staged = table.commit(
+        "append",
+        table.write_files(generate_images(spark, 40, n_files=2, start=5000)),
+        stage_only=True,
+        wap_id="audit-4",
+    )
+    for i in range(2):
+        table.commit(
+            "append",
+            table.write_files(generate_images(spark, 10, n_files=1, start=7000 + 100 * i)),
+        )
+    r = expire_snapshots(table, keep_last=1)
+    assert staged.snapshot_id in r["retained_snapshots"]
+    assert table.scan(spark, snapshot_id=staged.snapshot_id).count() == 240
+    table.publish(wap_id="audit-4")
+    assert table.scan(spark).count() == 260
