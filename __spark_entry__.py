@@ -1749,6 +1749,52 @@ def q_image_incremental(spark, sf_dir):
     )
 
 
+def q_image_wap(spark, sf_dir):
+    """Write-audit-publish ingestion gate: a clean batch stages, passes
+    the audit (metadata profile + full decode probe) and publishes; a
+    corrupt batch (truncated payloads) is caught by the decode probe and
+    never becomes visible to readers. Returns one row per batch with the
+    gate verdict and audit counters. Engine-internal; rows-only check."""
+    import tempfile
+
+    from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
+    from aws_medallion_datalake_spark.pipeline.wap import (
+        gated_append,
+        image_audit_gate,
+    )
+    from aws_medallion_datalake_spark.sources.generator import generate_images
+
+    root = tempfile.mkdtemp(prefix="entry_wap_")
+    t = bronze_ingest(spark, os.path.join(root, "t"), 200, n_files=4)
+    strict = lambda d: image_audit_gate(d, decode_sample_fraction=1.0)  # noqa: E731
+    clean = generate_images(spark, 60, n_files=2, start=50_000)
+    corrupt = generate_images(spark, 60, n_files=2, start=60_000).withColumn(
+        "bytes",
+        F.when(
+            F.pmod(F.xxhash64("image_id"), F.lit(3)) == 0,
+            F.expr("substring(bytes, 1, 16)"),
+        ).otherwise(F.col("bytes")),
+    )
+    rows = []
+    for name, batch in (("clean", clean), ("corrupt", corrupt)):
+        r = gated_append(t, spark, batch, wap_id=name, gate=strict)
+        rows.append(
+            (
+                name,
+                bool(r["passed"]),
+                bool(r["published"]),
+                int(r["metrics"]["rows"]),
+                int(r["metrics"]["decode_failures"]),
+                int(t.scan(spark).count()),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "batch string, passed boolean, published boolean, "
+        "rows_staged int, decode_failures int, visible_rows int",
+    ).orderBy("batch")
+
+
 def q_image_features_ann(spark, sf_dir):
     """Multimodal chain: decode → grid-feature embedding (Arrow UDF) →
     brute-force cosine top-10 against image 0 — the image analogue of
@@ -1877,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_maintenance": q_image_maintenance,
         "image_gold_star": q_image_gold_star,
         "image_incremental": q_image_incremental,
+        "image_wap": q_image_wap,
     }
 
 

@@ -124,6 +124,35 @@ def decode_stats_udf(payload: Column) -> Column:
     return _decode_stats()(payload)
 
 
+@lru_cache(maxsize=None)
+def _decode_ok():
+    from .codec import decode_image
+
+    @F.pandas_udf("boolean")
+    def decode_ok(payload: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        def one(p, ww, hh) -> bool:
+            if p is None:
+                return False
+            try:
+                img = decode_image(p)
+            except Exception:
+                return False  # corrupt payload → reported, not crashed
+            return int(img.shape[1]) == int(ww) and int(img.shape[0]) == int(hh)
+
+        return pd.Series(
+            [one(p, ww, hh) for p, ww, hh in zip(payload, w, h)], dtype="bool"
+        )
+
+    return decode_ok
+
+
+def decode_ok_udf(payload: Column, w: Column, h: Column) -> Column:
+    """True iff the payload decodes AND its decoded dims match the row's
+    (w, h) metadata — the write-audit-publish gate's decode probe
+    (metadata checks can't see bit-rot inside the blob)."""
+    return _decode_ok()(payload, w, h)
+
+
 def _spread3_expr(c: Column) -> Column:
     """JVM-side 3-way bit spread of the low 21 bits (mirrors zcurve._spread3)."""
     x = c.bitwiseAND(F.lit((1 << 21) - 1))

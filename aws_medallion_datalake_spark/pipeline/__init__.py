@@ -10,3 +10,4 @@ from .medallion import (  # noqa: F401
     silver_transform,
 )
 from .verify import scan_equality_report  # noqa: F401
+from .wap import gated_append, image_audit_gate  # noqa: F401

@@ -521,6 +521,62 @@ class Table:
             return hits[0]
         raise ValueError("publish() needs wap_id or snapshot_id")
 
+    def _own_delta_pdf(self, s: Snapshot) -> pd.DataFrame:
+        """Manifest rows ADDED BY snapshot ``s`` itself. An append commit
+        writes exactly one delta manifest named with its own snapshot id —
+        identifiable even after the parent expired (expiry pins a staged
+        snapshot, not its ancestry)."""
+        own = f"manifest-{s.snapshot_id}.parquet"
+        delta = [p for p in s.manifest_paths if os.path.basename(p) == own]
+        if not delta:
+            return pd.DataFrame(columns=MANIFEST_BASE_COLS)
+        return pd.concat(
+            [pq.read_table(os.path.join(self.root, p)).to_pandas() for p in delta],
+            ignore_index=True,
+        )
+
+    def delta_scan(
+        self,
+        spark: SparkSession,
+        snapshot_id: int,
+        columns: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
+        """Read ONLY the rows an append snapshot added — the audit surface
+        of write-audit-publish: the gate profiles the staged delta, not
+        staged-delta ∪ all-prior-data (whose errors are already
+        published history). Works on staged and published appends alike."""
+        s = self.snapshot(snapshot_id)
+        if s.operation != "append":
+            raise ValueError(
+                f"delta_scan reads append deltas; snapshot {snapshot_id} "
+                f"is a {s.operation!r} (rewrites add no logical rows)"
+            )
+        pdf = self._own_delta_pdf(s)
+        if pdf.empty:
+            return spark.createDataFrame([], schema=self.metadata().schema_ddl)
+        df = spark.read.schema(self._schema(spark)).parquet(
+            *[os.path.join(self.root, p) for p in pdf["path"]]
+        )
+        return df.select(*columns) if columns else df
+
+    def drop_staged(
+        self,
+        wap_id: Optional[str] = None,
+        snapshot_id: Optional[int] = None,
+    ) -> Snapshot:
+        """Abandon a staged snapshot that failed its audit: remove it from
+        the snapshot log so its files become unreachable. Physical cleanup
+        is the existing orphan sweep's job (``remove_orphan_files``) —
+        dropping is metadata-only and safe under concurrent readers."""
+        found = self._find_staged(wap_id, snapshot_id)
+        version = self.current_version()
+        meta = self.metadata(version)
+        meta.snapshots = [
+            s for s in meta.snapshots if s.snapshot_id != found.snapshot_id
+        ]
+        self._write_metadata_version(version + 1, meta)
+        return found
+
     def publish(
         self,
         wap_id: Optional[str] = None,
@@ -555,15 +611,7 @@ class Table:
                 f"sits on the current snapshot — only appends can be "
                 f"cherry-picked across commits"
             )
-        # an append commit writes exactly one delta manifest, named with
-        # its own snapshot id — identifiable even after the stage PARENT
-        # expired (expiry pins the staged snapshot, not its ancestry)
-        own = f"manifest-{s.snapshot_id}.parquet"
-        delta = [p for p in s.manifest_paths if os.path.basename(p) == own]
-        added = pd.concat(
-            [pq.read_table(os.path.join(self.root, p)).to_pandas() for p in delta],
-            ignore_index=True,
-        ) if delta else pd.DataFrame(columns=MANIFEST_BASE_COLS)
+        added = self._own_delta_pdf(s)
         # persist the staged→published flip first; the cherry-pick commit
         # below re-reads metadata, so the flip must already be on disk
         s.summary.pop("staged", None)
