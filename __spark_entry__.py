@@ -1795,6 +1795,49 @@ def q_image_wap(spark, sf_dir):
     ).orderBy("batch")
 
 
+def q_image_mor_delete(spark, sf_dir):
+    """Merge-on-read DELETE: a sparse predicate delete writes positional
+    delete files (zero data files rewritten, zero manifest bytes — the
+    snapshot shares the parent's manifest list), scans anti-join the
+    suppressed rows out, and apply_deletes later materializes the set
+    back to copy-on-write form. One row per phase with the visible count
+    and physical-churn counters. Engine-internal; rows-only check."""
+    import tempfile
+
+    from aws_medallion_datalake_spark.operators import apply_deletes, delete_where
+    from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
+
+    root = tempfile.mkdtemp(prefix="entry_mor_")
+    t = bronze_ingest(spark, os.path.join(root, "t"), 200, n_files=8)
+    lo = t.scan(spark).agg(F.min("phash")).head()[0]
+    preds = [("phash", "<=", lo + 10**17)]
+    mor = delete_where(t, spark, preds, mode="merge-on-read")
+    rows = [
+        (
+            "after_mor_delete",
+            int(t.scan(spark).count()),
+            int(mor.summary["rows_deleted"]),
+            int(mor.summary["files_rewritten"]),
+            len(t.pending_delete_paths()),
+        )
+    ]
+    app = apply_deletes(t, spark)
+    rows.append(
+        (
+            "after_apply",
+            int(t.scan(spark).count()),
+            int(app.summary["rows_removed"]),
+            int(app.summary["files_rewritten"]),
+            len(t.pending_delete_paths()),
+        )
+    )
+    return spark.createDataFrame(
+        rows,
+        "phase string, visible_rows int, rows_removed int, "
+        "files_rewritten int, pending_delete_files int",
+    ).orderBy("phase")
+
+
 def q_image_features_ann(spark, sf_dir):
     """Multimodal chain: decode → grid-feature embedding (Arrow UDF) →
     brute-force cosine top-10 against image 0 — the image analogue of
@@ -1924,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_gold_star": q_image_gold_star,
         "image_incremental": q_image_incremental,
         "image_wap": q_image_wap,
+        "image_mor_delete": q_image_mor_delete,
     }
 
 

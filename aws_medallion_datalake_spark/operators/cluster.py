@@ -269,6 +269,13 @@ def cluster(
         raise ValueError(f"unknown curve {curve!r}")
     if mode not in ("auto", "full", "incremental"):
         raise ValueError(f"unknown mode {mode!r}")
+    if table.pending_delete_paths():
+        # tile rewrites copy whole files, resurrecting rows a pending
+        # positional delete suppresses — materialize them first
+        raise ValueError(
+            "table has merge-on-read deletes pending; run apply_deletes() "
+            "before clustering"
+        )
     t0 = time.time()
     pt = PhaseTimer()
     meta = table.metadata()

@@ -167,6 +167,13 @@ def compact(
 ) -> Optional[Snapshot]:
     """Compact the current snapshot; returns the new snapshot or None if
     nothing to do. Safe to re-run; resumable via ``checkpoint``."""
+    if table.pending_delete_paths():
+        # a pack-group rewrite copies whole files, resurrecting rows a
+        # pending positional delete suppresses — materialize them first
+        raise ValueError(
+            "table has merge-on-read deletes pending; run apply_deletes() "
+            "before compaction"
+        )
     t0 = time.time()
     pt = PhaseTimer()
     with pt.phase("plan"):

@@ -57,15 +57,36 @@ def delete_where(
     predicates: Iterable[tuple],
     *,
     target_file_size_bytes: int = 128 * 1024 * 1024,
+    mode: str = "copy-on-write",
 ) -> Optional[Snapshot]:
     """Delete rows matching ALL predicates; returns the new snapshot, or
-    None when no file holds a matching row (no-op, no commit)."""
+    None when no file holds a matching row (no-op, no commit).
+
+    ``mode="copy-on-write"`` (default) rewrites every touched file minus
+    the matching rows — right for bulk deletes, wrong for sparse ones: at
+    100 TB, deleting one row per 128 MB file rewrites the whole table.
+    ``mode="merge-on-read"`` writes Iceberg-v2-style POSITIONAL DELETE
+    files instead — parquet rows of ``(path, pos)`` naming the deleted
+    rows — and commits a snapshot that shares the parent's manifests
+    verbatim: the delete costs O(deleted rows) IO and zero manifest
+    bytes. Scans anti-join the (small) delete set out; a later
+    ``apply_deletes`` run materializes them back to copy-on-write form.
+    """
+    if mode not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(f"unknown delete mode {mode!r}")
     t0 = time.time()
     pt = PhaseTimer()
     preds = list(predicates)
     if not preds:
         raise ValueError("delete_where with no predicate would truncate the "
                          "table; pass an explicit predicate list")
+    if mode == "copy-on-write" and table.pending_delete_paths():
+        # the CoW keep-path copies whole files: pending positional deletes
+        # on a touched file would be silently resurrected
+        raise ValueError(
+            "table has merge-on-read deletes pending; run apply_deletes() "
+            "before a copy-on-write delete"
+        )
     meta = table.metadata()
     man = table.manifest_pdf()
 
@@ -81,6 +102,11 @@ def delete_where(
     schema = table._schema(spark)
     cand_paths = [os.path.join(table.root, p) for p in cand["path"]]
     rel = rel_path_expr(table.root)
+
+    if mode == "merge-on-read":
+        return _mor_delete(
+            table, spark, preds, cond, schema, cand_paths, len(cand), t0, pt
+        )
 
     with pt.phase("probe"):
         touched_pdf = (
@@ -130,4 +156,138 @@ def delete_where(
             "duration_sec": round(time.time() - t0, 3),
             "phase_sec": pt.summary(),
         },
+    )
+
+
+def _mor_delete(
+    table: Table,
+    spark: SparkSession,
+    preds: list,
+    cond,
+    schema,
+    cand_paths: list,
+    n_candidates: int,
+    t0: float,
+    pt: PhaseTimer,
+) -> Optional[Snapshot]:
+    """Merge-on-read branch: write positional delete files, touch no data.
+
+    The probe reads the candidates THROUGH the pending-delete filter so a
+    row already deleted by an earlier merge-on-read commit is not
+    re-recorded (duplicate (path, pos) rows are harmless to the anti-join
+    but would double-count ``rows_deleted``)."""
+    import pyarrow.parquet as _pq
+
+    prefix = table.new_data_prefix()
+    with pt.phase("probe"):
+        live = table._apply_mor_deletes(
+            spark,
+            spark.read.schema(schema).parquet(*cand_paths),
+            table.snapshot(),
+            keep_pos_cols=True,
+        )
+        matched = (
+            live.filter(cond)
+            .select(
+                F.col("__mor_path").alias("path"), F.col("__mor_pos").alias("pos")
+            )
+            .sortWithinPartitions("path", "pos")
+            .coalesce(4)  # sparse by design: delete files are tiny
+        )
+        matched.write.mode("append").parquet(prefix)
+    new_delete_rel = sorted(
+        os.path.relpath(os.path.join(prefix, f), table.root)
+        for f in os.listdir(prefix)
+        if f.endswith(".parquet")
+    )
+    n_deleted = sum(
+        _pq.ParquetFile(os.path.join(table.root, p)).metadata.num_rows
+        for p in new_delete_rel
+    )
+    if n_deleted == 0:  # stats-overlap false positives only — no commit
+        import shutil
+
+        shutil.rmtree(prefix, ignore_errors=True)
+        return None
+    man = table.manifest_pdf()
+    return table.commit(
+        "delete",
+        man.iloc[0:0],
+        {
+            "stage": "delete",
+            "mode": "merge-on-read",
+            "predicates": [[str(c), str(op), str(v)] for c, op, v in preds],
+            "rows_deleted": int(n_deleted),
+            "files_rewritten": 0,
+            "files_candidate": int(n_candidates),
+            "delete_files_added": len(new_delete_rel),
+            "duration_sec": round(time.time() - t0, 3),
+            "phase_sec": pt.summary(),
+        },
+        reuse_manifests=True,
+        delete_paths=table.pending_delete_paths() + new_delete_rel,
+    )
+
+
+def apply_deletes(
+    table: Table,
+    spark: SparkSession,
+    *,
+    target_file_size_bytes: int = 128 * 1024 * 1024,
+) -> Optional[Snapshot]:
+    """Materialize pending merge-on-read deletes into copy-on-write form:
+    rewrite exactly the data files the delete files reference (minus the
+    deleted rows) and clear the delete set. Physical-only — the rows were
+    logically removed by the merge-on-read commit, so this is committed
+    as a ``replace`` and incremental consumers see nothing new. Run this
+    when the accumulated delete set starts taxing scans, and always
+    before compaction/clustering/merge (those rewrites would resurrect
+    suppressed rows)."""
+    t0 = time.time()
+    pt = PhaseTimer()
+    pend = table.pending_delete_paths()
+    if not pend:
+        return None
+    man = table.manifest_pdf()
+    dabs = [os.path.join(table.root, p) for p in pend]
+    with pt.phase("plan"):
+        # touched-file list is bounded by the delete set, not the table
+        touched_rel = sorted(
+            r["path"]
+            for r in spark.read.schema("path string, pos long")
+            .parquet(*dabs)
+            .select("path")
+            .distinct()
+            .collect()
+        )
+    schema = table._schema(spark)
+    prefix = table.new_data_prefix()
+    with pt.phase("rewrite"), read_split_size(spark, target_file_size_bytes):
+        tgt = spark.read.schema(schema).parquet(
+            *[os.path.join(table.root, p) for p in touched_rel]
+        )
+        kept = table._apply_mor_deletes(spark, tgt, table.snapshot())
+        kept.write.mode("append").parquet(prefix)
+    with pt.phase("stats"):
+        new_entries = (
+            table.collect_stats_for_prefix(spark, prefix)
+            if any(f.endswith(".parquet") for f in os.listdir(prefix))
+            else man.iloc[0:0]
+        )
+    keep_man = man[~man["path"].isin(set(touched_rel))]
+    new_man = pd.concat([keep_man, new_entries], ignore_index=True)
+    touched_records = int(man[man["path"].isin(set(touched_rel))]["record_count"].sum())
+    kept_records = int(new_entries["record_count"].sum()) if len(new_entries) else 0
+    return table.commit(
+        "replace",
+        new_man,
+        {
+            "stage": "apply_deletes",
+            "rows_removed": touched_records - kept_records,
+            "files_rewritten": len(touched_rel),
+            "delete_files_applied": len(pend),
+            "duration_sec": round(time.time() - t0, 3),
+            "phase_sec": pt.summary(),
+        },
+        delete_paths=[],
     )

@@ -76,6 +76,9 @@ def _spark_gc(table: Table, spark, retained, dry_run: bool) -> tuple:
     manifest_paths = sorted(
         {os.path.join(table.root, rel) for s in retained for rel in s.manifest_paths}
     )
+    delete_paths = sorted(
+        {os.path.join(table.root, rel) for s in retained for rel in s.delete_paths}
+    )
     if manifest_paths:
         sep = os.sep
         reach = (
@@ -85,6 +88,10 @@ def _spark_gc(table: Table, spark, retained, dry_run: bool) -> tuple:
             )
             .distinct()
         )
+        if delete_paths:  # retained MoR delete files live under data/ too
+            reach = reach.unionByName(
+                spark.createDataFrame([(p,) for p in delete_paths], "abs_path string")
+            )
         orphans = listing.join(reach, "abs_path", "left_anti")
     else:
         orphans = listing
@@ -156,6 +163,9 @@ def expire_snapshots(
         force_spark or n_entries > SPARK_MANIFEST_THRESHOLD
     )
     reachable = set(retained_manifests)
+    reachable.update(
+        os.path.join(table.root, rel) for s in retained for rel in s.delete_paths
+    )
     if use_spark:
         deleted_files, freed_bytes = _spark_gc(table, spark, retained, dry_run)
     else:

@@ -119,6 +119,13 @@ def merge_into(
     """
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
+    if table.pending_delete_paths():
+        # the keep-path rewrite copies whole files, resurrecting rows a
+        # pending positional delete suppresses — materialize them first
+        raise ValueError(
+            "table has merge-on-read deletes pending; run apply_deletes() "
+            "before MERGE"
+        )
     t0 = time.time()
     pt = PhaseTimer()
     man = table.manifest_pdf()

@@ -26,7 +26,7 @@ from ..sources.tableformat import Table
 from .checkpoint import RunCheckpoint
 from .cluster import cluster
 from .compact import compact
-from .delete import delete_where
+from .delete import apply_deletes, delete_where
 from .expire import expire_snapshots
 from .merge import merge_into
 
@@ -105,6 +105,19 @@ def run_maintenance(
                     else {"noop": "no matching rows"}
                 )
             cp.stage_done("delete", metrics)
+        elif stage == "apply_deletes":
+            # materialize pending merge-on-read deletes before any stage
+            # that rewrites whole files (compact/cluster/merge refuse to
+            # run over a pending delete set)
+            snap = apply_deletes(
+                table, spark, target_file_size_bytes=target_file_size_bytes
+            )
+            metrics = (
+                dict(snap.summary, snapshot_id=snap.snapshot_id)
+                if snap
+                else {"noop": "no pending deletes"}
+            )
+            cp.stage_done("apply_deletes", metrics)
         elif stage == "rewrite_manifests":
             # physical metadata maintenance: compact the append chain's
             # delta-manifest list back to one manifest (north_rule's

@@ -81,6 +81,11 @@ class Snapshot:
     # Rewriting operations (replace/merge/expire) emit one full manifest.
     manifest_paths: list = field(default_factory=list)  # relative to root
     summary: dict = field(default_factory=dict)
+    # Merge-on-read positional deletes (Iceberg v2 delete files): parquet
+    # files of (path, pos) rows marking data rows as logically deleted.
+    # The list is this snapshot's FULL pending set — carried forward by
+    # subsequent commits until apply_deletes() materializes them.
+    delete_paths: list = field(default_factory=list)  # relative to root
 
     @staticmethod
     def from_dict(d: dict) -> "Snapshot":
@@ -280,6 +285,8 @@ class Table:
         properties: Optional[dict] = None,
         stage_only: bool = False,
         wap_id: Optional[str] = None,
+        delete_paths: Optional[list] = None,
+        reuse_manifests: bool = False,
     ) -> Snapshot:
         """Commit the next snapshot (atomic).
 
@@ -302,6 +309,14 @@ class Table:
         gate. ``publish()`` then fast-forwards (or cherry-picks an
         append) to make it visible. Iceberg's ``spark.wap.id`` staged
         commit. ``wap_id`` is the audit handle recorded in the summary.
+
+        ``delete_paths``: the snapshot's merge-on-read positional-delete
+        file set. ``None`` (default) carries the parent's pending set
+        forward — appends/stages never clear deletes; ``apply_deletes``
+        passes ``[]`` explicitly. ``reuse_manifests``: the file set is
+        UNCHANGED (a merge-on-read delete touches zero data files) — the
+        snapshot shares the parent's manifest list verbatim and writes no
+        manifest bytes at all; ``new_manifest`` must be empty.
         """
         version = self.current_version()
         meta = self.metadata(version)
@@ -313,7 +328,32 @@ class Table:
         sid = max((s.snapshot_id for s in meta.snapshots), default=0) + 1
         added_records = int(new_manifest["record_count"].sum()) if len(new_manifest) else 0
         added_bytes = int(new_manifest["file_size_bytes"].sum()) if len(new_manifest) else 0
-        if operation == "append" and meta.current_snapshot_id is not None:
+        if delete_paths is None:
+            parent_for_deletes = (
+                self.snapshot(meta.current_snapshot_id)
+                if meta.current_snapshot_id is not None
+                else None
+            )
+            delete_paths = (
+                list(parent_for_deletes.delete_paths) if parent_for_deletes else []
+            )
+        if reuse_manifests:
+            if len(new_manifest):
+                raise ValueError("reuse_manifests commits add no files")
+            parent = self.snapshot(meta.current_snapshot_id)
+            manifest_paths = list(parent.manifest_paths)
+            ps = parent.summary
+            totals = dict(
+                added_or_total_files=int(
+                    ps.get(
+                        "added_or_total_files",
+                        self.manifest_rows(parent.snapshot_id),
+                    )
+                ),
+                total_records=int(ps.get("total_records", 0)),
+                total_bytes=int(ps.get("total_bytes", 0)),
+            )
+        elif operation == "append" and meta.current_snapshot_id is not None:
             parent = self.snapshot(meta.current_snapshot_id)
             manifest_paths = list(parent.manifest_paths)
             if len(new_manifest):
@@ -343,6 +383,7 @@ class Table:
             operation=operation,
             manifest_paths=manifest_paths,
             summary=dict(summary or {}, **totals, **extra),
+            delete_paths=delete_paths,
         )
         meta.snapshots.append(snap)
         if not stage_only:
@@ -427,6 +468,13 @@ class Table:
         if properties:
             meta.properties.update({str(k): str(v) for k, v in properties.items()})
         sid = max((s.snapshot_id for s in meta.snapshots), default=0) + 1
+        # a manifest rewrite reorganizes metadata only — the pending
+        # merge-on-read delete set must survive it
+        parent_deletes = (
+            list(self.snapshot(meta.current_snapshot_id).delete_paths)
+            if meta.current_snapshot_id is not None
+            else []
+        )
         snap = Snapshot(
             snapshot_id=sid,
             parent_snapshot_id=meta.current_snapshot_id,
@@ -434,6 +482,7 @@ class Table:
             operation=operation,
             manifest_paths=list(manifest_paths),
             summary=dict(summary or {}, **totals),
+            delete_paths=parent_deletes,
         )
         meta.snapshots.append(snap)
         meta.current_snapshot_id = sid
@@ -740,11 +789,54 @@ class Table:
             return spark.createDataFrame([], schema=meta.schema_ddl)
         paths = [os.path.join(self.root, p) for p in rel_paths]
         df = spark.read.schema(self._schema(spark)).parquet(*paths)
+        df = self._apply_mor_deletes(spark, df, s)
         for col, op, value in preds:
             df = df.filter(_pred_to_column(col, op, value))
         if columns:
             df = df.select(*columns)
         return df
+
+    def pending_delete_paths(self, snapshot_id: Optional[int] = None) -> list:
+        """Merge-on-read delete files pending at a snapshot (relative
+        paths); empty when the table has none (the common case — every
+        read and rewrite path is then exactly as before)."""
+        if self.metadata().current_snapshot_id is None and snapshot_id is None:
+            return []
+        return list(self.snapshot(snapshot_id).delete_paths)
+
+    def _apply_mor_deletes(
+        self, spark, df: DataFrame, s: Snapshot, keep_pos_cols: bool = False
+    ) -> DataFrame:
+        """Anti-join out positionally-deleted rows (Iceberg v2 positional
+        delete semantics: a delete file row (path, pos) suppresses row
+        ``pos`` of data file ``path``). Zero-cost when no deletes are
+        pending. Delete sets are small by design (sparse deletes — bulk
+        deletes should use copy-on-write), so the anti-join broadcasts;
+        a large accumulated set falls back to a shuffle join and is the
+        signal to run ``apply_deletes``."""
+        if not s.delete_paths:
+            if keep_pos_cols:
+                return df.withColumn(
+                    "__mor_path", rel_path_expr(self.root)
+                ).withColumn("__mor_pos", F.col("_metadata.row_index"))
+            return df
+        dabs = [os.path.join(self.root, p) for p in s.delete_paths]
+        dels = spark.read.schema("path string, pos long").parquet(*dabs)
+        nbytes = sum(os.path.getsize(p) for p in dabs if os.path.exists(p))
+        if nbytes <= 64 * 1024 * 1024:
+            dels = F.broadcast(dels)
+        out = (
+            df.withColumn("__mor_path", rel_path_expr(self.root))
+            .withColumn("__mor_pos", F.col("_metadata.row_index"))
+            .join(
+                dels.withColumnRenamed("path", "__mor_path").withColumnRenamed(
+                    "pos", "__mor_pos"
+                ),
+                ["__mor_path", "__mor_pos"],
+                "left_anti",
+            )
+        )
+        return out if keep_pos_cols else out.drop("__mor_path", "__mor_pos")
 
     def changes(
         self,
@@ -880,6 +972,7 @@ class Table:
         meta = self.metadata()
         reach = set()
         for s in meta.snapshots:
+            reach.update(s.delete_paths)  # MoR delete files live in data/
             for rel in s.manifest_paths:
                 if rel in reach:  # manifest lists share ancestor manifests
                     continue
