@@ -228,6 +228,29 @@ class Table:
         meta.schema_ddl = f"{meta.schema_ddl}, {ddl.strip()}"
         self._write_metadata_version(version + 1, meta)
 
+    def set_partition_spec(self, partition_cols: Sequence[str]) -> None:
+        """Partition-spec evolution (Iceberg-style, metadata-only).
+
+        Because partitioning here is METADATA partitioning (per-file
+        min/max + partition_json in the manifest, no directory layout),
+        evolving the spec rewrites nothing: files written under the old
+        spec keep their old stats and are simply never pruned on the new
+        partition column (missing stats → keep, sound); files written
+        after the change collect stats for — and route by — the new
+        spec. This is exactly Iceberg's split-planning behavior across
+        spec ids. Columns must exist in the schema; pass the FULL new
+        spec (it replaces, not appends)."""
+        from pyspark.sql.types import StructType
+
+        version = self.current_version()
+        meta = self.metadata(version)
+        fields = {f.name for f in StructType.fromDDL(meta.schema_ddl).fields}
+        missing = [c for c in partition_cols if c not in fields]
+        if missing:
+            raise KeyError(f"partition columns not in schema: {missing}")
+        meta.partition_cols = list(partition_cols)
+        self._write_metadata_version(version + 1, meta)
+
     # ---------- manifests ----------
 
     def manifest_abs_paths(self, snapshot_id: Optional[int] = None) -> list:
@@ -253,8 +276,16 @@ class Table:
         return parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
 
     def manifest_df(self, spark: SparkSession, snapshot_id: Optional[int] = None) -> DataFrame:
-        """Manifest as a Spark DataFrame (the ≥ SPARK_MANIFEST_THRESHOLD path)."""
-        return spark.read.parquet(*self.manifest_abs_paths(snapshot_id))
+        """Manifest as a Spark DataFrame (the ≥ SPARK_MANIFEST_THRESHOLD path).
+
+        ``mergeSchema``: manifests written before a partition-spec or
+        stats-spec evolution lack the newer min/max columns — the merged
+        read surfaces them as NULL, which the pruners treat as
+        "no stats → keep" (sound)."""
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*self.manifest_abs_paths(snapshot_id))
+        )
 
     def _write_manifest(self, snapshot_id: int, entries: pd.DataFrame) -> str:
         rel = os.path.join("metadata", f"manifest-{snapshot_id}.parquet")
@@ -1082,18 +1113,26 @@ def prune_manifest(man: pd.DataFrame, preds, stats_cols) -> pd.DataFrame:
     for col, op, value in preds:
         if col not in stats_cols:
             continue  # no stats → cannot prune on this column
+        if f"min_{col}" not in man.columns:
+            # stats never collected for this column (e.g. manifests from
+            # before a partition-spec evolution) → cannot prune, keep all
+            continue
         mn, mx = man[f"min_{col}"], man[f"max_{col}"]
         has = mn.notna() & mx.notna()
+        # compare only rows WITH stats: object-dtype columns (strings)
+        # raise on NaN comparisons, and stat-less rows must be kept anyway
+        cond = pd.Series(True, index=man.index)
+        m, x = mn[has], mx[has]
         if op == ">=":
-            cond = mx >= value
+            cond.loc[has] = x >= value
         elif op == "<=":
-            cond = mn <= value
+            cond.loc[has] = m <= value
         elif op == "=":
-            cond = (mn <= value) & (mx >= value)
+            cond.loc[has] = (m <= value) & (x >= value)
         elif op == "between":
             lo, hi = value
-            cond = (mx >= lo) & (mn <= hi)
+            cond.loc[has] = (x >= lo) & (m <= hi)
         else:
             raise ValueError(f"unsupported predicate op {op!r}")
-        mask &= cond.where(has, True)
+        mask &= cond
     return man[mask]

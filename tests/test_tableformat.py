@@ -400,3 +400,52 @@ def test_wap_staged_snapshot_survives_expiry(table, spark):
     assert table.scan(spark, snapshot_id=staged.snapshot_id).count() == 240
     table.publish(wap_id="audit-4")
     assert table.scan(spark).count() == 260
+
+
+def test_partition_spec_evolution(table, spark):
+    """Evolving the partition spec is metadata-only: old files keep old
+    stats (never pruned on the new column — sound), new files collect
+    stats for and prune on the new spec."""
+    import aws_medallion_datalake_spark.sources.tableformat as tf
+
+    assert table.metadata().partition_cols == ["ingest_date"]
+    table.set_partition_spec(["fmt"])
+    assert table.metadata().partition_cols == ["fmt"]
+    with pytest.raises(KeyError, match="not in schema"):
+        table.set_partition_spec(["nope"])
+    # new writes collect stats for the new partition column
+    df2 = generate_images(spark, 60, n_files=2, start=5000).filter(
+        F.col("fmt") == "png"
+    )
+    n_new = df2.count()
+    table.commit("append", table.write_files(df2))
+    man = table.manifest_pdf()
+    assert "min_fmt" in man.columns
+    # old entries have no fmt stats; new ones do
+    assert man["min_fmt"].isna().sum() == 8
+    assert man["min_fmt"].notna().sum() >= 1
+    # pruning on fmt: keeps ALL old files (no stats) + only matching new
+    total = 200 + n_new
+    n_png_total = table.scan(spark).filter(F.col("fmt") == "png").count()
+    pruned = table.scan(spark, predicates=[("fmt", "=", "png")])
+    assert pruned.count() == n_png_total
+    assert table.scan(spark, predicates=[("fmt", "=", "jpeg")]).count() == (
+        total - n_png_total
+    )
+    # a jpeg predicate must actually SKIP the new all-png files
+    cand = prune_manifest(
+        man, [("fmt", "=", "jpeg")], ["fmt", "ingest_date"] + STATS
+    )
+    assert len(cand) == 8  # old files kept (sound), new png files pruned
+    # old partition column still prunes (it remains in stats via old spec)
+    assert (
+        table.scan(spark, predicates=[("ingest_date", "=", "2024-01-01")]).count()
+        == table.scan(spark).filter(F.col("ingest_date") == "2024-01-01").count()
+    )
+    # the Spark manifest planner path merges heterogeneous manifest schemas
+    (orig,) = [tf.SPARK_MANIFEST_THRESHOLD]
+    try:
+        tf.SPARK_MANIFEST_THRESHOLD = 0
+        assert table.scan(spark, predicates=[("fmt", "=", "png")]).count() == n_png_total
+    finally:
+        tf.SPARK_MANIFEST_THRESHOLD = orig
