@@ -31,7 +31,8 @@ from .tableformat import MANIFEST_BASE_COLS, Table
 
 _SNAPSHOTS_DDL = (
     "snapshot_id long, parent_snapshot_id long, committed_at timestamp, "
-    "operation string, manifest_paths array<string>, summary map<string,string>"
+    "operation string, manifest_paths array<string>, summary map<string,string>, "
+    "is_staged boolean, delete_file_count int"
 )
 
 _HISTORY_DDL = (
@@ -54,7 +55,9 @@ def _summary_map(summary: dict) -> dict:
 
 
 def snapshots_df(table: Table, spark: SparkSession) -> DataFrame:
-    """One row per retained snapshot (Iceberg's ``$snapshots``)."""
+    """One row per retained snapshot (Iceberg's ``$snapshots``), including
+    write-audit-publish staging state and the pending merge-on-read
+    delete-file count."""
     rows = [
         (
             s.snapshot_id,
@@ -63,6 +66,8 @@ def snapshots_df(table: Table, spark: SparkSession) -> DataFrame:
             s.operation,
             list(s.manifest_paths),
             _summary_map(s.summary),
+            s.summary.get("staged") == "true",
+            len(s.delete_paths),
         )
         for s in table.metadata().snapshots
     ]
