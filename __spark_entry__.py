@@ -1838,6 +1838,52 @@ def q_image_mor_delete(spark, sf_dir):
     ).orderBy("phase")
 
 
+def q_image_evolution(spark, sf_dir):
+    """Schema + partition-spec evolution, no rewrites: add a column (old
+    files read NULL), evolve the partition spec ingest_date → fmt (old
+    files keep old stats, new files prune on the new spec). One row per
+    phase with visible rows, null counts for the added column, and the
+    manifest file count a fmt-predicate scan plans. Engine-internal;
+    rows-only check."""
+    import tempfile
+
+    from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
+    from aws_medallion_datalake_spark.sources.generator import generate_images
+    from aws_medallion_datalake_spark.sources.tableformat import prune_manifest
+
+    root = tempfile.mkdtemp(prefix="entry_evo_")
+    t = bronze_ingest(spark, os.path.join(root, "t"), 200, n_files=8)
+
+    def phase(name):
+        meta = t.metadata()
+        statable = list(meta.partition_cols) + list(meta.stats_cols)
+        planned = len(prune_manifest(t.manifest_pdf(), [("fmt", "=", "png")], statable))
+        df = t.scan(spark)
+        nulls = (
+            df.filter(F.col("quality_score").isNull()).count()
+            if "quality_score" in df.columns
+            else -1
+        )
+        return (name, int(df.count()), int(nulls), int(planned), len(t.manifest_pdf()))
+
+    rows = [phase("initial")]
+    t.add_columns("quality_score double")
+    rows.append(phase("after_add_column"))
+    t.set_partition_spec(["fmt"])
+    new = (
+        generate_images(spark, 80, n_files=2, start=70_000)
+        .filter(F.col("fmt") == "png")
+        .withColumn("quality_score", F.lit(0.5))
+    )
+    t.commit("append", t.write_files(new))
+    rows.append(phase("after_spec_evolution_append"))
+    return spark.createDataFrame(
+        rows,
+        "phase string, visible_rows int, null_quality_rows int, "
+        "files_planned_fmt_eq_png int, files_total int",
+    ).orderBy("phase")
+
+
 def q_image_features_ann(spark, sf_dir):
     """Multimodal chain: decode → grid-feature embedding (Arrow UDF) →
     brute-force cosine top-10 against image 0 — the image analogue of
@@ -1968,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_incremental": q_image_incremental,
         "image_wap": q_image_wap,
         "image_mor_delete": q_image_mor_delete,
+        "image_evolution": q_image_evolution,
     }
 
 

@@ -63,7 +63,10 @@ def main() -> None:
     import __spark_entry__ as entry
     from aws_medallion_datalake_spark.operators.cluster import cluster
     from aws_medallion_datalake_spark.operators.compact import compact
-    from aws_medallion_datalake_spark.operators.delete import delete_where
+    from aws_medallion_datalake_spark.operators.delete import (
+        apply_deletes,
+        delete_where,
+    )
     from aws_medallion_datalake_spark.operators.expire import expire_snapshots
     from aws_medallion_datalake_spark.operators.merge import merge_into
     from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
@@ -89,7 +92,9 @@ def main() -> None:
     wait_budget = float(os.environ.get("SPARK_GRAFT_HEALTH_WAIT_SEC", "600"))
     deadline = time.time() + wait_budget
     probe_pre = alloc_probe_ms()
-    while probe_pre > 1000 and time.time() < deadline:
+    # healthy is < 100 ms; a 600 ms start still inflates allocation-heavy
+    # stages ~2x, so wait for a genuinely quiet window within the budget
+    while probe_pre > 250 and time.time() < deadline:
         time.sleep(30)
         probe_pre = alloc_probe_ms()
     spark = get_session(f"local[{cpus}]", shuffle_partitions=max(8, cpus))
@@ -138,8 +143,25 @@ def main() -> None:
         merge_sec = time.time() - t0
         times["maint_merge"] = round(merge_sec, 3)
 
+        # sparse delete story: merge-on-read suppresses a narrow range in
+        # O(deleted rows) with zero file churn, apply_deletes materializes
+        # it, then the (broader) copy-on-write delete runs — MoR should be
+        # several times cheaper than either rewrite-based stage
         t0 = time.time()
         lo_del = int(t.manifest_pdf()["min_phash"].min())
+        delete_where(
+            t,
+            spark,
+            [("phash", "between", (lo_del, lo_del + (1 << 55)))],
+            mode="merge-on-read",
+        )
+        times["maint_mor_delete"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        apply_deletes(t, spark, target_file_size_bytes=8 << 20)
+        times["maint_apply_deletes"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
         delete_where(
             t,
             spark,
