@@ -229,6 +229,53 @@ def _mor_delete(
     )
 
 
+def rewrite_delete_files(
+    table: Table,
+    spark: SparkSession,
+    *,
+    min_files: int = 2,
+) -> Optional[Snapshot]:
+    """Minor-compact the pending positional-delete set: many small delete
+    files (one per merge-on-read DELETE) → one sorted file. Purely
+    physical — the suppressed row set is unchanged, data files untouched,
+    manifests shared — but every scan's anti-join build side drops from
+    N tiny parquet reads to one. The MoR analogue of
+    ``rewrite_manifests``. No-op below ``min_files``."""
+    t0 = time.time()
+    pend = table.pending_delete_paths()
+    if len(pend) < min_files:
+        return None
+    dabs = [os.path.join(table.root, p) for p in pend]
+    prefix = table.new_data_prefix()
+    (
+        spark.read.schema("path string, pos long")
+        .parquet(*dabs)
+        .distinct()  # re-deletes are prevented upstream; cheap belt+braces
+        .sort("path", "pos")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(prefix)
+    )
+    new_rel = sorted(
+        os.path.relpath(os.path.join(prefix, f), table.root)
+        for f in os.listdir(prefix)
+        if f.endswith(".parquet")
+    )
+    man = table.manifest_pdf()
+    return table.commit(
+        "replace",
+        man.iloc[0:0],
+        {
+            "stage": "rewrite_delete_files",
+            "delete_files_in": len(pend),
+            "delete_files_out": len(new_rel),
+            "duration_sec": round(time.time() - t0, 3),
+        },
+        reuse_manifests=True,
+        delete_paths=new_rel,
+    )
+
+
 def apply_deletes(
     table: Table,
     spark: SparkSession,

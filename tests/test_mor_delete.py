@@ -113,3 +113,33 @@ def test_expire_keeps_pending_delete_files(table, spark):
     for rel in table.pending_delete_paths():
         assert os.path.exists(os.path.join(table.root, rel))
     assert table.scan(spark).count() == N - n_match + 20
+
+
+def test_rewrite_delete_files_compacts_the_set(table, spark):
+    lo = table.scan(spark).agg(F.min("phash")).head()[0]
+    hi = table.scan(spark).agg(F.max("phash")).head()[0]
+    step = (hi - lo) // 8
+    for i in range(3):  # three separate MoR deletes → three delete files+
+        delete_where(
+            table,
+            spark,
+            [("phash", "between", (lo + i * step, lo + i * step + step - 1))],
+            mode="merge-on-read",
+        )
+    visible = table.scan(spark).count()
+    n_pend = len(table.pending_delete_paths())
+    assert n_pend >= 3
+    from aws_medallion_datalake_spark.operators import rewrite_delete_files
+
+    snap = rewrite_delete_files(table, spark)
+    assert int(snap.summary["delete_files_in"]) == n_pend
+    assert len(table.pending_delete_paths()) == 1
+    # purely physical: same suppressed rows, same data files
+    assert table.scan(spark).count() == visible
+    assert table.changes(spark, snap.parent_snapshot_id).count() == 0
+    # below min_files it's a no-op
+    assert rewrite_delete_files(table, spark) is None
+    # apply still clears everything
+    apply_deletes(table, spark)
+    assert table.pending_delete_paths() == []
+    assert table.scan(spark).count() == visible
