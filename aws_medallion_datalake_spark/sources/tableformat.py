@@ -633,7 +633,8 @@ class Table:
             )
         pdf = self._own_delta_pdf(s)
         if pdf.empty:
-            return spark.createDataFrame([], schema=self.metadata().schema_ddl)
+            empty = spark.createDataFrame([], schema=self.metadata().schema_ddl)
+            return empty.select(*columns) if columns else empty
         df = spark.read.schema(self._schema(spark)).parquet(
             *[os.path.join(self.root, p) for p in pdf["path"]]
         )
@@ -806,9 +807,14 @@ class Table:
         # predicate runs as a Spark job over the manifest parquet and
         # only surviving paths come back to the driver.
         s = self.snapshot(snapshot_id)
+
+        def _empty():
+            e = spark.createDataFrame([], schema=meta.schema_ddl)
+            return e.select(*columns) if columns else e
+
         n_entries = self.manifest_rows(s.snapshot_id)
         if n_entries == 0:
-            return spark.createDataFrame([], schema=meta.schema_ddl)
+            return _empty()
         if n_entries > SPARK_MANIFEST_THRESHOLD:
             rel_paths = prune_manifest_spark(
                 self.manifest_df(spark, s.snapshot_id), preds, statable
@@ -817,7 +823,7 @@ class Table:
             man = self.manifest_pdf(snapshot_id)
             rel_paths = list(prune_manifest(man, preds, statable)["path"])
         if len(rel_paths) == 0:
-            return spark.createDataFrame([], schema=meta.schema_ddl)
+            return _empty()
         paths = [os.path.join(self.root, p) for p in rel_paths]
         df = spark.read.schema(self._schema(spark)).parquet(*paths)
         df = self._apply_mor_deletes(spark, df, s)
@@ -966,7 +972,8 @@ class Table:
                 # replace / expire: physical-only, nothing emitted
                 prev_paths = cur_paths
         if not new_paths:
-            return spark.createDataFrame([], schema=meta.schema_ddl)
+            e = spark.createDataFrame([], schema=meta.schema_ddl)
+            return e.select(*columns) if columns else e
         df = spark.read.schema(self._schema(spark)).parquet(
             *[os.path.join(self.root, p) for p in new_paths]
         )
