@@ -1607,19 +1607,38 @@ def q_neardup_components(spark, sf_dir):
     list once. Output: one row per component with a canonical id
     (min doc_id) and a deterministic member list — the keep-one-copy
     decision a training-data pipeline actually executes."""
-    pairs = q_minhash_candidate_pairs(spark, sf_dir).filter(
-        F.col("jaccard") >= _NEARDUP_JACCARD
+    # persist the verified pair list BEFORE the symmetric union: both
+    # union branches reference it, and without the persist Spark
+    # evaluates the whole MinHash band-join + Jaccard-verify subtree
+    # twice inside the first job
+    pairs = (
+        q_minhash_candidate_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= _NEARDUP_JACCARD)
+        .persist()
     )
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # localCheckpoint (not just persist): persist caches the DATA but
+    # every subsequent action still re-analyzes the full MinHash
+    # band-join logical plan (hundreds of hash/explode expressions) —
+    # with an iterative consumer that Catalyst re-analysis dominates the
+    # wall clock. Checkpointing truncates the lineage to a fresh
+    # in-memory root, the same discipline GraphFrames applies to
+    # iterative graph algorithms.
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    ).localCheckpoint(eager=True)
+    pairs.unpersist()
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    # Convergence detector: min-label propagation only ever LOWERS
+    # labels, so sum(lbl) strictly decreases until the fixed point — one
+    # tiny aggregate on the (persisted) new labels per round instead of
+    # a join-against-previous round-trip.
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
     for _ in range(20):  # diameter bound; propagation converges far sooner
         nbr = sym.join(labels, sym["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "lbl"
@@ -1629,18 +1648,13 @@ def q_neardup_components(spark, sf_dir):
             .unionByName(nbr)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .persist()
+            .localCheckpoint(eager=True)  # O(1) plan depth across rounds
         )
-        changed = (
-            new.join(labels.withColumnRenamed("lbl", "old"), "node")
-            .filter(F.col("lbl") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
+        new_sum = new.agg(F.sum("lbl")).first()[0]
         labels = new
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     out = (
         labels.groupBy("lbl")
         .agg(
@@ -1656,7 +1670,6 @@ def q_neardup_components(spark, sf_dir):
         .select(F.col("lbl").alias("component"), "n_docs", "members")
         .orderBy("component")
     )
-    sym.unpersist()
     return out
 
 
