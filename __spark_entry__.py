@@ -1851,6 +1851,50 @@ def q_image_mor_delete(spark, sf_dir):
     ).orderBy("phase")
 
 
+def q_image_eq_delete(spark, sf_dir):
+    """EQUALITY delete (Iceberg v2's second merge-on-read flavor, the
+    GDPR/forget-these-keys shape): write only the key-value file —
+    O(|keys|) IO, zero data files touched, zero manifest bytes — then
+    re-insert one deleted key (sequence rule: files appended after the
+    delete are exempt, so the new copy survives), then apply_deletes
+    materializes the suppression. One row per phase with the visible
+    count and the count for the deleted keys. Engine-internal;
+    rows-only check."""
+    import tempfile
+
+    from aws_medallion_datalake_spark.operators import apply_deletes, equality_delete
+    from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
+
+    root = tempfile.mkdtemp(prefix="entry_eqdel_")
+    t = bronze_ingest(spark, os.path.join(root, "t"), 200, n_files=8)
+    ids = sorted(
+        r["image_id"]
+        for r in t.scan(spark).select("image_id").limit(5).collect()
+    )
+    saved = t.scan(spark).filter(F.col("image_id") == ids[0])
+    eq = equality_delete(t, spark, ids, cols=["image_id"])
+
+    def phase(name, extra=0):
+        return (
+            name,
+            int(t.scan(spark).count()),
+            int(t.scan(spark).filter(F.col("image_id").isin(ids)).count()),
+            len(t.pending_eq_deletes()),
+            int(extra),
+        )
+
+    rows = [phase("after_eq_delete", eq.summary["delete_values"])]
+    t.commit("append", t.write_files(saved))  # re-insert one deleted key
+    rows.append(phase("after_reinsert"))
+    app = apply_deletes(t, spark)
+    rows.append(phase("after_apply", app.summary["files_rewritten"]))
+    return spark.createDataFrame(
+        rows,
+        "phase string, visible_rows int, deleted_key_rows int, "
+        "pending_eq_deletes int, counter int",
+    ).orderBy("phase")
+
+
 def q_image_evolution(spark, sf_dir):
     """Schema + partition-spec evolution, no rewrites: add a column (old
     files read NULL), evolve the partition spec ingest_date → fmt (old
@@ -2027,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_incremental": q_image_incremental,
         "image_wap": q_image_wap,
         "image_mor_delete": q_image_mor_delete,
+        "image_eq_delete": q_image_eq_delete,
         "image_evolution": q_image_evolution,
     }
 

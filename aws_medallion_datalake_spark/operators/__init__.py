@@ -3,7 +3,12 @@
 from .checkpoint import RunCheckpoint  # noqa: F401
 from .cluster import cluster, clustering_quality  # noqa: F401
 from .compact import compact  # noqa: F401
-from .delete import apply_deletes, delete_where, rewrite_delete_files  # noqa: F401
+from .delete import (  # noqa: F401
+    apply_deletes,
+    delete_where,
+    equality_delete,
+    rewrite_delete_files,
+)
 from .expire import expire_snapshots, remove_orphan_files  # noqa: F401
 from .merge import merge_into  # noqa: F401
 from .run import run_maintenance  # noqa: F401

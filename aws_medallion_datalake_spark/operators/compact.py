@@ -167,9 +167,11 @@ def compact(
 ) -> Optional[Snapshot]:
     """Compact the current snapshot; returns the new snapshot or None if
     nothing to do. Safe to re-run; resumable via ``checkpoint``."""
-    if table.pending_delete_paths():
+    if table.pending_delete_paths() or table.pending_eq_deletes():
         # a pack-group rewrite copies whole files, resurrecting rows a
-        # pending positional delete suppresses — materialize them first
+        # pending positional/equality delete suppresses (and re-stamping a
+        # file's path would break the equality sequence rule) —
+        # materialize them first
         raise ValueError(
             "table has merge-on-read deletes pending; run apply_deletes() "
             "before compaction"

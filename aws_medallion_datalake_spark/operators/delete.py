@@ -37,7 +37,7 @@ from functools import reduce
 from typing import Iterable, Optional
 
 import pandas as pd
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tableformat import (
@@ -80,9 +80,11 @@ def delete_where(
     if not preds:
         raise ValueError("delete_where with no predicate would truncate the "
                          "table; pass an explicit predicate list")
-    if mode == "copy-on-write" and table.pending_delete_paths():
-        # the CoW keep-path copies whole files: pending positional deletes
-        # on a touched file would be silently resurrected
+    if mode == "copy-on-write" and (
+        table.pending_delete_paths() or table.pending_eq_deletes()
+    ):
+        # the CoW keep-path copies whole files: pending positional/equality
+        # deletes on a touched file would be silently resurrected
         raise ValueError(
             "table has merge-on-read deletes pending; run apply_deletes() "
             "before a copy-on-write delete"
@@ -180,12 +182,16 @@ def _mor_delete(
 
     prefix = table.new_data_prefix()
     with pt.phase("probe"):
+        snap = table.snapshot()
         live = table._apply_mor_deletes(
             spark,
             spark.read.schema(schema).parquet(*cand_paths),
-            table.snapshot(),
+            snap,
             keep_pos_cols=True,
         )
+        # read through pending EQUALITY deletes too: a row they already
+        # suppress must not be re-recorded positionally (double counting)
+        live = table._apply_eq_deletes(spark, live, snap, path_col="__mor_path")
         matched = (
             live.filter(cond)
             .select(
@@ -226,6 +232,89 @@ def _mor_delete(
         },
         reuse_manifests=True,
         delete_paths=table.pending_delete_paths() + new_delete_rel,
+    )
+
+
+def equality_delete(
+    table: Table,
+    spark: SparkSession,
+    values,
+    *,
+    cols: Iterable[str] = ("image_id",),
+) -> Optional[Snapshot]:
+    """Iceberg-v2-style EQUALITY delete: suppress every row whose ``cols``
+    tuple matches a value row, by writing only the (tiny) value file —
+    O(|values|) IO, no probe, no data-file read, zero manifest bytes.
+    This is the delete shape a GDPR/forget-these-keys pipeline runs at
+    10^12 rows: the keys are known, finding their files is the expensive
+    part, and equality deletes defer that cost to the next
+    ``apply_deletes`` maintenance run while scans stay correct.
+
+    Sequence semantics (matching Iceberg's sequence-number rule): the
+    delete applies only to data files present in the CURRENT snapshot —
+    rows inserted later with the same key survive. The as-of snapshot is
+    pinned from expiry until the delete is applied.
+
+    ``values``: a DataFrame holding the equality columns (extra columns
+    are ignored), or a list of scalars when ``cols`` names one column.
+    Returns the new snapshot, or None for an empty table/value set.
+    """
+    cols = list(cols)
+    meta = table.metadata()
+    if meta.current_snapshot_id is None:
+        return None
+    fields = {f.name for f in table._schema(spark).fields}
+    missing = [c for c in cols if c not in fields]
+    if missing:
+        raise ValueError(f"equality-delete columns not in schema: {missing}")
+    t0 = time.time()
+    if not isinstance(values, DataFrame):  # list of scalars
+        if len(cols) != 1:
+            raise ValueError("pass a DataFrame for multi-column equality deletes")
+        values = spark.createDataFrame([(v,) for v in values], schema=None).toDF(
+            cols[0]
+        )
+        # cast to the table's column type so the scan-side join matches
+        tgt_type = {f.name: f.dataType for f in table._schema(spark).fields}[cols[0]]
+        values = values.select(F.col(cols[0]).cast(tgt_type).alias(cols[0]))
+    prefix = table.new_data_prefix()
+    vals = values.select(*cols).distinct()
+    vals.coalesce(1).write.mode("append").parquet(prefix)
+    new_rel = sorted(
+        os.path.relpath(os.path.join(prefix, f), table.root)
+        for f in os.listdir(prefix)
+        if f.endswith(".parquet")
+    )
+    import pyarrow.parquet as _pq
+
+    n_values = sum(
+        _pq.ParquetFile(os.path.join(table.root, p)).metadata.num_rows
+        for p in new_rel
+    )
+    if n_values == 0:
+        import shutil
+
+        shutil.rmtree(prefix, ignore_errors=True)
+        return None
+    as_of = int(meta.current_snapshot_id)
+    man = table.manifest_pdf()
+    return table.commit(
+        "delete",
+        man.iloc[0:0],
+        {
+            "stage": "delete",
+            "mode": "equality",
+            "equality_cols": cols,
+            "delete_values": int(n_values),
+            "files_rewritten": 0,
+            "duration_sec": round(time.time() - t0, 3),
+        },
+        reuse_manifests=True,
+        eq_deletes=table.pending_eq_deletes()
+        + [
+            {"path": p, "cols": cols, "as_of_snapshot_id": as_of}
+            for p in new_rel
+        ],
     )
 
 
@@ -293,27 +382,99 @@ def apply_deletes(
     t0 = time.time()
     pt = PhaseTimer()
     pend = table.pending_delete_paths()
-    if not pend:
+    pend_eq = table.pending_eq_deletes()
+    if not pend and not pend_eq:
         return None
     man = table.manifest_pdf()
-    dabs = [os.path.join(table.root, p) for p in pend]
+    snap = table.snapshot()
+    meta = table.metadata()
+    touched: set = set()
     with pt.phase("plan"):
-        # touched-file list is bounded by the delete set, not the table
-        touched_rel = sorted(
-            r["path"]
-            for r in spark.read.schema("path string, pos long")
-            .parquet(*dabs)
-            .select("path")
-            .distinct()
-            .collect()
+        if pend:
+            # positional: touched-file list is bounded by the delete set
+            dabs = [os.path.join(table.root, p) for p in pend]
+            touched.update(
+                r["path"]
+                for r in spark.read.schema("path string, pos long")
+                .parquet(*dabs)
+                .select("path")
+                .distinct()
+                .collect()
+            )
+        if pend_eq:
+            # equality: probe which covered files actually hold a matching
+            # key — candidates are (files at as_of ∩ current), stats-pruned
+            # to the value range when the column carries min/max stats,
+            # then a column-pruned semi-join finds real matches
+            from collections import defaultdict
+
+            groups: dict = defaultdict(list)
+            for e in pend_eq:
+                groups[(tuple(e["cols"]), int(e["as_of_snapshot_id"]))].append(
+                    e["path"]
+                )
+            statable = list(meta.partition_cols) + list(meta.stats_cols)
+            cur = set(man["path"])
+            rel = rel_path_expr(table.root)
+            for (cols, as_of), dpaths in groups.items():
+                vals = (
+                    spark.read.parquet(
+                        *[os.path.join(table.root, p) for p in dpaths]
+                    )
+                    .select(*cols)
+                    .distinct()
+                )
+                covered = set(table.manifest_pdf(as_of)["path"]) & cur
+                cand = man[man["path"].isin(covered)]
+                if len(cols) == 1 and cols[0] in statable and len(cand):
+                    b = vals.agg(
+                        F.min(cols[0]).alias("lo"), F.max(cols[0]).alias("hi")
+                    ).first()
+                    if b["lo"] is not None:
+                        cand = prune_manifest(
+                            cand,
+                            [(cols[0], "between", (b["lo"], b["hi"]))],
+                            statable,
+                        )
+                if not len(cand):
+                    continue
+                probe = (
+                    spark.read.schema(table._schema(spark))
+                    .parquet(*[os.path.join(table.root, p) for p in cand["path"]])
+                    .select(*cols, rel.alias("__p"))
+                    .join(F.broadcast(vals), list(cols), "left_semi")
+                    .select("__p")
+                    .distinct()
+                )
+                touched.update(r["__p"] for r in probe.collect())
+    if not touched:
+        # stats/probe found nothing to rewrite (e.g. equality values that
+        # match no row) — clear the pending sets with a metadata-only commit
+        return table.commit(
+            "replace",
+            man.iloc[0:0],
+            {
+                "stage": "apply_deletes",
+                "rows_removed": 0,
+                "files_rewritten": 0,
+                "delete_files_applied": len(pend) + len(pend_eq),
+                "duration_sec": round(time.time() - t0, 3),
+                "phase_sec": pt.summary(),
+            },
+            reuse_manifests=True,
+            delete_paths=[],
+            eq_deletes=[],
         )
+    touched_rel = sorted(touched)
     schema = table._schema(spark)
     prefix = table.new_data_prefix()
     with pt.phase("rewrite"), read_split_size(spark, target_file_size_bytes):
         tgt = spark.read.schema(schema).parquet(
             *[os.path.join(table.root, p) for p in touched_rel]
         )
-        kept = table._apply_mor_deletes(spark, tgt, table.snapshot())
+        kept = table._apply_mor_deletes(spark, tgt, snap, keep_pos_cols=True)
+        kept = table._apply_eq_deletes(spark, kept, snap, path_col="__mor_path")
+        kept = kept.drop("__mor_path", "__mor_pos")
         kept.write.mode("append").parquet(prefix)
     with pt.phase("stats"):
         new_entries = (
@@ -332,9 +493,10 @@ def apply_deletes(
             "stage": "apply_deletes",
             "rows_removed": touched_records - kept_records,
             "files_rewritten": len(touched_rel),
-            "delete_files_applied": len(pend),
+            "delete_files_applied": len(pend) + len(pend_eq),
             "duration_sec": round(time.time() - t0, 3),
             "phase_sec": pt.summary(),
         },
         delete_paths=[],
+        eq_deletes=[],
     )

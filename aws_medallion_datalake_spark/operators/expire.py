@@ -78,6 +78,7 @@ def _spark_gc(table: Table, spark, retained, dry_run: bool) -> tuple:
     )
     delete_paths = sorted(
         {os.path.join(table.root, rel) for s in retained for rel in s.delete_paths}
+        | {os.path.join(table.root, e["path"]) for s in retained for e in s.eq_deletes}
     )
     if manifest_paths:
         sep = os.sep
@@ -147,8 +148,20 @@ def expire_snapshots(
     # reachable from any published snapshot, so an expiry between stage
     # and publish would GC the very data the audit is gating
     staged = [s for s in snaps if s.summary.get("staged") == "true"]
+    # snapshots referenced by PENDING equality deletes are pinned: the
+    # scan-side sequence rule needs the as_of snapshot's manifests to
+    # decide which files the delete covers, until apply_deletes clears it
+    eq_pinned_ids = {
+        int(e["as_of_snapshot_id"])
+        for s in (current or snaps[-1:])
+        for e in s.eq_deletes
+    }
+    eq_pinned = [s for s in snaps if s.snapshot_id in eq_pinned_ids]
     retained = sorted(
-        {s.snapshot_id: s for s in retained + current + tagged + staged}.values(),
+        {
+            s.snapshot_id: s
+            for s in retained + current + tagged + staged + eq_pinned
+        }.values(),
         key=lambda s: s.snapshot_id,
     )
     expired = [s for s in snaps if s not in retained]
@@ -165,6 +178,9 @@ def expire_snapshots(
     reachable = set(retained_manifests)
     reachable.update(
         os.path.join(table.root, rel) for s in retained for rel in s.delete_paths
+    )
+    reachable.update(
+        os.path.join(table.root, e["path"]) for s in retained for e in s.eq_deletes
     )
     if use_spark:
         deleted_files, freed_bytes = _spark_gc(table, spark, retained, dry_run)

@@ -119,9 +119,10 @@ def merge_into(
     """
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
-    if table.pending_delete_paths():
+    if table.pending_delete_paths() or table.pending_eq_deletes():
         # the keep-path rewrite copies whole files, resurrecting rows a
-        # pending positional delete suppresses — materialize them first
+        # pending positional/equality delete suppresses — materialize
+        # them first
         raise ValueError(
             "table has merge-on-read deletes pending; run apply_deletes() "
             "before MERGE"

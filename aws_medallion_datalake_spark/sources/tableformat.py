@@ -86,6 +86,15 @@ class Snapshot:
     # The list is this snapshot's FULL pending set — carried forward by
     # subsequent commits until apply_deletes() materializes them.
     delete_paths: list = field(default_factory=list)  # relative to root
+    # Merge-on-read EQUALITY deletes (Iceberg v2's second delete flavor):
+    # each entry {"path": <rel parquet of equality-column values>,
+    # "cols": [...], "as_of_snapshot_id": N} suppresses every row whose
+    # `cols` tuple matches a value row — but ONLY in data files that were
+    # already part of the table at `as_of_snapshot_id` (Iceberg sequence-
+    # number semantics: a later INSERT of the same key must survive).
+    # Like delete_paths, the list is the FULL pending set, carried
+    # forward until apply_deletes() materializes it.
+    eq_deletes: list = field(default_factory=list)
 
     @staticmethod
     def from_dict(d: dict) -> "Snapshot":
@@ -317,6 +326,7 @@ class Table:
         stage_only: bool = False,
         wap_id: Optional[str] = None,
         delete_paths: Optional[list] = None,
+        eq_deletes: Optional[list] = None,
         reuse_manifests: bool = False,
     ) -> Snapshot:
         """Commit the next snapshot (atomic).
@@ -359,15 +369,20 @@ class Table:
         sid = max((s.snapshot_id for s in meta.snapshots), default=0) + 1
         added_records = int(new_manifest["record_count"].sum()) if len(new_manifest) else 0
         added_bytes = int(new_manifest["file_size_bytes"].sum()) if len(new_manifest) else 0
-        if delete_paths is None:
+        if delete_paths is None or eq_deletes is None:
             parent_for_deletes = (
                 self.snapshot(meta.current_snapshot_id)
                 if meta.current_snapshot_id is not None
                 else None
             )
-            delete_paths = (
-                list(parent_for_deletes.delete_paths) if parent_for_deletes else []
-            )
+            if delete_paths is None:
+                delete_paths = (
+                    list(parent_for_deletes.delete_paths) if parent_for_deletes else []
+                )
+            if eq_deletes is None:
+                eq_deletes = (
+                    list(parent_for_deletes.eq_deletes) if parent_for_deletes else []
+                )
         if reuse_manifests:
             if len(new_manifest):
                 raise ValueError("reuse_manifests commits add no files")
@@ -415,6 +430,7 @@ class Table:
             manifest_paths=manifest_paths,
             summary=dict(summary or {}, **totals, **extra),
             delete_paths=delete_paths,
+            eq_deletes=eq_deletes,
         )
         meta.snapshots.append(snap)
         if not stage_only:
@@ -826,7 +842,14 @@ class Table:
             return _empty()
         paths = [os.path.join(self.root, p) for p in rel_paths]
         df = spark.read.schema(self._schema(spark)).parquet(*paths)
-        df = self._apply_mor_deletes(spark, df, s)
+        if s.eq_deletes:
+            # equality deletes need a file-path column that survives the
+            # positional anti-join; compute it once on the raw relation
+            df = self._apply_mor_deletes(spark, df, s, keep_pos_cols=True)
+            df = self._apply_eq_deletes(spark, df, s, path_col="__mor_path")
+            df = df.drop("__mor_path", "__mor_pos")
+        else:
+            df = self._apply_mor_deletes(spark, df, s)
         for col, op, value in preds:
             df = df.filter(_pred_to_column(col, op, value))
         if columns:
@@ -840,6 +863,72 @@ class Table:
         if self.metadata().current_snapshot_id is None and snapshot_id is None:
             return []
         return list(self.snapshot(snapshot_id).delete_paths)
+
+    def pending_eq_deletes(self, snapshot_id: Optional[int] = None) -> list:
+        """Merge-on-read EQUALITY deletes pending at a snapshot: a list of
+        ``{"path", "cols", "as_of_snapshot_id"}`` dicts (empty in the
+        common case)."""
+        if self.metadata().current_snapshot_id is None and snapshot_id is None:
+            return []
+        return [dict(e) for e in self.snapshot(snapshot_id).eq_deletes]
+
+    def _apply_eq_deletes(
+        self, spark, df: DataFrame, s: Snapshot, path_col: Optional[str] = None
+    ) -> DataFrame:
+        """Anti-join out equality-deleted rows (Iceberg v2 equality delete
+        semantics with sequence ordering): a value row in an equality
+        delete file suppresses every data row matching it on the delete's
+        columns, in data files that existed at the delete's
+        ``as_of_snapshot_id`` — files appended LATER are exempt, so a
+        re-insert of a deleted key survives, exactly like Iceberg's
+        sequence-number rule. Zero-cost when no equality deletes are
+        pending. Value sets are small by design (targeted key deletes —
+        bulk predicates should use copy-on-write), so the anti-join
+        broadcasts; the exempt file set is the files APPENDED since the
+        delete, small while the delete is pending (rewrites are guarded),
+        and joins as a broadcast path-marker."""
+        if not s.eq_deletes:
+            return df
+        from collections import defaultdict
+
+        groups: dict = defaultdict(list)
+        for e in s.eq_deletes:
+            groups[(tuple(e["cols"]), int(e["as_of_snapshot_id"]))].append(e["path"])
+        cur_paths = set(self.manifest_pdf(s.snapshot_id)["path"])
+        # ``_metadata`` resolves only on the raw file relation — callers
+        # that already projected it away (e.g. through the positional
+        # anti-join) pass the name of their retained path column instead
+        own_path = path_col is None
+        pc = "__eq_path" if own_path else path_col
+        out = (
+            df.withColumn("__eq_path", rel_path_expr(self.root)) if own_path else df
+        )
+        for (cols, as_of), dpaths in sorted(groups.items(), key=lambda kv: kv[0][1]):
+            vals = (
+                spark.read.parquet(*[os.path.join(self.root, p) for p in dpaths])
+                .select(*cols)
+                .distinct()
+                .withColumn("__eq_hit", F.lit(True))
+            )
+            covered = set(self.manifest_pdf(as_of)["path"])
+            exempt = sorted(cur_paths - covered)
+            out = out.join(F.broadcast(vals), list(cols), "left")
+            if exempt:
+                ex = (
+                    spark.createDataFrame(
+                        [(p,) for p in exempt], f"{pc} string"
+                    ).withColumn("__eq_ex", F.lit(True))
+                )
+                out = (
+                    out.join(F.broadcast(ex), pc, "left")
+                    .filter(
+                        F.col("__eq_hit").isNull() | F.col("__eq_ex").isNotNull()
+                    )
+                    .drop("__eq_hit", "__eq_ex")
+                )
+            else:
+                out = out.filter(F.col("__eq_hit").isNull()).drop("__eq_hit")
+        return out.drop("__eq_path") if own_path else out
 
     def _apply_mor_deletes(
         self, spark, df: DataFrame, s: Snapshot, keep_pos_cols: bool = False
@@ -1011,6 +1100,7 @@ class Table:
         reach = set()
         for s in meta.snapshots:
             reach.update(s.delete_paths)  # MoR delete files live in data/
+            reach.update(e["path"] for e in s.eq_deletes)
             for rel in s.manifest_paths:
                 if rel in reach:  # manifest lists share ancestor manifests
                     continue
