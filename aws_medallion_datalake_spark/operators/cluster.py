@@ -66,6 +66,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType
 
 from ..functions.udfs import hilbert64_udf, morton64_expr
+from ..sources import transforms
 from ..sources.tableformat import Snapshot, Table, read_split_size
 from .checkpoint import RunCheckpoint
 from .timing import PhaseTimer
@@ -128,10 +129,14 @@ _PART_SEP = "\x1f"  # multi-level partition tuple separator
 def _part_key_col(partition_cols: list):
     """One string per partition TUPLE — supports multi-level specs like
     the reference's year=/month=/day= layout
-    (/root/reference/scripts/bronze_digit.py:143-148)."""
-    if len(partition_cols) == 1:
-        return F.col(partition_cols[0])
-    return F.concat_ws(_PART_SEP, *[F.col(c) for c in partition_cols])
+    (/root/reference/scripts/bronze_digit.py:143-148) and hidden-
+    partitioning transforms (the tuple is built from the TRANSFORM
+    values, cast to string to match the manifest's partition_json
+    values)."""
+    pexprs = [t.expr().cast("string") for t in transforms.parse_spec(partition_cols)]
+    if len(pexprs) == 1:
+        return pexprs[0]
+    return F.concat_ws(_PART_SEP, *pexprs)
 
 
 def _composite(key, partition_cols: list, part_values: list):
@@ -317,15 +322,19 @@ def cluster(
         vals = set()
         for pj in work["partition_json"].unique():
             d = _json.loads(pj)
-            levels = [d.get(c) for c in meta.partition_cols]
+            levels = [d.get(c) for c in transforms.field_names(meta.partition_cols)]
             if any(v is None or v == "__mixed__" for v in levels):
                 continue
             vals.add(_PART_SEP.join(str(v) for v in levels))
         part_values = sorted(vals)
 
     key = _curve_key(curve, cols)
-    sort_cols = [F.col(c) for c in meta.partition_cols] + [F.col(_KEY)]
-    need = list(dict.fromkeys(list(meta.partition_cols) + list(cols) + ["image_id"]))
+    sort_cols = transforms.exprs(meta.partition_cols) + [F.col(_KEY)]
+    need = list(
+        dict.fromkeys(
+            transforms.source_cols(meta.partition_cols) + list(cols) + ["image_id"]
+        )
+    )
     schema = table._schema(spark)
 
     pruned_cache = None

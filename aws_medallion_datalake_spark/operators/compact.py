@@ -37,6 +37,7 @@ from ..plans.binpack import (
     plan_compaction,
     plan_compaction_spark,
 )
+from ..sources import transforms
 from ..sources.tableformat import Snapshot, Table
 from .checkpoint import RunCheckpoint
 from .timing import PhaseTimer
@@ -79,7 +80,7 @@ def _group_plan(table: Table, spark: SparkSession, group: CompactionGroup):
     paths = [os.path.join(table.root, p) for p in group.paths]
     df = spark.read.schema(table._schema(spark)).parquet(*paths)
     key = _sort_key(df)
-    part_cols = [F.col(c) for c in table.metadata().partition_cols]
+    part_cols = transforms.exprs(table.metadata().partition_cols)
     sort_cols = part_cols + ([key] if key is not None else [])
     if group.n_output_files == 1:
         df = df.coalesce(1)
@@ -146,7 +147,7 @@ def _rewrite_batch(
     )
     df = df.repartition(n, F.col("__rt")).drop("__rt")
     key = _sort_key(df)
-    part_cols = [F.col(c) for c in table.metadata().partition_cols]
+    part_cols = transforms.exprs(table.metadata().partition_cols)
     sort_cols = part_cols + ([key] if key is not None else [])
     if sort_cols and groups[0].ordered:
         df = df.sortWithinPartitions(*sort_cols)

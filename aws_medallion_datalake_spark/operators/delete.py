@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources import transforms
 from ..sources.tableformat import (
     Snapshot,
     Table,
@@ -93,8 +94,14 @@ def delete_where(
     man = table.manifest_pdf()
 
     with pt.phase("plan"):
-        statable = list(meta.partition_cols) + list(meta.stats_cols)
-        cand = prune_manifest(man, preds, statable)
+        statable = transforms.field_names(meta.partition_cols) + list(
+            meta.stats_cols
+        )
+        # hidden-partitioning transforms add derived predicates for the
+        # FILE-level prune; the row-level predicate stays the original
+        cand = prune_manifest(
+            man, transforms.extend_predicates(meta.partition_cols, preds), statable
+        )
     if not len(cand):
         return None
 
@@ -413,7 +420,9 @@ def apply_deletes(
                 groups[(tuple(e["cols"]), int(e["as_of_snapshot_id"]))].append(
                     e["path"]
                 )
-            statable = list(meta.partition_cols) + list(meta.stats_cols)
+            statable = transforms.field_names(meta.partition_cols) + list(
+                meta.stats_cols
+            )
             cur = set(man["path"])
             rel = rel_path_expr(table.root)
             for (cols, as_of), dpaths in groups.items():

@@ -88,6 +88,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources import transforms
 from ..sources.tableformat import Snapshot, Table
 from ..sources.tableformat import read_split_size as _read_split_size
 from ..sources.tableformat import rel_path_expr as _rel_path_expr
@@ -189,7 +190,9 @@ def merge_into(
     #    nothing, which is the honest cost.
     meta = table.metadata()
     probe_preds = None
-    if n_src_keys and key in (list(meta.partition_cols) + list(meta.stats_cols)):
+    if n_src_keys and key in (
+        transforms.identity_names(meta.partition_cols) + list(meta.stats_cols)
+    ):
         with pt.phase("source_key_range"):
             b = src.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
         if b["lo"] is not None:

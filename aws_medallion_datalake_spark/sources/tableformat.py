@@ -61,6 +61,8 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import transforms
+
 SPARK_MANIFEST_THRESHOLD = 2_000_000  # manifest rows before planning moves to Spark
 
 MANIFEST_PART_ROWS = 1_000_000  # rows per manifest part in a Spark rewrite
@@ -254,9 +256,13 @@ class Table:
         version = self.current_version()
         meta = self.metadata(version)
         fields = {f.name for f in StructType.fromDDL(meta.schema_ddl).fields}
-        missing = [c for c in partition_cols if c not in fields]
+        # entries may be hidden-partitioning transforms — parse validates
+        # the syntax, and the TRANSFORM SOURCE columns must exist
+        missing = [
+            c for c in transforms.source_cols(partition_cols) if c not in fields
+        ]
         if missing:
-            raise KeyError(f"partition columns not in schema: {missing}")
+            raise KeyError(f"partition source columns not in schema: {missing}")
         meta.partition_cols = list(partition_cols)
         self._write_metadata_version(version + 1, meta)
 
@@ -756,7 +762,16 @@ class Table:
         meta = self.metadata()
         prefixes = [prefix] if isinstance(prefix, str) else list(prefix)
         df = spark.read.parquet(*prefixes)
-        stat_cols = list(dict.fromkeys(list(meta.partition_cols) + list(meta.stats_cols)))
+        # hidden partitioning: materialize each non-identity transform as a
+        # derived column so its min/max/null stats (and partition_json
+        # routing) use the TRANSFORM value — users' predicates on the
+        # source column are mapped into this space at scan time
+        part_fields = []
+        for t in transforms.parse_spec(meta.partition_cols):
+            part_fields.append(t.name)
+            if t.kind != "identity":
+                df = df.withColumn(t.name, t.expr())
+        stat_cols = list(dict.fromkeys(part_fields + list(meta.stats_cols)))
         aggs = [
             F.count(F.lit(1)).alias("record_count"),
             F.first(F.col("_metadata.file_size")).alias("file_size_bytes"),
@@ -775,7 +790,7 @@ class Table:
         # pandas stays the planner only below SPARK_MANIFEST_THRESHOLD,
         # but 2M rows of iterrows is minutes while this is milliseconds.
         cols_json = []
-        for c in sorted(meta.partition_cols):
+        for c in sorted(part_fields):
             v = pdf[f"min_{c}"].astype(str).where(
                 pdf[f"min_{c}"] == pdf[f"max_{c}"], "__mixed__"
             )
@@ -816,7 +831,14 @@ class Table:
             snapshot_id = self.snapshot_as_of(as_of_ms).snapshot_id
         meta = self.metadata()
         preds = list(predicates or [])
-        statable = list(meta.partition_cols) + list(meta.stats_cols)
+        # hidden partitioning: file-level pruning additionally uses the
+        # transform-space predicates derived from source-column predicates
+        # (sound by construction); ROW-level filtering below re-applies
+        # only the originals
+        prune_preds = transforms.extend_predicates(meta.partition_cols, preds)
+        statable = transforms.field_names(meta.partition_cols) + list(
+            meta.stats_cols
+        )
         # planner path picked by manifest size WITHOUT materializing it: the
         # parquet footer gives the row count. Below the threshold pandas
         # plans driver-side (no job overhead); above it the same pruning
@@ -833,11 +855,11 @@ class Table:
             return _empty()
         if n_entries > SPARK_MANIFEST_THRESHOLD:
             rel_paths = prune_manifest_spark(
-                self.manifest_df(spark, s.snapshot_id), preds, statable
+                self.manifest_df(spark, s.snapshot_id), prune_preds, statable
             )
         else:
             man = self.manifest_pdf(snapshot_id)
-            rel_paths = list(prune_manifest(man, preds, statable)["path"])
+            rel_paths = list(prune_manifest(man, prune_preds, statable)["path"])
         if len(rel_paths) == 0:
             return _empty()
         paths = [os.path.join(self.root, p) for p in rel_paths]
