@@ -1517,6 +1517,56 @@ def _sql_events_json_explode():
     """
 
 
+def q_hidden_partition_scan(spark, sf_dir):
+    """Hidden partitioning (Iceberg-style transform spec,
+    aws_medallion_datalake_spark/sources/transforms.py): orders loaded
+    into an engine table partitioned by months(o_orderdate) +
+    bucket(16, o_custkey). The scan is given only PLAIN source-column
+    predicates — a date range — and maps them to transform-space file
+    pruning internally; users never name derived columns (the anti-
+    Hive-trap answer to the reference's materialized year=/month=/day=
+    layout, /root/reference/scripts/bronze_digit.py:143-148). The
+    oracle runs the same filter + rollup over the raw parquet, so a
+    green row proves transform pruning drops no qualifying rows and
+    row-level re-filtering drops every non-qualifying one."""
+    import tempfile
+
+    from aws_medallion_datalake_spark.sources import transforms as T
+    from aws_medallion_datalake_spark.sources.tableformat import Table
+
+    o = _t(spark, sf_dir, "orders")
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in o.schema.fields)
+    spec = ["months(o_orderdate)", "bucket(16, o_custkey)"]
+    t = Table.create(
+        os.path.join(tempfile.mkdtemp(prefix="entry_hidden_part_"), "orders_tbl"),
+        ddl,
+        partition_cols=spec,
+        stats_cols=["o_orderkey"],
+    )
+    t.commit("append", t.write_files(o.repartitionByRange(8, *T.exprs(spec))))
+    scanned = t.scan(
+        spark,
+        predicates=[("o_orderdate", "between", ("1996-01-01", "1996-12-31"))],
+    )
+    return scanned.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
+def _sql_hidden_partition_scan():
+    return """
+        SELECT o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price,
+               count(DISTINCT o_custkey) AS n_custs
+        FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                              AND TIMESTAMP '1996-12-31'
+        GROUP BY o_orderpriority
+    """
+
+
 def q_minhash_candidate_pairs(spark, sf_dir):
     """MinHash+LSH DEDUP, end to end: signatures → band self-join emits
     candidate pairs (docs agreeing on any band) → exact shingle-Jaccard
@@ -2062,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gold_fact_dim_join": q_gold_fact_dim_join,
         "gold_weekend_split": q_gold_weekend_split,
         "events_json_explode": q_events_json_explode,
+        "hidden_partition_scan": q_hidden_partition_scan,
         "minhash_candidate_pairs": q_minhash_candidate_pairs,
         "neardup_components": q_neardup_components,
         "image_features_ann": q_image_features_ann,
@@ -2116,6 +2167,7 @@ def oracle_sql() -> dict[str, str]:
         "gold_fact_dim_join": _sql_gold_fact_dim_join(),
         "gold_weekend_split": _sql_gold_weekend_split(),
         "events_json_explode": _sql_events_json_explode(),
+        "hidden_partition_scan": _sql_hidden_partition_scan(),
         "minhash_candidate_pairs": _sql_minhash_candidate_pairs(),
         "neardup_components": _sql_neardup_components(),
         # image_medallion / image_maintenance / image_gold_star:
