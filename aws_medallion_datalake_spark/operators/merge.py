@@ -135,12 +135,29 @@ def merge_into(
     src = source.cache()
     with pt.phase("source_check"):
         if check_duplicate_keys:
-            # runs on the CACHED source, so the cardinality check doubles as
-            # the cache-materialization job — the source is read exactly once
-            dup = src.groupBy(key).count().filter("count > 1")
-            if not dup.isEmpty():
+            # ONE job on the CACHED source gives both the duplicate check
+            # and the key count (equal to the row count when the check
+            # passes), and doubles as the cache-materialization job — the
+            # source is read exactly once and the phase schedules exactly
+            # one Spark job (its fixed driver cost is the parallelism-
+            # independent term that caps merge's measured scaling at small
+            # stage durations)
+            r = (
+                src.groupBy(key)
+                .count()
+                .agg(
+                    F.count(F.lit(1)).alias("n_keys"),
+                    F.max("count").alias("max_dup"),
+                )
+                .first()
+            )
+            if (r["max_dup"] or 0) > 1:
                 raise ValueError(f"MERGE source has duplicate keys on {key!r}")
-        n_src_keys = src.count()  # cached: key-only metadata aggregate
+            n_src_keys = int(r["n_keys"] or 0)
+        else:
+            # rows, not distinct keys — a conservative upper bound for the
+            # broadcast-size decision below
+            n_src_keys = src.count()
     src_keys = src.select(key).distinct()
     use_salt = n_src_keys > broadcast_key_limit and smj_salt_buckets > 1
     if n_src_keys <= broadcast_key_limit:
