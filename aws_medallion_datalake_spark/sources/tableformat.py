@@ -1013,36 +1013,8 @@ class Table:
         reads ``changes(last, current)`` sees every appended/upserted row
         exactly once.
         """
+        chain = self._ancestry_chain(from_snapshot_id, to_snapshot_id)
         meta = self.metadata()
-        to_sid = to_snapshot_id if to_snapshot_id is not None else meta.current_snapshot_id
-        if to_sid is None or to_sid < from_snapshot_id:
-            raise ValueError(f"bad snapshot range [{from_snapshot_id}, {to_sid}]")
-        # Ancestry walk (parent pointers), not an id-range scan: staged
-        # WAP snapshots and rollback branches put off-chain ids inside
-        # [from, to] — those carry no published rows and must be skipped,
-        # while a genuinely pruned ancestor must still fail loudly.
-        by_id = {s.snapshot_id: s for s in meta.snapshots}
-        chain: list = []
-        sid = to_sid
-        while sid != from_snapshot_id:
-            s = by_id.get(sid)
-            if s is None or s.parent_snapshot_id is None:
-                raise KeyError(
-                    f"snapshot {from_snapshot_id} is not a live ancestor of "
-                    f"{to_sid}: an intermediate snapshot expired (incremental "
-                    f"consumers must keep up with the expiry retention "
-                    f"window) or the table was rolled back across it"
-                )
-            chain.append(s)
-            sid = s.parent_snapshot_id
-        chain.reverse()
-        try:
-            self.snapshot(from_snapshot_id)
-        except KeyError as e:
-            raise KeyError(
-                f"snapshot {from_snapshot_id} expired — incremental "
-                f"consumers must keep up with the expiry retention window"
-            ) from e
         # planner path, like scan(): driver-side python sets are O(manifest)
         # memory per snapshot; above the threshold the added-file diff runs
         # as a Spark anti-join per chain link and only the ADDED paths (the
@@ -1091,6 +1063,187 @@ class Table:
         if columns:
             df = df.select(*columns)
         return df
+
+    def _ancestry_chain(self, from_snapshot_id: int, to_snapshot_id: Optional[int]):
+        """Published-snapshot chain (exclusive of ``from``, inclusive of
+        ``to``), oldest first. Ancestry walk (parent pointers), not an
+        id-range scan: staged WAP snapshots and rollback branches put
+        off-chain ids inside [from, to] — those carry no published rows
+        and must be skipped, while a genuinely pruned ancestor must
+        still fail loudly."""
+        meta = self.metadata()
+        to_sid = (
+            to_snapshot_id if to_snapshot_id is not None else meta.current_snapshot_id
+        )
+        if to_sid is None or to_sid < from_snapshot_id:
+            raise ValueError(f"bad snapshot range [{from_snapshot_id}, {to_sid}]")
+        by_id = {s.snapshot_id: s for s in meta.snapshots}
+        chain: list = []
+        sid = to_sid
+        while sid != from_snapshot_id:
+            s = by_id.get(sid)
+            if s is None or s.parent_snapshot_id is None:
+                raise KeyError(
+                    f"snapshot {from_snapshot_id} is not a live ancestor of "
+                    f"{to_sid}: an intermediate snapshot expired (incremental "
+                    f"consumers must keep up with the expiry retention "
+                    f"window) or the table was rolled back across it"
+                )
+            chain.append(s)
+            sid = s.parent_snapshot_id
+        chain.reverse()
+        try:
+            self.snapshot(from_snapshot_id)
+        except KeyError as e:
+            raise KeyError(
+                f"snapshot {from_snapshot_id} expired — incremental "
+                f"consumers must keep up with the expiry retention window"
+            ) from e
+        return chain
+
+    def changes_cdc(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: Optional[int] = None,
+    ) -> DataFrame:
+        """CDC changelog between two snapshots: every ROW-LEVEL change as
+        table columns + ``_change_type`` ('insert' | 'delete') +
+        ``_commit_snapshot_id`` — the Iceberg ``create_changelog_view`` /
+        Delta Change Data Feed surface. ``changes()`` answers "what rows
+        are new"; this answers "what happened", including removals — the
+        feed an incremental training-data consumer needs to retract
+        examples it already exported (an update arrives as a delete of
+        the old version + an insert of the new, Iceberg changelog style;
+        no pre/post-image pairing).
+
+        Per-snapshot derivation (all bounded by the commit's TOUCHED
+        files, never the table):
+
+        - ``append`` → added files read directly as inserts.
+        - ``merge`` / copy-on-write ``delete`` → a MULTISET diff of the
+          removed vs added files' rows: copy-on-write copies surviving
+          rows unchanged, so they cancel; deleted/old-version rows
+          survive on the removed side, upserted rows on the added side.
+          Row identity is ``xxhash64`` over all columns (count-aware, so
+          duplicate identical rows emit the right multiplicity).
+        - merge-on-read ``delete`` (positional) → the NEW delete files'
+          (path, pos) entries semi-joined against the parent-visible
+          rows of those files.
+        - merge-on-read ``delete`` (equality) → the NEW value files
+          semi-joined against the parent-visible scan (the delete's
+          as-of IS the parent, so covered-file filtering is implicit).
+        - ``replace`` / ``expire`` (compaction, clustering,
+          rewrite_manifests, apply_deletes, delete-file compaction) →
+          physical only, nothing emitted.
+
+        Rewritten-away files stay on disk until ``expire_snapshots`` GC,
+        which is what makes the removed side readable — the same
+        retention window ``changes()`` already requires of consumers.
+        """
+        chain = self._ancestry_chain(from_snapshot_id, to_snapshot_id)
+        schema = self._schema(spark)
+        cols = [f.name for f in schema.fields]
+
+        def _read(rel_paths):
+            return spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, p) for p in rel_paths]
+            )
+
+        def _tag(df, kind, s):
+            return df.select(
+                *cols,
+                F.lit(kind).alias("_change_type"),
+                F.lit(s.snapshot_id).cast("long").alias("_commit_snapshot_id"),
+            )
+
+        def _counted(df):
+            return df.groupBy(
+                F.xxhash64(*[F.col(c) for c in cols]).alias("__sig")
+            ).agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.first(F.struct(*cols)).alias("__r"),
+            )
+
+        def _surplus(a, b, kind, s):
+            """Rows of ``a`` beyond their multiplicity in ``b``."""
+            d = (
+                _counted(a)
+                .join(
+                    _counted(b).select("__sig", F.col("__n").alias("__nb")),
+                    "__sig",
+                    "left",
+                )
+                .withColumn("__d", F.col("__n") - F.coalesce("__nb", F.lit(0)))
+                .filter(F.col("__d") > 0)
+                .select("__r", F.explode(F.expr("sequence(1, __d)")))
+                .select("__r.*")
+            )
+            return _tag(d, kind, s)
+
+        parts = []
+        prev = self.snapshot(from_snapshot_id)
+        prev_paths = set(self.manifest_pdf(from_snapshot_id)["path"])
+        for s in chain:
+            cur_paths = set(self.manifest_pdf(s.snapshot_id)["path"])
+            added = sorted(cur_paths - prev_paths)
+            removed = sorted(prev_paths - cur_paths)
+            if s.operation == "append":
+                if added:
+                    parts.append(_tag(_read(added), "insert", s))
+            elif s.operation in ("merge", "delete") and (added or removed):
+                old = _read(removed) if removed else _read(added).limit(0)
+                new = _read(added) if added else old.limit(0)
+                parts.append(_surplus(new, old, "insert", s))
+                parts.append(_surplus(old, new, "delete", s))
+            # merge-on-read commits: the manifest is unchanged, the pending
+            # delete sets grew relative to the parent
+            new_dp = sorted(set(s.delete_paths) - set(prev.delete_paths))
+            if new_dp:
+                base = _read(sorted(prev_paths))
+                base = self._apply_mor_deletes(spark, base, prev, keep_pos_cols=True)
+                base = self._apply_eq_deletes(spark, base, prev, path_col="__mor_path")
+                dels = spark.read.schema("path string, pos long").parquet(
+                    *[os.path.join(self.root, p) for p in new_dp]
+                )
+                hit = base.join(
+                    F.broadcast(
+                        dels.withColumnRenamed("path", "__mor_path").withColumnRenamed(
+                            "pos", "__mor_pos"
+                        )
+                    ),
+                    ["__mor_path", "__mor_pos"],
+                    "left_semi",
+                )
+                parts.append(_tag(hit, "delete", s))
+            prev_eq = {e["path"] for e in prev.eq_deletes}
+            new_eq = [e for e in s.eq_deletes if e["path"] not in prev_eq]
+            if new_eq:
+                base = self.scan(spark, snapshot_id=prev.snapshot_id)
+                for e in new_eq:
+                    vals = (
+                        spark.read.parquet(os.path.join(self.root, e["path"]))
+                        .select(*e["cols"])
+                        .distinct()
+                    )
+                    parts.append(
+                        _tag(
+                            base.join(F.broadcast(vals), list(e["cols"]), "left_semi"),
+                            "delete",
+                            s,
+                        )
+                    )
+            prev, prev_paths = s, cur_paths
+        if not parts:
+            return _tag(
+                spark.createDataFrame([], schema=schema),
+                "insert",
+                chain[-1] if chain else self.snapshot(from_snapshot_id),
+            ).limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def register(
         self,
