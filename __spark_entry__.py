@@ -1812,6 +1812,41 @@ def q_image_incremental(spark, sf_dir):
     )
 
 
+def q_image_cdc(spark, sf_dir):
+    """CDC changelog consumption (Table.changes_cdc): after an append, a
+    caption-updating MERGE, and a copy-on-write DELETE, the changelog
+    emits updates as delete-of-old + insert-of-new and the delete as a
+    lone delete row; compaction emits nothing. Returns the per-snapshot
+    per-change-type rollup a downstream retraction consumer would
+    checkpoint. Engine-internal (table format); rows-only check."""
+    import tempfile
+
+    from aws_medallion_datalake_spark.operators import compact, delete_where
+    from aws_medallion_datalake_spark.operators.merge import merge_into
+    from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
+    from aws_medallion_datalake_spark.sources.generator import generate_images
+
+    root = tempfile.mkdtemp(prefix="entry_cdc_")
+    t = bronze_ingest(spark, os.path.join(root, "t"), _IMG_ROWS, n_files=4)
+    s0 = t.metadata().current_snapshot_id
+    t.commit("append", t.write_files(generate_images(spark, 60, n_files=1, start=70_000)))
+    src = generate_images(spark, 50, n_files=1, start=_IMG_ROWS - 25).withColumn(
+        "caption", F.concat(F.col("caption"), F.lit("-v2"))
+    )
+    merge_into(t, spark, src, key="image_id")
+    delete_where(t, spark, [("image_id", "=", "img-%012d" % 1)])
+    compact(t, spark, target_file_size_bytes=8 * 1024 * 1024)
+    cdc = t.changes_cdc(spark, s0)
+    return (
+        cdc.groupBy("_commit_snapshot_id", "_change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("image_id").alias("n_ids"),
+        )
+        .orderBy("_commit_snapshot_id", "_change_type")
+    )
+
+
 def q_image_wap(spark, sf_dir):
     """Write-audit-publish ingestion gate: a clean batch stages, passes
     the audit (metadata profile + full decode probe) and publishes; a
@@ -2120,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_maintenance": q_image_maintenance,
         "image_gold_star": q_image_gold_star,
         "image_incremental": q_image_incremental,
+        "image_cdc": q_image_cdc,
         "image_wap": q_image_wap,
         "image_mor_delete": q_image_mor_delete,
         "image_eq_delete": q_image_eq_delete,
