@@ -1183,11 +1183,43 @@ class Table:
 
         parts = []
         prev = self.snapshot(from_snapshot_id)
-        prev_paths = set(self.manifest_pdf(from_snapshot_id)["path"])
+        # planner path, like scan()/changes(): below the manifest threshold
+        # the per-link file diff is a driver-side set difference; above it
+        # the diff runs as Spark anti-joins and only the TOUCHED paths (the
+        # commit's actual footprint, never the table) reach the driver.
+        # Physical-only links (replace/expire) skip the diff entirely.
+        use_spark = self.manifest_rows(from_snapshot_id) > SPARK_MANIFEST_THRESHOLD
+        prev_paths = (
+            None if use_spark else set(self.manifest_pdf(from_snapshot_id)["path"])
+        )
+        prev_man = (
+            self.manifest_df(spark, from_snapshot_id).select("path")
+            if use_spark
+            else None
+        )
         for s in chain:
-            cur_paths = set(self.manifest_pdf(s.snapshot_id)["path"])
-            added = sorted(cur_paths - prev_paths)
-            removed = sorted(prev_paths - cur_paths)
+            logical = s.operation in ("append", "merge", "delete")
+            if use_spark:
+                cur_man = self.manifest_df(spark, s.snapshot_id).select("path")
+                added = removed = []
+                if logical:
+                    added = sorted(
+                        r["path"]
+                        for r in cur_man.join(prev_man, "path", "left_anti").collect()
+                    )
+                    if s.operation != "append":
+                        removed = sorted(
+                            r["path"]
+                            for r in prev_man.join(
+                                cur_man, "path", "left_anti"
+                            ).collect()
+                        )
+                prev_man = cur_man
+            else:
+                cur_paths = set(self.manifest_pdf(s.snapshot_id)["path"])
+                added = sorted(cur_paths - prev_paths) if logical else []
+                removed = sorted(prev_paths - cur_paths) if logical else []
+                prev_paths = cur_paths
             if s.operation == "append":
                 if added:
                     parts.append(_tag(_read(added), "insert", s))
@@ -1200,12 +1232,17 @@ class Table:
             # delete sets grew relative to the parent
             new_dp = sorted(set(s.delete_paths) - set(prev.delete_paths))
             if new_dp:
-                base = _read(sorted(prev_paths))
-                base = self._apply_mor_deletes(spark, base, prev, keep_pos_cols=True)
-                base = self._apply_eq_deletes(spark, base, prev, path_col="__mor_path")
                 dels = spark.read.schema("path string, pos long").parquet(
                     *[os.path.join(self.root, p) for p in new_dp]
                 )
+                # the delete entries name exactly the touched data files —
+                # read only those, never the parent's whole file set
+                touched = sorted(
+                    r["path"] for r in dels.select("path").distinct().collect()
+                )
+                base = _read(touched)
+                base = self._apply_mor_deletes(spark, base, prev, keep_pos_cols=True)
+                base = self._apply_eq_deletes(spark, base, prev, path_col="__mor_path")
                 hit = base.join(
                     F.broadcast(
                         dels.withColumnRenamed("path", "__mor_path").withColumnRenamed(
@@ -1233,7 +1270,7 @@ class Table:
                             s,
                         )
                     )
-            prev, prev_paths = s, cur_paths
+            prev = s
         if not parts:
             return _tag(
                 spark.createDataFrame([], schema=schema),

@@ -108,6 +108,23 @@ def test_physical_rewrites_emit_nothing(table, spark):
     assert table.changes_cdc(spark, sid0).count() == 0
 
 
+def test_cdc_spark_planner_path(table, spark, monkeypatch):
+    """Above SPARK_MANIFEST_THRESHOLD the per-link file diff runs as
+    Spark anti-joins; results must match the pandas planner."""
+    import aws_medallion_datalake_spark.sources.tableformat as tf
+
+    sid0 = table.metadata().current_snapshot_id
+    table.commit("append", table.write_files(generate_images(spark, 10, n_files=1, start=800)))
+    victim = table.scan(spark).select("image_id").head()[0]
+    delete_where(table, spark, [("image_id", "=", victim)])
+    want = _by_type(table.changes_cdc(spark, sid0))
+    monkeypatch.setattr(tf, "SPARK_MANIFEST_THRESHOLD", 0)
+    assert _by_type(table.changes_cdc(spark, sid0)) == want == {
+        "insert": 10,
+        "delete": 1,
+    }
+
+
 def test_changelog_replay_reconstructs_state(table, spark):
     """Multiset invariant over a mixed history: rows(from) + inserts −
     deletes == rows(to)."""
