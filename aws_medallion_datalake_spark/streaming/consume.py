@@ -45,6 +45,7 @@ def consume_changes(
     *,
     columns: Optional[Sequence[str]] = None,
     start_snapshot_id: Optional[int] = None,
+    cdc: bool = False,
 ) -> Optional[dict]:
     """Process rows added since the bookmark, exactly one batch per call.
 
@@ -54,7 +55,13 @@ def consume_changes(
     physical: compaction/cluster/expire emit no rows, but the bookmark
     still advances past them so the next call stays O(new work)).
     ``fn(df, from_sid, to_sid)`` does the side effect; without ``fn``
-    the batch is counted (materializing it) and the count returned."""
+    the batch is counted (materializing it) and the count returned.
+
+    ``cdc=True`` feeds the handler ``Table.changes_cdc`` batches instead
+    — full changelog rows with ``_change_type``/``_commit_snapshot_id``
+    so the consumer can retract deleted/updated rows downstream. The
+    initial fresh-checkpoint batch is the current snapshot tagged as
+    inserts (there is no earlier state to diff against)."""
     cp = RunCheckpoint(checkpoint_path)
     done = [int(r["key"].rsplit("/", 1)[1]) for r in cp.units_done("consume")]
     bookmark = max(done) if done else start_snapshot_id
@@ -63,7 +70,22 @@ def consume_changes(
         return None
     if bookmark is None:
         df = table.scan(spark, snapshot_id=cur, columns=columns)
+        if cdc:
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                "*",
+                F.lit("insert").alias("_change_type"),
+                F.lit(cur).cast("long").alias("_commit_snapshot_id"),
+            )
         frm: Optional[int] = None
+    elif cdc:
+        df = table.changes_cdc(spark, bookmark, cur)
+        if columns:
+            df = df.select(
+                *columns, "_change_type", "_commit_snapshot_id"
+            )
+        frm = bookmark
     else:
         df = table.changes(spark, bookmark, cur, columns=columns)
         frm = bookmark

@@ -75,3 +75,37 @@ def test_consume_start_snapshot_skips_history(tmp_path, spark):
     ckpt = str(tmp_path / "consumer.jsonl")
     r = consume_changes(t, spark, ckpt, start_snapshot_id=s1)
     assert r["rows"] == 25  # history before s1 skipped
+
+
+def test_consume_cdc_mode(tmp_path, spark):
+    """cdc=True feeds changelog batches: updates arrive as delete+insert,
+    deletes as delete rows; fresh checkpoint = snapshot-as-inserts."""
+    from pyspark.sql import functions as F
+
+    from aws_medallion_datalake_spark.operators.delete import delete_where
+
+    t = Table.create(
+        str(tmp_path / "t"), SCHEMA, partition_cols=["ingest_date"], stats_cols=STATS
+    )
+    t.commit("append", t.write_files(generate_images(spark, N, n_files=4)))
+    ckpt = str(tmp_path / "cdc_consumer.jsonl")
+
+    r1 = consume_changes(t, spark, ckpt, cdc=True)
+    assert r1["rows"] == N and r1["from_snapshot"] is None
+
+    merge_into(t, spark, generate_updates(spark, N, 15, 5, n_files=1))
+    victim = t.scan(spark).select("image_id").head()[0]
+    delete_where(t, spark, [("image_id", "=", victim)])
+
+    seen = {}
+
+    def collect(df, frm, to):
+        for r in df.groupBy("_change_type").count().collect():
+            seen[r["_change_type"]] = r["count"]
+        return df.count()
+
+    r2 = consume_changes(t, spark, ckpt, collect, cdc=True)
+    # merge: 15 updates -> 15 del + 15 ins, 5 inserts; CoW delete: 1 del
+    assert seen == {"insert": 20, "delete": 16}
+    assert r2["result"] == 36
+    assert consume_changes(t, spark, ckpt, cdc=True) is None
