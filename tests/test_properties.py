@@ -146,3 +146,83 @@ def test_lossy_roundtrip_psnr(seed):
     img = render_image(seed, 32, 32)
     back = decode_image(encode_image(img, "jpeg"))
     assert psnr(img, back) >= 40.0
+
+
+# ---------------------------------------------------------------------------
+# hidden-partitioning transform derivation soundness (driver-side halves)
+# ---------------------------------------------------------------------------
+# Invariant: if a row value v satisfies the SOURCE predicate (col, op, x),
+# then transform(v) must satisfy the DERIVED predicate — otherwise manifest
+# pruning on the derived stats could drop a file holding a qualifying row.
+
+from datetime import date as _date, timedelta as _td
+
+from aws_medallion_datalake_spark.sources import transforms as _T
+
+
+def _py_apply(t, v):
+    """Driver-side value of the transform (mirrors Transform.expr())."""
+    if t.kind == "bucket":
+        return _T._bucket_py(v, t.param)
+    if t.kind == "truncate":
+        return str(v)[: t.param]
+    d = _T._to_date(v)
+    if t.kind == "days":
+        return (d - _date(1970, 1, 1)).days
+    if t.kind == "months":
+        return (d.year - 1970) * 12 + d.month - 1
+    return d.year - 1970
+
+
+def _holds(op, v, x):
+    if op == "=":
+        return v == x
+    if op == ">=":
+        return v >= x
+    if op == "<=":
+        return v <= x
+    return x[0] <= v <= x[1]  # between
+
+
+_dates = st.dates(min_value=_date(1970, 1, 1), max_value=_date(2099, 12, 31))
+
+
+@given(_dates, _dates, _dates, st.sampled_from(["days", "months", "years"]))
+@settings(max_examples=200)
+def test_date_transform_derivation_sound(v, lo, hi, kind):
+    t = _T.parse(f"{kind}(d)")
+    for op, x in [
+        ("=", lo),
+        (">=", lo),
+        ("<=", hi),
+        ("between", (min(lo, hi), max(lo, hi))),
+    ]:
+        d = t.derive(op, x if op != "between" else tuple(map(str, x)))
+        assert d is not None
+        if _holds(op, v, x if op != "between" else (min(lo, hi), max(lo, hi))):
+            _, dop, dx = d
+            assert _holds(dop, _py_apply(t, v), dx)
+
+
+@given(st.text(min_size=0, max_size=12), st.text(min_size=0, max_size=12),
+       st.integers(min_value=1, max_value=6))
+@settings(max_examples=200)
+def test_truncate_derivation_sound(v, x, n):
+    t = _T.parse(f"truncate({n}, s)")
+    for op in ("=", ">=", "<="):
+        d = t.derive(op, x)
+        if _holds(op, v, x):
+            _, dop, dx = d
+            assert _holds(dop, _py_apply(t, v), dx)
+
+
+@given(st.one_of(st.text(max_size=16), st.integers(-10**9, 10**9)),
+       st.integers(min_value=1, max_value=64))
+@settings(max_examples=200)
+def test_bucket_derivation_sound(x, n):
+    t = _T.parse(f"bucket({n}, k)")
+    d = t.derive("=", x)
+    assert d == (t.name, "=", _T._bucket_py(x, n))
+    assert 0 <= d[2] < n
+    # bucket cannot prune ranges — derivation must refuse, not guess
+    assert t.derive(">=", x) is None and t.derive("<=", x) is None
