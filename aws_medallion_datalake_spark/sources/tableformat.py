@@ -1106,6 +1106,7 @@ class Table:
         spark: SparkSession,
         from_snapshot_id: int,
         to_snapshot_id: Optional[int] = None,
+        key_cols: Optional[Sequence[str]] = None,
     ) -> DataFrame:
         """CDC changelog between two snapshots: every ROW-LEVEL change as
         table columns + ``_change_type`` ('insert' | 'delete') +
@@ -1114,8 +1115,13 @@ class Table:
         are new"; this answers "what happened", including removals — the
         feed an incremental training-data consumer needs to retract
         examples it already exported (an update arrives as a delete of
-        the old version + an insert of the new, Iceberg changelog style;
-        no pre/post-image pairing).
+        the old version + an insert of the new, Iceberg changelog style).
+
+        ``key_cols`` (Iceberg changelog compute-updates mode): when given,
+        a delete and an insert in the SAME commit sharing a key tuple are
+        re-tagged ``update_preimage`` / ``update_postimage`` — a MERGE's
+        caption rewrite then reads as an update of that image_id rather
+        than an unrelated remove + add.
 
         Per-snapshot derivation (all bounded by the commit's TOUCHED
         files, never the table):
@@ -1165,9 +1171,9 @@ class Table:
                 F.first(F.struct(*cols)).alias("__r"),
             )
 
-        def _surplus(a, b, kind, s):
+        def _surplus(a, b):
             """Rows of ``a`` beyond their multiplicity in ``b``."""
-            d = (
+            return (
                 _counted(a)
                 .join(
                     _counted(b).select("__sig", F.col("__n").alias("__nb")),
@@ -1179,7 +1185,20 @@ class Table:
                 .select("__r", F.explode(F.expr("sequence(1, __d)")))
                 .select("__r.*")
             )
-            return _tag(d, kind, s)
+
+        def _diff_parts(old, new, s):
+            """insert/delete (or paired update) parts of one CoW commit."""
+            ins, dels = _surplus(new, old), _surplus(old, new)
+            if not key_cols:
+                return [_tag(ins, "insert", s), _tag(dels, "delete", s)]
+            kc = list(key_cols)
+            ik, dk = (d.select(*kc).distinct() for d in (ins, dels))
+            return [
+                _tag(ins.join(dk, kc, "left_anti"), "insert", s),
+                _tag(ins.join(dk, kc, "left_semi"), "update_postimage", s),
+                _tag(dels.join(ik, kc, "left_anti"), "delete", s),
+                _tag(dels.join(ik, kc, "left_semi"), "update_preimage", s),
+            ]
 
         parts = []
         prev = self.snapshot(from_snapshot_id)
@@ -1226,8 +1245,7 @@ class Table:
             elif s.operation in ("merge", "delete") and (added or removed):
                 old = _read(removed) if removed else _read(added).limit(0)
                 new = _read(added) if added else old.limit(0)
-                parts.append(_surplus(new, old, "insert", s))
-                parts.append(_surplus(old, new, "delete", s))
+                parts.extend(_diff_parts(old, new, s))
             # merge-on-read commits: the manifest is unchanged, the pending
             # delete sets grew relative to the parent
             new_dp = sorted(set(s.delete_paths) - set(prev.delete_paths))

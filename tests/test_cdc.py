@@ -62,6 +62,28 @@ def test_merge_update_emits_delete_plus_insert(table, spark):
     assert post.count() == 40
 
 
+def test_merge_update_pairing_with_key_cols(table, spark):
+    """key_cols (compute-updates mode): same-commit delete+insert pairs
+    sharing the key become update_preimage/update_postimage."""
+    sid0 = table.metadata().current_snapshot_id
+    src = generate_images(spark, 40, n_files=1, start=100).withColumn(
+        "caption", F.concat(F.col("caption"), F.lit("-v2"))
+    )
+    merge_into(table, spark, src, key="image_id")
+    cdc = table.changes_cdc(spark, sid0, key_cols=["image_id"])
+    assert _by_type(cdc) == {
+        "insert": 20,
+        "update_postimage": 20,
+        "update_preimage": 20,
+    }
+    pre = cdc.filter(F.col("_change_type") == "update_preimage")
+    post = cdc.filter(F.col("_change_type") == "update_postimage")
+    assert {r["image_id"] for r in pre.collect()} == {
+        r["image_id"] for r in post.collect()
+    }
+    assert post.filter(~F.col("caption").endswith("-v2")).count() == 0
+
+
 def test_cow_delete_emits_deletes(table, spark):
     sid0 = table.metadata().current_snapshot_id
     victim = table.scan(spark).select("image_id").head()[0]
