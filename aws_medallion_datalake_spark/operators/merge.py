@@ -83,6 +83,7 @@ from __future__ import annotations
 import os
 import time
 from concurrent.futures import ThreadPoolExecutor
+from typing import Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -108,8 +109,12 @@ def merge_into(
     broadcast_key_limit: int = 4_000_000,
     when_matched: str = "update",
     smj_salt_buckets: int = 0,
+    properties: Optional[dict] = None,
 ) -> Snapshot:
-    """See module docstring. ``when_matched``:
+    """See module docstring. ``properties`` are merged into the table
+    properties atomically with the merge commit (the hook transactional
+    consumers use to record an applied range — see
+    pipeline/incremental.py). ``when_matched``:
 
     - ``"update"`` (default): WHEN MATCHED THEN UPDATE SET * WHEN NOT
       MATCHED THEN INSERT * — the delta is the source wholesale.
@@ -346,6 +351,7 @@ def merge_into(
             "duration_sec": round(time.time() - t0, 3),
             "phase_sec": pt.summary(),
         },
+        properties=properties,
     )
     probe.unpersist()
     src.unpersist()

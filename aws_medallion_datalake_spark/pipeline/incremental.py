@@ -21,12 +21,15 @@ rebuild path. Groups whose count reaches zero are kept as zero rows
 (a tombstone the next delta can revive); ``compact``/``cluster`` on the
 gold table stay available as usual.
 
-Delivery: the bookmark advances only after the MERGE commits, so a
-crash replays the same ``(from, to]`` changelog range — the MERGE is
-then re-applied from the SAME pre-refresh gold snapshot only if the
-crash happened before the commit; after the commit the bookmark write
-is the only remaining step, and re-running it is idempotent per range
-(same contract as ``consume_changes``).
+Delivery: EXACTLY-ONCE. The bookmark advances only after the MERGE
+commits, so a crash replays the same ``(from, to]`` changelog range —
+and because folding deltas is NOT idempotent (re-adding them to the
+already-adjusted table would double-count), each refresh records the
+applied ``to``-snapshot in the gold table's PROPERTIES atomically with
+the merge commit (the ``txnAppId/txnVersion`` pattern
+``streaming/ingest.py`` uses, scoped per checkpoint). A replayed range
+whose ``to`` is already recorded skips the apply and just re-writes the
+bookmark.
 """
 
 from __future__ import annotations
@@ -98,8 +101,15 @@ def refresh_agg(
     it into ``gold``. Returns the consume record (with ``result`` = number
     of adjusted groups) or None when caught up."""
     gcols = list(group_cols)
+    from ..streaming.ingest import default_app_id
+
+    prop = f"incr_agg.applied.{default_app_id(checkpoint_path)}"
 
     def fold(batch: DataFrame, frm, to) -> int:
+        # exactly-once guard: this range's MERGE already committed but the
+        # bookmark write was lost — re-applying would double-count
+        if int(gold.metadata().properties.get(prop, -1)) >= to:
+            return 0
         sign = _sign()
         aggs = []
         for name, (col, kind) in measures.items():
@@ -139,10 +149,15 @@ def refresh_agg(
             return 0
         n = upserts.count()
         if gold.metadata().current_snapshot_id is None:
-            gold.commit("append", gold.write_files(upserts.coalesce(1)))
+            gold.commit(
+                "append",
+                gold.write_files(upserts.coalesce(1)),
+                properties={prop: to},
+            )
         else:
             merge_into(gold, spark, upserts, key=_KEY,
-                       target_file_size_bytes=32 * 1024 * 1024)
+                       target_file_size_bytes=32 * 1024 * 1024,
+                       properties={prop: to})
         return n
 
     return consume_changes(

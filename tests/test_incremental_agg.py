@@ -66,3 +66,29 @@ def test_incremental_agg_tracks_full_recompute(tmp_path, spark):
     r3 = refresh_agg(gold, src, spark, ckpt, GROUPS, MEASURES)
     assert r3 is not None and r3["result"] == 0
     _assert_matches(gold, src, spark)
+
+
+def test_refresh_replay_after_lost_bookmark_is_exactly_once(tmp_path, spark):
+    """Crash between the gold MERGE commit and the bookmark write: the
+    replayed range must NOT double-apply the deltas."""
+    src = Table.create(
+        str(tmp_path / "src"), SCHEMA, partition_cols=["ingest_date"],
+        stats_cols=["phash"],
+    )
+    src.commit("append", src.write_files(generate_images(spark, 80, n_files=2)))
+    gold = create_agg_table(str(tmp_path / "gold"), src, spark, GROUPS, MEASURES)
+    ckpt = str(tmp_path / "agg.jsonl")
+    refresh_agg(gold, src, spark, ckpt, GROUPS, MEASURES)
+
+    src.commit("append", src.write_files(generate_images(spark, 20, n_files=1, start=300)))
+    refresh_agg(gold, src, spark, ckpt, GROUPS, MEASURES)
+    _assert_matches(gold, src, spark)
+
+    # simulate the crash: drop the last bookmark line, keep the gold commit
+    lines = open(ckpt).read().splitlines(keepends=True)
+    with open(ckpt, "w") as f:
+        f.writelines(lines[:-1])
+    r = refresh_agg(gold, src, spark, ckpt, GROUPS, MEASURES)  # replays range
+    assert r is not None and r["result"] == 0  # skipped, not re-applied
+    _assert_matches(gold, src, spark)
+    assert refresh_agg(gold, src, spark, ckpt, GROUPS, MEASURES) is None
