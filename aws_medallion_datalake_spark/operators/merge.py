@@ -110,6 +110,7 @@ def merge_into(
     when_matched: str = "update",
     smj_salt_buckets: int = 0,
     properties: Optional[dict] = None,
+    mode: str = "copy-on-write",
 ) -> Snapshot:
     """See module docstring. ``properties`` are merged into the table
     properties atomically with the merge commit (the hook transactional
@@ -125,10 +126,15 @@ def merge_into(
     """
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
-    if table.pending_delete_paths() or table.pending_eq_deletes():
+    if mode not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(f"mode must be 'copy-on-write' or 'merge-on-read', got {mode!r}")
+    if mode == "copy-on-write" and (
+        table.pending_delete_paths() or table.pending_eq_deletes()
+    ):
         # the keep-path rewrite copies whole files, resurrecting rows a
         # pending positional/equality delete suppresses — materialize
-        # them first
+        # them first (the merge-on-read path instead probes THROUGH the
+        # pending sets, so it composes with them)
         raise ValueError(
             "table has merge-on-read deletes pending; run apply_deletes() "
             "before MERGE"
@@ -137,25 +143,27 @@ def merge_into(
     pt = PhaseTimer()
     man = table.manifest_pdf()
 
-    src = source.cache()
+    # The source PAYLOAD is deliberately NOT cached: every payload column
+    # is consumed exactly once (the delta write), while the KEY column is
+    # consumed several times (duplicate check, probe join, delete-mode
+    # anti-join) — so only the key set is persisted. Caching the payload
+    # forced a full materialization of the binary column during the
+    # check, an allocation-heavy parallelism-independent term measured at
+    # 6-14 s on the bench source (and anti-scaling with cores on
+    # alloc-degraded hosts); the key-only scan is column-pruned at the
+    # parquet reader. Computed (non-file) sources pay one re-evaluation
+    # at the delta write — cache upstream if that plan is expensive.
+    src = source
+    src_key_counts = src.groupBy(key).count().persist()
     with pt.phase("source_check"):
         if check_duplicate_keys:
-            # ONE job on the CACHED source gives both the duplicate check
-            # and the key count (equal to the row count when the check
-            # passes), and doubles as the cache-materialization job — the
-            # source is read exactly once and the phase schedules exactly
-            # one Spark job (its fixed driver cost is the parallelism-
-            # independent term that caps merge's measured scaling at small
-            # stage durations)
-            r = (
-                src.groupBy(key)
-                .count()
-                .agg(
-                    F.count(F.lit(1)).alias("n_keys"),
-                    F.max("count").alias("max_dup"),
-                )
-                .first()
-            )
+            # ONE job gives both the duplicate check and the key count
+            # (its fixed driver cost is the parallelism-independent term
+            # that caps merge's measured scaling at small stage durations)
+            r = src_key_counts.agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("count").alias("max_dup"),
+            ).first()
             if (r["max_dup"] or 0) > 1:
                 raise ValueError(f"MERGE source has duplicate keys on {key!r}")
             n_src_keys = int(r["n_keys"] or 0)
@@ -163,7 +171,7 @@ def merge_into(
             # rows, not distinct keys — a conservative upper bound for the
             # broadcast-size decision below
             n_src_keys = src.count()
-    src_keys = src.select(key).distinct()
+    src_keys = src_key_counts.select(key)
     use_salt = n_src_keys > broadcast_key_limit and smj_salt_buckets > 1
     if n_src_keys <= broadcast_key_limit:
         # explicit hint — see module docstring: AQE does NOT convert this
@@ -219,6 +227,15 @@ def merge_into(
             b = src.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
         if b["lo"] is not None:
             probe_preds = [(key, "between", (b["lo"], b["hi"]))]
+    if mode == "merge-on-read":
+        try:
+            return _mor_merge(
+                table, spark, src, key, src_keys, probe_preds, when_matched,
+                n_src_keys, properties, pt, t0,
+            )
+        finally:
+            src_key_counts.unpersist()
+
     target_all = table.scan(spark, predicates=probe_preds)
     rel = _rel_path_expr(table.root)
     probe = _key_join(
@@ -354,11 +371,159 @@ def merge_into(
         properties=properties,
     )
     probe.unpersist()
-    src.unpersist()
+    src_key_counts.unpersist()
     return snap
 
 
 
+
+
+def _mor_merge(
+    table: Table,
+    spark: SparkSession,
+    src: DataFrame,
+    key: str,
+    src_keys: DataFrame,
+    probe_preds,
+    when_matched: str,
+    n_src_keys: int,
+    properties: Optional[dict],
+    pt: PhaseTimer,
+    t0: float,
+) -> Snapshot:
+    """Merge-on-read MERGE (Iceberg v2 write mode): matched target rows
+    are suppressed with POSITIONAL DELETE files and the source lands as
+    an appended delta — O(delta + matched positions) IO instead of
+    rewriting every file holding a source key. This is the write path a
+    clustered table needs: after a Morton/Hilbert cluster run, source
+    keys scatter across the curve, so a copy-on-write merge degenerates
+    to a full-table rewrite (measured: uniform keys touch 100% of
+    files); merge-on-read keeps the merge O(changes) and defers the
+    rewrite to ``apply_deletes`` maintenance, exactly like the
+    positional-delete flavor of DELETE. Commits with an append-style
+    delta manifest (O(added) manifest bytes) plus the grown delete set;
+    scans compose it with any pending deletes (the probe reads THROUGH
+    them, so already-suppressed rows are never re-recorded).
+    CDC note: ``changes_cdc`` reads this commit as delta inserts + the
+    positional deletes; key-paired update pre/post images apply only to
+    the copy-on-write path."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from ..sources.tableformat import prune_manifest
+
+    schema = table._schema(spark)
+    meta = table.metadata()
+    man = table.manifest_pdf() if meta.current_snapshot_id is not None else None
+    snap = table.snapshot() if meta.current_snapshot_id is not None else None
+
+    dprefix = table.new_data_prefix()
+    new_delete_rel: list = []
+    n_del_rows = 0
+    pairs = None
+    if man is not None and len(man):
+        statable = transforms.field_names(meta.partition_cols) + list(
+            meta.stats_cols
+        )
+        cand = (
+            prune_manifest(
+                man,
+                transforms.extend_predicates(meta.partition_cols, probe_preds),
+                statable,
+            )
+            if probe_preds
+            else man
+        )
+        if len(cand):
+            with pt.phase("probe"):
+                live = table._apply_mor_deletes(
+                    spark,
+                    spark.read.schema(schema).parquet(
+                        *[os.path.join(table.root, p) for p in cand["path"]]
+                    ),
+                    snap,
+                    keep_pos_cols=True,
+                )
+                live = table._apply_eq_deletes(
+                    spark, live, snap, path_col="__mor_path"
+                )
+                pairs = (
+                    live.select(F.col(key), "__mor_path", "__mor_pos")
+                    .join(src_keys, key, "inner")
+                    .persist()
+                )
+                (
+                    pairs.select(
+                        F.col("__mor_path").alias("path"),
+                        F.col("__mor_pos").alias("pos"),
+                    )
+                    .sortWithinPartitions("path", "pos")
+                    .coalesce(4)  # sparse by design — delete files are tiny
+                    .write.mode("append")
+                    .parquet(dprefix)
+                )
+            new_delete_rel = sorted(
+                os.path.relpath(os.path.join(dprefix, f), table.root)
+                for f in os.listdir(dprefix)
+                if f.endswith(".parquet")
+            )
+            n_del_rows = sum(
+                _pq.ParquetFile(os.path.join(table.root, p)).metadata.num_rows
+                for p in new_delete_rel
+            )
+    if n_del_rows == 0:
+        shutil.rmtree(dprefix, ignore_errors=True)
+        new_delete_rel = []
+
+    with pt.phase("count_matched"):
+        n_matched = (
+            pairs.select(key).distinct().count()
+            if pairs is not None and n_del_rows
+            else 0
+        )
+
+    cols = [f.name for f in schema.fields]
+    with pt.phase("rewrite"):
+        delta_src = src.select(cols)
+        if when_matched == "delete" and n_matched:
+            delta_src = delta_src.join(
+                pairs.select(key).distinct(), key, "left_anti"
+            )
+        delta_prefix = _modest_write(table, delta_src, key)
+    with pt.phase("stats"):
+        entries = (
+            table.collect_stats_for_prefix(spark, delta_prefix)
+            if _has_parquet(delta_prefix)
+            else (man.iloc[0:0] if man is not None else pd.DataFrame())
+        )
+    n_delta = int(entries["record_count"].sum()) if len(entries) else 0
+    n_inserts = n_delta if when_matched == "delete" else n_delta - n_matched
+
+    out = table.commit(
+        "merge",
+        entries,
+        {
+            "stage": "merge",
+            "mode": "merge-on-read",
+            "delta_prefix": _rel(table, delta_prefix) + "/",
+            "when_matched": when_matched,
+            "rows_updated": int(n_matched) if when_matched == "update" else 0,
+            "rows_deleted": int(n_matched) if when_matched == "delete" else 0,
+            "rows_inserted": int(n_inserts),
+            "rows_suppressed_positions": int(n_del_rows),
+            "files_rewritten": 0,
+            "delete_files_added": len(new_delete_rel),
+            "duration_sec": round(time.time() - t0, 3),
+            "phase_sec": pt.summary(),
+        },
+        properties=properties,
+        delta_manifest=True,
+        delete_paths=table.pending_delete_paths() + new_delete_rel,
+    )
+    if pairs is not None:
+        pairs.unpersist()
+    return out
 
 
 def _plan_rewrite_groups(touched_man: pd.DataFrame, max_files_per_job: int) -> list:

@@ -334,6 +334,7 @@ class Table:
         delete_paths: Optional[list] = None,
         eq_deletes: Optional[list] = None,
         reuse_manifests: bool = False,
+        delta_manifest: bool = False,
     ) -> Snapshot:
         """Commit the next snapshot (atomic).
 
@@ -364,6 +365,11 @@ class Table:
         UNCHANGED (a merge-on-read delete touches zero data files) — the
         snapshot shares the parent's manifest list verbatim and writes no
         manifest bytes at all; ``new_manifest`` must be empty.
+        ``delta_manifest``: the commit only ADDS files (removes none), so
+        ``new_manifest`` holds just the additions and the manifest list
+        shares every ancestor manifest, append-style — the merge-on-read
+        MERGE uses this to keep manifest IO O(delta) under a non-append
+        operation name.
         """
         version = self.current_version()
         meta = self.metadata(version)
@@ -405,7 +411,9 @@ class Table:
                 total_records=int(ps.get("total_records", 0)),
                 total_bytes=int(ps.get("total_bytes", 0)),
             )
-        elif operation == "append" and meta.current_snapshot_id is not None:
+        elif (
+            operation == "append" or delta_manifest
+        ) and meta.current_snapshot_id is not None:
             parent = self.snapshot(meta.current_snapshot_id)
             manifest_paths = list(parent.manifest_paths)
             if len(new_manifest):
