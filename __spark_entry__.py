@@ -1847,6 +1847,45 @@ def q_image_cdc(spark, sf_dir):
     )
 
 
+def q_image_mor_merge(spark, sf_dir):
+    """Merge-on-read MERGE (operators/merge.py _mor_merge): an upsert
+    lands as delta append + positional delete files (O(changes) IO, no
+    data-file rewrites — the write path a Morton-clustered table needs),
+    then apply_deletes materializes. Returns per-stage row accounting:
+    the logical state must be identical before and after
+    materialization. Engine-internal; rows-only check."""
+    import tempfile
+
+    from aws_medallion_datalake_spark.operators import apply_deletes
+    from aws_medallion_datalake_spark.operators.merge import merge_into
+    from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
+    from aws_medallion_datalake_spark.sources.generator import generate_images
+
+    root = tempfile.mkdtemp(prefix="entry_mor_merge_")
+    t = bronze_ingest(spark, os.path.join(root, "t"), _IMG_ROWS, n_files=4)
+    src = generate_images(spark, 60, n_files=1, start=_IMG_ROWS - 30).withColumn(
+        "caption", F.concat(F.col("caption"), F.lit("-v2"))
+    )
+    s = merge_into(t, spark, src, key="image_id", mode="merge-on-read")
+    pre = t.scan(spark).agg(
+        F.count("*").alias("n"), F.countDistinct("image_id").alias("ids")
+    ).first()
+    apply_deletes(t, spark)
+    post = t.scan(spark).agg(
+        F.count("*").alias("n"), F.countDistinct("image_id").alias("ids")
+    ).first()
+    rows = [
+        ("mor_merge", int(s.summary["rows_updated"]), int(s.summary["rows_inserted"]),
+         int(s.summary["delete_files_added"]), int(pre["n"]), int(pre["ids"])),
+        ("applied", 0, 0, 0, int(post["n"]), int(post["ids"])),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage string, rows_updated long, rows_inserted long, "
+        "delete_files long, visible_rows long, distinct_ids long",
+    )
+
+
 def q_image_wap(spark, sf_dir):
     """Write-audit-publish ingestion gate: a clean batch stages, passes
     the audit (metadata profile + full decode probe) and publishes; a
@@ -2156,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_gold_star": q_image_gold_star,
         "image_incremental": q_image_incremental,
         "image_cdc": q_image_cdc,
+        "image_mor_merge": q_image_mor_merge,
         "image_wap": q_image_wap,
         "image_mor_delete": q_image_mor_delete,
         "image_eq_delete": q_image_eq_delete,
