@@ -799,6 +799,32 @@ def _sql_simhash():
     """
 
 
+def q_simhash_hamming_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS: 64-bit simhash → banded Hamming join
+    (4 bands x 16 bits; pigeonhole-exact for distance <= 3) → exact
+    bit_count filter. The operator that turns the `simhash` fingerprint
+    into an actual dedup stage (Manku et al. WWW'07); candidates are
+    ~1.4% of all-pairs at this SF. Oracle is the brute-force all-pairs
+    join — band recall is provably exact, so results must match."""
+    from aws_medallion_datalake_spark.functions.hamming import hamming_pairs
+
+    sim = q_simhash(spark, sf_dir)
+    return hamming_pairs(sim, "doc_id", "simhash64", max_distance=3).orderBy(
+        "doc_id_a", "doc_id_b"
+    )
+
+
+def _sql_simhash_hamming_pairs():
+    return f"""
+        WITH sim AS ({_sql_simhash()})
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(bit_count(xor(a.simhash64, b.simhash64)) AS BIGINT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
+        ORDER BY doc_id_a, doc_id_b
+    """
+
+
 _N_MINHASH = 8  # 2 bands x 4 rows
 
 
@@ -2084,6 +2110,26 @@ def q_image_features_ann(spark, sf_dir):
     )
 
 
+def q_image_phash_neardup(spark, sf_dir):
+    """Near-duplicate IMAGE detection via banded Hamming join over the
+    stored 64-bit phash column (input_hint schema) — the image analogue
+    of simhash_hamming_pairs. The generator plants a hot-phash tail
+    (~10% of rows collapse into 4 exact-dup buckets, FIXTURES.md §1),
+    so the pair graph is dominated by distance-0 cliques; returns the
+    deterministic (hamming, n_pairs) histogram. Non-SQL (engine codec
+    generates the table); rows-only check."""
+    from aws_medallion_datalake_spark.functions.hamming import hamming_pairs
+    from aws_medallion_datalake_spark.sources.generator import generate_images
+
+    df = generate_images(spark, 600, n_files=4).select("image_id", "phash")
+    pairs = hamming_pairs(df, "image_id", "phash", max_distance=8)
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
 def q_image_medallion(spark, sf_dir):
     """bronze→silver→gold medallion pipeline over the synthetic
     image+caption table (BASELINE.json input_hint shape); returns the
@@ -2175,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
         "simhash": q_simhash,
+        "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "minhash_signature": q_minhash_signature,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
@@ -2198,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_mor_merge": q_image_mor_merge,
         "image_wap": q_image_wap,
         "image_mor_delete": q_image_mor_delete,
+        "image_phash_neardup": q_image_phash_neardup,
         "image_eq_delete": q_image_eq_delete,
         "image_evolution": q_image_evolution,
     }
@@ -2232,6 +2280,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _sql_doc_quality(),
         "lang_id": _sql_lang_id(),
         "simhash": _sql_simhash(),
+        "simhash_hamming_pairs": _sql_simhash_hamming_pairs(),
         "minhash_signature": _sql_minhash_signature(),
         "ngram_jaccard_pairs": _sql_ngram_jaccard_pairs(),
         "embedding_topk": _sql_embedding_topk(),
