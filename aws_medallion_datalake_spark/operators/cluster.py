@@ -427,7 +427,7 @@ def cluster(
             )
         prefix = table.new_data_prefix()
         with pt.phase("rewrite"):
-            out.write.mode("append").parquet(prefix)
+            table.data_writer(out).parquet(prefix)
         prefixes[tile_no] = prefix
         if checkpoint is not None:
             checkpoint.unit_done(

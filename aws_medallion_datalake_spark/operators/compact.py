@@ -126,7 +126,7 @@ def _rewrite_batch(
     if len(groups) == 1:
         df = _group_plan(table, spark, groups[0])
         prefix = table.new_data_prefix()
-        df.write.mode("append").parquet(prefix)
+        table.data_writer(df).parquet(prefix)
         return prefix
 
     from .cluster import exact_route_salts
@@ -152,7 +152,7 @@ def _rewrite_batch(
     if sort_cols and groups[0].ordered:
         df = df.sortWithinPartitions(*sort_cols)
     prefix = table.new_data_prefix()
-    df.write.mode("append").parquet(prefix)
+    table.data_writer(df).parquet(prefix)
     return prefix
 
 

@@ -140,7 +140,7 @@ def delete_where(
         # keep rows where the predicate is NOT TRUE (false OR null) —
         # plain ~cond drops predicate-NULL rows, which DELETE must keep
         keep = tgt.filter(~F.coalesce(cond, F.lit(False)))
-        keep.write.mode("append").parquet(prefix)
+        table.data_writer(keep).parquet(prefix)
 
     with pt.phase("stats"):
         new_entries = (
@@ -484,7 +484,7 @@ def apply_deletes(
         kept = table._apply_mor_deletes(spark, tgt, snap, keep_pos_cols=True)
         kept = table._apply_eq_deletes(spark, kept, snap, path_col="__mor_path")
         kept = kept.drop("__mor_path", "__mor_pos")
-        kept.write.mode("append").parquet(prefix)
+        table.data_writer(kept).parquet(prefix)
     with pt.phase("stats"):
         new_entries = (
             table.collect_stats_for_prefix(spark, prefix)

@@ -271,7 +271,7 @@ def merge_into(
         # ≈target-sized) partition straight back out.
         keep = _key_join(tgt, "left_anti")
         prefix = table.new_data_prefix()
-        keep.write.mode("append").parquet(prefix)
+        table.data_writer(keep).parquet(prefix)
         results[gno] = prefix
 
     def write_delta() -> None:
@@ -559,7 +559,7 @@ def _modest_write(table, df, key: str) -> str:
         )
     )
     prefix = table.new_data_prefix()
-    out.write.mode("append").parquet(prefix)
+    table.data_writer(out).parquet(prefix)
     return prefix
 
 

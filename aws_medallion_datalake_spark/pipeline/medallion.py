@@ -32,10 +32,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.generator import SCHEMA, generate_images
-from ..sources.tableformat import Table
+from ..sources.tableformat import BLOOM_COLS_PROP, Table
 
 STATS = ["phash", "w", "h", "image_id", "ingest_date"]
 VALID_FMTS = ("png", "jpeg")
+
+# footer blooms on the point-lookup key: after clustering orders files by
+# (phash, w, h), every file's image_id [min,max] spans the table, so
+# manifest pruning can't serve "fetch image X" — the parquet bloom can
+BLOOM_PROPS = {BLOOM_COLS_PROP: "image_id"}
 
 
 def bronze_ingest(
@@ -48,7 +53,8 @@ def bronze_ingest(
 ) -> Table:
     """Create + populate the bronze table with many small files."""
     t = Table.create(
-        root, SCHEMA, partition_cols=["ingest_date"], stats_cols=STATS
+        root, SCHEMA, partition_cols=["ingest_date"], stats_cols=STATS,
+        properties=dict(BLOOM_PROPS),
     )
     df = generate_images(spark, n_rows, n_files=n_files, n_dates=n_dates)
     entries = t.write_files(df)

@@ -69,6 +69,33 @@ MANIFEST_PART_ROWS = 1_000_000  # rows per manifest part in a Spark rewrite
 
 MANIFEST_BASE_COLS = ["path", "partition_json", "record_count", "file_size_bytes"]
 
+# Iceberg-style write properties (write.parquet.bloom-filter-enabled.column.X
+# analogue): parquet FOOTER bloom filters on the named columns. Point
+# lookups on a non-sort column (fetch image_id X from a phash-clustered
+# 10^12-row table) can't use manifest min/max pruning — every file's id
+# range spans the key — but the parquet reader consults the footer bloom
+# per row group and skips it without decoding anything. Blooms live in
+# the files (where Iceberg keeps them), NOT the manifests: at ~1 bit/row
+# a manifest-side bloom would make the planner state O(table rows).
+BLOOM_COLS_PROP = "write.parquet.bloom-filter.columns"  # comma-separated
+BLOOM_NDV_PROP = "write.parquet.bloom-filter.expected-ndv"  # per row group
+
+
+def bloom_write_options(meta: "TableMetadata") -> dict:
+    """DataFrameWriter options implementing the table's bloom properties
+    (parquet-mr's ``parquet.bloom.filter.enabled#col`` switches)."""
+    cols = [
+        c.strip()
+        for c in str(meta.properties.get(BLOOM_COLS_PROP, "")).split(",")
+        if c.strip()
+    ]
+    ndv = str(meta.properties.get(BLOOM_NDV_PROP, "100000"))
+    opts: dict = {}
+    for c in cols:
+        opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
+        opts[f"parquet.bloom.filter.expected.ndv#{c}"] = ndv
+    return opts
+
 
 @dataclass
 class Snapshot:
@@ -745,6 +772,17 @@ class Table:
         os.makedirs(prefix, exist_ok=False)
         return prefix
 
+    def data_writer(self, df: DataFrame):
+        """``df.write.mode("append")`` carrying the table's parquet write
+        properties (footer bloom filters, see ``bloom_write_options``).
+        Every DATA-file write path — ingest, compact, cluster, merge
+        keep/delta, delete rewrite — goes through this so rewrites never
+        silently drop the blooms; positional/equality DELETE files and
+        manifests skip it (their columns aren't table columns)."""
+        w = df.write.mode("append")
+        opts = bloom_write_options(self.metadata())
+        return w.options(**opts) if opts else w
+
     def write_files(self, df: DataFrame) -> pd.DataFrame:
         """Write df's current partitioning into a fresh commit dir; return
         manifest entries (with stats) for the files written.
@@ -754,7 +792,7 @@ class Table:
         partition-homogeneous, size-targeted files.
         """
         prefix = self.new_data_prefix()
-        df.write.mode("append").parquet(prefix)
+        self.data_writer(df).parquet(prefix)
         return self.collect_stats_for_prefix(df.sparkSession, prefix)
 
     def collect_stats_for_prefix(self, spark: SparkSession, prefix: str) -> pd.DataFrame:

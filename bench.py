@@ -188,6 +188,15 @@ def main() -> None:
         ).first()
         times["maint_scan_pruned"] = round(time.time() - t0, 3)
 
+        # point lookup on the NON-sort key: manifest min/max can't prune
+        # (post-cluster every file spans the id range) — the parquet
+        # footer blooms written by every data path do the skipping
+        t0 = time.time()
+        t.scan(
+            spark, predicates=[("image_id", "=", "img-000000000007")]
+        ).agg(F.count("*")).first()
+        times["maint_scan_point"] = round(time.time() - t0, 3)
+
         scan_gbps = (scanned["b"] / 1e9) / scan_sec if scan_sec > 0 else 0.0
         merge_rows_per_sec = n_src / merge_sec if merge_sec > 0 else 0.0
     finally:
