@@ -155,18 +155,24 @@ def merge_into(
     # at the delta write — cache upstream if that plan is expensive.
     src = source
     src_key_counts = src.groupBy(key).count().persist()
+    src_lo = src_hi = None
     with pt.phase("source_check"):
         if check_duplicate_keys:
-            # ONE job gives both the duplicate check and the key count
-            # (its fixed driver cost is the parallelism-independent term
-            # that caps merge's measured scaling at small stage durations)
+            # ONE job gives the duplicate check, the key count AND the
+            # source key range for probe-scan pruning (its fixed driver
+            # cost is the parallelism-independent term that caps merge's
+            # measured scaling at small stage durations — a separate
+            # min/max job would re-scan the source key column)
             r = src_key_counts.agg(
                 F.count(F.lit(1)).alias("n_keys"),
                 F.max("count").alias("max_dup"),
+                F.min(key).alias("lo"),
+                F.max(key).alias("hi"),
             ).first()
             if (r["max_dup"] or 0) > 1:
                 raise ValueError(f"MERGE source has duplicate keys on {key!r}")
             n_src_keys = int(r["n_keys"] or 0)
+            src_lo, src_hi = r["lo"], r["hi"]
         else:
             # rows, not distinct keys — a conservative upper bound for the
             # broadcast-size decision below
@@ -223,10 +229,13 @@ def merge_into(
     if n_src_keys and key in (
         transforms.identity_names(meta.partition_cols) + list(meta.stats_cols)
     ):
-        with pt.phase("source_key_range"):
-            b = src.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
-        if b["lo"] is not None:
-            probe_preds = [(key, "between", (b["lo"], b["hi"]))]
+        if src_lo is None and src_hi is None:
+            # check_duplicate_keys=False skipped the fused job above
+            with pt.phase("source_key_range"):
+                b = src.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+            src_lo, src_hi = b["lo"], b["hi"]
+        if src_lo is not None:
+            probe_preds = [(key, "between", (src_lo, src_hi))]
     if mode == "merge-on-read":
         try:
             return _mor_merge(

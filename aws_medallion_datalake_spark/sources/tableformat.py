@@ -864,7 +864,10 @@ class Table:
         """Snapshot read with manifest min/max file pruning.
 
         ``predicates``: iterable of ``(col, op, value)`` with op in
-        ``>= <= = between`` (value is a (lo, hi) pair for between). Files
+        ``>= <= = between in`` (value is a (lo, hi) pair for between, a
+        list of values for in — batch point lookups that compose with
+        manifest pruning, bucket-transform derivation and the parquet
+        footer blooms). Files
         whose [min,max] range provably excludes the predicate are skipped
         before Spark ever lists them; the same predicate is re-applied as a
         real filter for row-level correctness (pruning is only file-level).
@@ -1445,6 +1448,10 @@ def _pred_to_column(col: str, op: str, value):
         return c == value
     if op == "between":
         return (c >= value[0]) & (c <= value[1])
+    if op == "in":
+        # Catalyst pushes In to the parquet reader, where both dictionary
+        # and footer-bloom row-group skipping apply per value
+        return c.isin(*list(value))
     raise ValueError(f"unsupported predicate op {op!r}")
 
 
@@ -1469,6 +1476,15 @@ def prune_manifest_spark(man_df: DataFrame, preds, stats_cols) -> list:
         elif op == "between":
             lo, hi = value
             c = (mx >= lo) & (mn <= hi)
+        elif op == "in":
+            # file survives iff ANY value falls inside its [min,max];
+            # equivalent to between(min(values), max(values)) only for
+            # contiguous sets, so test each value (bounded: an IN list is
+            # plan-sized, not data-sized)
+            vs = list(value)
+            c = F.lit(False)
+            for v in vs:
+                c = c | ((mn <= v) & (mx >= v))
         else:
             raise ValueError(f"unsupported predicate op {op!r}")
         cond = cond & F.when(has, c).otherwise(F.lit(True))
@@ -1505,6 +1521,11 @@ def prune_manifest(man: pd.DataFrame, preds, stats_cols) -> pd.DataFrame:
         elif op == "between":
             lo, hi = value
             cond.loc[has] = (x >= lo) & (m <= hi)
+        elif op == "in":
+            acc = pd.Series(False, index=m.index)
+            for v in value:
+                acc |= (m <= v) & (x >= v)
+            cond.loc[has] = acc
         else:
             raise ValueError(f"unsupported predicate op {op!r}")
         mask &= cond

@@ -98,6 +98,12 @@ class Transform:
         if self.kind == "bucket":
             if op == "=":
                 return (self.name, "=", _bucket_py(value, self.param))
+            if op == "in":
+                return (
+                    self.name,
+                    "in",
+                    sorted({_bucket_py(v, self.param) for v in value}),
+                )
             return None
         f = {
             "truncate": lambda v: str(v)[: self.param],
@@ -112,6 +118,8 @@ class Transform:
                 return (self.name, op, f(value))
             if op == "between":
                 return (self.name, "between", (f(value[0]), f(value[1])))
+            if op == "in":
+                return (self.name, "in", sorted({f(v) for v in value}))
         except (ValueError, TypeError):
             return None  # un-derivable literal: fall back to no pruning
         return None

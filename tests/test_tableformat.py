@@ -80,6 +80,25 @@ def test_prune_manifest_soundness(table, spark):
     assert pruned == full
 
 
+def test_in_predicate_prunes_and_filters(table, spark):
+    man = table.manifest_pdf()
+    ids = sorted(
+        r["image_id"] for r in table.scan(spark, columns=["image_id"]).collect()
+    )
+    want = [ids[0], ids[-1], "img-not-there"]
+    got = table.scan(spark, predicates=[("image_id", "in", want)])
+    assert {r["image_id"] for r in got.collect()} == {ids[0], ids[-1]}
+    # manifest pruning: values inside one file's range keep only that file
+    # (ids are written monotone per file here), absent-range values none
+    kept = prune_manifest(man, [("image_id", "in", [ids[0]])], STATS + ["image_id"]) \
+        if "min_image_id" in man.columns else None
+    if kept is not None:
+        assert len(kept) < len(man)
+    assert (
+        prune_manifest(man, [("phash", "in", [])], STATS).shape[0] == 0
+    )  # empty IN list prunes everything (vacuous OR)
+
+
 def test_scan_empty_predicate_returns_empty_df(table, spark):
     man = table.manifest_pdf()
     lo = int(man["min_phash"].min())

@@ -42,6 +42,21 @@ def test_derive_soundness():
     assert tr.derive("=", "abcdef") == ("caption_truncate_2", "=", "ab")
 
 
+def test_derive_in_predicates():
+    b = T.parse("bucket(8, image_id)")
+    name, op, vals = b.derive("in", ["k1", "k2", "k1"])
+    assert (name, op) == ("image_id_bucket_8", "in")
+    assert vals == sorted({T._bucket_py("k1", 8), T._bucket_py("k2", 8)})
+    d = T.parse("days(ingest_date)")
+    assert d.derive("in", ["2024-01-01", "2024-01-02"]) == (
+        "ingest_date_days", "in", [19723, 19724],
+    )
+    tr = T.parse("truncate(2, caption)")
+    assert tr.derive("in", ["abc", "abd", "xyz"]) == (
+        "caption_truncate_2", "in", ["ab", "xy"],
+    )
+
+
 @pytest.fixture()
 def bucketed(tmp_path, spark):
     """Table hidden-partitioned by bucket(8, image_id) + days(ingest_date),
