@@ -45,9 +45,25 @@ def run_maintenance(
     keep_last: int = 1,
     compaction_parallelism: int = 8,
 ) -> dict:
-    """Run (or resume) a maintenance pipeline; returns per-stage metrics."""
+    """Run (or resume) a maintenance pipeline; returns per-stage metrics.
+
+    ``stages=("auto",)`` delegates stage selection to the metadata-driven
+    policy (operators/policy.py): a healthy table runs nothing, a
+    fragmented one compacts, a scattered one clusters, pending
+    merge-on-read deletes materialize first. The chosen plan and its
+    reasons land in the result under ``"auto_plan"``.
+    """
     cp = RunCheckpoint(checkpoint_path)
     out: dict = {}
+    if tuple(stages) == ("auto",):
+        from .policy import plan_maintenance
+
+        plan = plan_maintenance(
+            table, spark,
+            target_file_size_bytes=target_file_size_bytes, keep_last=keep_last,
+        )
+        stages = tuple(stage for stage, _ in plan)
+        out["auto_plan"] = {stage: reason for stage, reason in plan}
     for stage in stages:
         if cp.is_stage_done(stage):
             out[stage] = {"skipped": "resumed", **(cp.stage_metrics(stage) or {})}
@@ -161,7 +177,8 @@ print(build_pyfiles_zip())')" run_maintenance.py \
         "--stages",
         default="compact,cluster,merge,expire",
         help="comma list from: compact, cluster, merge, delete, "
-        "rewrite_manifests, expire",
+        "rewrite_manifests, expire — or 'auto' to let the metadata "
+        "policy (operators/policy.py) pick stages and order",
     )
     p.add_argument("--merge-source", default=None, help="parquet path of MERGE source")
     p.add_argument(
