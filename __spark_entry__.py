@@ -2130,6 +2130,28 @@ def q_image_phash_neardup(spark, sf_dir):
     )
 
 
+def q_image_dup_caption_audit(spark, sf_dir):
+    """Cross-modal dedup audit: pixel-duplicate groups (exact phash
+    match) whose CAPTIONS diverge — the training-data contamination case
+    where one image recurs under many labels (hot-tail rows share 4 base
+    patterns but every row's caption is unique). Returns the
+    deterministic (n_images, n_captions, n_groups) histogram of dup
+    groups. Non-SQL (engine codec generates the table); rows-only."""
+    from aws_medallion_datalake_spark.sources.generator import generate_images
+
+    df = generate_images(spark, 600, n_files=4).select("phash", "caption")
+    groups = df.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.countDistinct("caption").alias("n_captions"),
+    )
+    return (
+        groups.filter(F.col("n_images") > 1)
+        .groupBy("n_images", "n_captions")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .orderBy("n_images", "n_captions")
+    )
+
+
 def q_image_medallion(spark, sf_dir):
     """bronze→silver→gold medallion pipeline over the synthetic
     image+caption table (BASELINE.json input_hint shape); returns the
@@ -2246,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_wap": q_image_wap,
         "image_mor_delete": q_image_mor_delete,
         "image_phash_neardup": q_image_phash_neardup,
+        "image_dup_caption_audit": q_image_dup_caption_audit,
         "image_eq_delete": q_image_eq_delete,
         "image_evolution": q_image_evolution,
     }

@@ -331,10 +331,25 @@ class Table:
 
     def _write_manifest(self, snapshot_id: int, entries: pd.DataFrame) -> str:
         rel = os.path.join("metadata", f"manifest-{snapshot_id}.parquet")
-        pq.write_table(
-            pa.Table.from_pandas(entries, preserve_index=False),
-            os.path.join(self.root, rel),
-        )
+        tbl = pa.Table.from_pandas(entries, preserve_index=False)
+        # an ALL-NULL stats column (e.g. min_v of a file whose v is
+        # entirely null) infers arrow's `null` type, which Spark's
+        # mergeSchema manifest read cannot reconcile with the typed
+        # column in sibling manifests — promote to the TABLE column's
+        # type (min_/max_ of col c carry c's type; nulls_/counts int64)
+        null_cols = [f_.name for f_ in tbl.schema if pa.types.is_null(f_.type)]
+        if null_cols:
+            types = _ddl_arrow_types(self.metadata().schema_ddl)
+            for name in null_cols:
+                if name.startswith(("min_", "max_")):
+                    t = types.get(name.split("_", 1)[1], pa.string())
+                else:
+                    t = pa.int64()
+                i = tbl.schema.get_field_index(name)
+                tbl = tbl.set_column(
+                    i, pa.field(name, t), pa.nulls(len(tbl), t)
+                )
+        pq.write_table(tbl, os.path.join(self.root, rel))
         return rel
 
     # ---------- commit protocol ----------
@@ -828,7 +843,19 @@ class Table:
                 F.max(c).alias(f"max_{c}"),
                 F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
             ]
-        pdf = df.groupBy(F.col("_metadata.file_path").alias("abs_path")).agg(*aggs).toPandas()
+        agg_df = df.groupBy(F.col("_metadata.file_path").alias("abs_path")).agg(*aggs)
+        # via Arrow, NOT toPandas: pandas coerces a nullable int64 column
+        # that happens to be all-null in this batch to float64, which (a)
+        # breaks the mergeSchema manifest read against sibling int64
+        # manifests and (b) rounds >2^53 values (phash!) — unsound stats.
+        # Integer columns with nulls become pandas Int64 (exact).
+        atbl = agg_df.toArrow()
+        pdf = atbl.to_pandas()
+        for f_ in atbl.schema:
+            if pa.types.is_integer(f_.type) and pdf[f_.name].dtype.kind == "f":
+                pdf[f_.name] = pd.Series(
+                    atbl[f_.name].to_pylist(), index=pdf.index, dtype="Int64"
+                )
         # A file "belongs" to a partition value iff min == max on every
         # partition column; boundary files from range partitioning are
         # tagged mixed and handled (rewritten) by compaction. Vectorized:
@@ -864,10 +891,11 @@ class Table:
         """Snapshot read with manifest min/max file pruning.
 
         ``predicates``: iterable of ``(col, op, value)`` with op in
-        ``>= <= = between in`` (value is a (lo, hi) pair for between, a
-        list of values for in — batch point lookups that compose with
-        manifest pruning, bucket-transform derivation and the parquet
-        footer blooms). Files
+        ``>= <= = between in isnull notnull`` (value is a (lo, hi) pair
+        for between, a list of values for in — batch point lookups that
+        compose with manifest pruning, bucket-transform derivation and
+        the parquet footer blooms; value is ignored for isnull/notnull,
+        which prune on the per-file null-count stats). Files
         whose [min,max] range provably excludes the predicate are skipped
         before Spark ever lists them; the same predicate is re-applied as a
         real filter for row-level correctness (pruning is only file-level).
@@ -1429,6 +1457,49 @@ def rel_path_expr(root: str):
     return F.regexp_replace(p, "^" + _re.escape(root.rstrip("/") + "/"), "")
 
 
+def _ddl_arrow_types(schema_ddl: str) -> dict:
+    """{column: arrow type} from a Spark DDL string, driver-side (no
+    session needed — commit() must stay pure-driver). Splits fields on
+    depth-0 commas so decimal(10,2) / map<k,v> / struct<...> survive;
+    unknown/nested types fall back to string (only used to type
+    ALL-NULL stats columns, where any consistent type is sound as long
+    as it matches the non-null manifests — nested types never collect
+    min/max stats here)."""
+    simple = {
+        "string": pa.string(), "varchar": pa.string(), "char": pa.string(),
+        "bigint": pa.int64(), "long": pa.int64(),
+        "int": pa.int32(), "integer": pa.int32(),
+        "smallint": pa.int16(), "tinyint": pa.int8(),
+        "double": pa.float64(), "float": pa.float32(), "real": pa.float32(),
+        "boolean": pa.bool_(), "binary": pa.binary(),
+        "date": pa.date32(), "timestamp": pa.timestamp("us"),
+    }
+    out: dict = {}
+    depth = 0
+    field = ""
+    fields = []
+    for ch in schema_ddl:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            fields.append(field)
+            field = ""
+        else:
+            field += ch
+    if field.strip():
+        fields.append(field)
+    for f_ in fields:
+        parts = f_.strip().split(None, 1)
+        if len(parts) != 2:
+            continue
+        name, typ = parts[0].strip("`"), parts[1].strip().lower()
+        base = typ.split("(")[0].split("<")[0].strip()
+        out[name] = simple.get(base, pa.string())
+    return out
+
+
 def _strip_scheme(p: str) -> str:
     """file:/x, file:///x → /x (Hadoop FS URIs from _metadata.file_path)."""
     if p.startswith("file:"):
@@ -1452,6 +1523,10 @@ def _pred_to_column(col: str, op: str, value):
         # Catalyst pushes In to the parquet reader, where both dictionary
         # and footer-bloom row-group skipping apply per value
         return c.isin(*list(value))
+    if op == "isnull":
+        return c.isNull()
+    if op == "notnull":
+        return c.isNotNull()
     raise ValueError(f"unsupported predicate op {op!r}")
 
 
@@ -1463,6 +1538,19 @@ def prune_manifest_spark(man_df: DataFrame, preds, stats_cols) -> list:
     cond = F.lit(True)
     cols = set(man_df.columns)
     for col, op, value in preds:
+        if op in ("isnull", "notnull"):
+            # null-count stats: IS NULL keeps files with >= 1 null,
+            # IS NOT NULL keeps files with >= 1 non-null row
+            if col not in stats_cols or f"nulls_{col}" not in cols:
+                continue
+            nulls = F.col(f"nulls_{col}")
+            c = (
+                nulls > 0
+                if op == "isnull"
+                else nulls < F.col("record_count")
+            )
+            cond = cond & F.when(nulls.isNotNull(), c).otherwise(F.lit(True))
+            continue
         if col not in stats_cols or f"min_{col}" not in cols:
             continue
         mn, mx = F.col(f"min_{col}"), F.col(f"max_{col}")
@@ -1502,6 +1590,18 @@ def prune_manifest(man: pd.DataFrame, preds, stats_cols) -> pd.DataFrame:
     for col, op, value in preds:
         if col not in stats_cols:
             continue  # no stats → cannot prune on this column
+        if op in ("isnull", "notnull"):
+            if f"nulls_{col}" not in man.columns:
+                continue
+            nulls = man[f"nulls_{col}"]
+            has = nulls.notna()
+            cond = pd.Series(True, index=man.index)
+            if op == "isnull":
+                cond.loc[has] = nulls[has] > 0
+            else:
+                cond.loc[has] = nulls[has] < man.loc[has, "record_count"]
+            mask &= cond
+            continue
         if f"min_{col}" not in man.columns:
             # stats never collected for this column (e.g. manifests from
             # before a partition-spec evolution) → cannot prune, keep all

@@ -99,6 +99,72 @@ def test_in_predicate_prunes_and_filters(table, spark):
     )  # empty IN list prunes everything (vacuous OR)
 
 
+def test_null_predicates_prune_and_filter(tmp_path, spark):
+    t = Table.create(
+        str(tmp_path / "nulls"), "id bigint, v string", stats_cols=["id", "v"]
+    )
+    all_set = spark.range(0, 50).selectExpr("id", "concat('x', id) AS v")
+    all_null = spark.range(50, 100).selectExpr("id", "CAST(NULL AS string) AS v")
+    mixed = spark.range(100, 150).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN concat('x', id) END AS v"
+    )
+    for df in (all_set, all_null, mixed):
+        t.commit("append", t.write_files(df.coalesce(1)))
+    man = t.manifest_pdf()
+    assert len(man) == 3
+    kept_null = prune_manifest(man, [("v", "isnull", None)], ["id", "v"])
+    assert len(kept_null) == 2  # all-set file pruned
+    kept_notnull = prune_manifest(man, [("v", "notnull", None)], ["id", "v"])
+    assert len(kept_notnull) == 2  # all-null file pruned
+    assert t.scan(spark, predicates=[("v", "isnull", None)]).count() == 75
+    assert t.scan(spark, predicates=[("v", "notnull", None)]).count() == 75
+    # the Spark-side pruner (big-manifest planner path) agrees
+    from aws_medallion_datalake_spark.sources.tableformat import (
+        prune_manifest_spark,
+    )
+
+    man_df = t.manifest_df(spark)
+    assert set(prune_manifest_spark(man_df, [("v", "isnull", None)], ["v"])) == set(
+        kept_null["path"]
+    )
+    assert set(
+        prune_manifest_spark(man_df, [("v", "notnull", None)], ["v"])
+    ) == set(kept_notnull["path"])
+
+
+def test_ddl_arrow_types_handles_commas_in_types():
+    import pyarrow as pa
+
+    from aws_medallion_datalake_spark.sources.tableformat import _ddl_arrow_types
+
+    t = _ddl_arrow_types(
+        "id bigint, price decimal(10,2), m map<string,int>, "
+        "s struct<a:int,b:string>, v string, d date"
+    )
+    assert t["id"] == pa.int64()
+    assert t["v"] == pa.string()
+    assert t["d"] == pa.date32()
+    assert set(t) == {"id", "price", "m", "s", "v", "d"}
+
+
+def test_all_null_long_stats_column_merges(tmp_path, spark):
+    """Regression: an all-null stats column used to be written with
+    arrow's `null` type, breaking the mergeSchema manifest read."""
+    t = Table.create(
+        str(tmp_path / "nl"), "id bigint, n bigint", stats_cols=["n"]
+    )
+    t.commit(
+        "append",
+        t.write_files(spark.range(10).selectExpr("id", "CAST(NULL AS bigint) AS n")),
+    )
+    t.commit(
+        "append", t.write_files(spark.range(10, 20).selectExpr("id", "id AS n"))
+    )
+    man_df = t.manifest_df(spark)  # raised before the fix
+    assert man_df.count() >= 2
+    assert t.scan(spark, predicates=[("n", ">=", 10)]).count() == 10
+
+
 def test_scan_empty_predicate_returns_empty_df(table, spark):
     man = table.manifest_pdf()
     lo = int(man["min_phash"].min())
