@@ -2209,6 +2209,198 @@ def q_image_maintenance(spark, sf_dir):
     )
 
 
+def q_orders_rollup(spark, sf_dir):
+    """Hierarchical ROLLUP aggregation (subtotals + grand total).
+
+    Beyond the reference (SURVEY §2.4 notes it has no grouping sets);
+    the engine exposes Spark's native ``rollup`` — partial aggregation
+    per grouping set, one shuffle, no repeated scans. NULL grouping
+    markers are normalized to 'ALL' so the oracle repr matches.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+def _sql_orders_rollup():
+    return """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """
+
+
+def q_customers_no_orders(spark, sf_dir):
+    """LEFT ANTI join (TPC-H Q22 shape): customers with no orders.
+
+    At 100 TB the anti-join shuffles only the two key columns
+    (projection first), and positive-acctbal filtering happens before
+    the shuffle so dead rows never move.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0.0)
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+def _sql_customers_no_orders():
+    return """
+        SELECT c_mktsegment, count(*) AS n_custs,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer c
+        WHERE c_acctbal > 0.0
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+    """
+
+
+def q_returned_orders_semi(spark, sf_dir):
+    """LEFT SEMI join (TPC-H Q4 shape): orders with >= 1 returned item.
+
+    The semi join deduplicates the probe side inside the join (no
+    distinct pre-agg needed) and shuffles only l_orderkey.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+def _sql_returned_orders_semi():
+    return """
+        SELECT o_orderpriority, count(*) AS n_orders,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """
+
+
+def q_quantity_quartiles(spark, sf_dir):
+    """Exact interpolated quartiles per group (Spark `percentile`).
+
+    Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    linear-interpolation definition rank = q*(n-1), lerp(lo, hi, frac).
+    Probs 0.25/0.5/0.75 are exact binary fractions and l_quantity is
+    integer-valued, so the interpolation arithmetic is EXACT in IEEE
+    doubles — the oracle comparison is bit-stable, not
+    rounding-boundary-lucky. At scale the approximate sketch
+    (`approx_percentile`) is the drop-in; this entry pins the exact
+    semantics it approximates.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").alias("qs"),
+        F.count("*").alias("n_items"),
+    )
+    return q.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_items",
+        F.col("qs")[0].alias("q1"),
+        F.col("qs")[1].alias("median"),
+        F.col("qs")[2].alias("q3"),
+    )
+
+
+def _sql_quantity_quartiles():
+    return """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+               quantile_cont(l_quantity, 0.25) AS q1,
+               quantile_cont(l_quantity, 0.5) AS median,
+               quantile_cont(l_quantity, 0.75) AS q3
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+
+
+_NSALT = 8
+
+
+def q_salted_supplier_revenue(spark, sf_dir):
+    """Skew-salted fact⋈dim join with identical semantics to the plain join.
+
+    Demonstrates the documented hot-key recipe (SURVEY §2.3): the fact
+    side derives a deterministic salt from its own key, the dim side is
+    exploded x NSALT, and the join key becomes (suppkey, salt) — a hot
+    supplier's rows spread over NSALT reducers instead of one. The
+    oracle is the UNSALTED join: same rows, proving the rewrite is
+    semantics-preserving. (With a broadcastable dim Spark would skip the
+    shuffle entirely; the salt path is the non-broadcastable-dim story.)
+    """
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.col("l_orderkey"), F.lit(_NSALT)).cast("int")
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(_NSALT)])))
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(
+            sup,
+            (li.l_suppkey == sup.s_suppkey) & (li.salt == sup.salt),
+            "inner",
+        )
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+def _sql_salted_supplier_revenue():
+    return """
+        SELECT n_name, count(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2258,6 +2450,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hidden_partition_scan": q_hidden_partition_scan,
         "minhash_candidate_pairs": q_minhash_candidate_pairs,
         "neardup_components": q_neardup_components,
+        "orders_rollup": q_orders_rollup,
+        "customers_no_orders": q_customers_no_orders,
+        "returned_orders_semi": q_returned_orders_semi,
+        "quantity_quartiles": q_quantity_quartiles,
+        "salted_supplier_revenue": q_salted_supplier_revenue,
         "image_features_ann": q_image_features_ann,
         "image_medallion": q_image_medallion,
         "image_maintenance": q_image_maintenance,
@@ -2318,6 +2515,11 @@ def oracle_sql() -> dict[str, str]:
         "hidden_partition_scan": _sql_hidden_partition_scan(),
         "minhash_candidate_pairs": _sql_minhash_candidate_pairs(),
         "neardup_components": _sql_neardup_components(),
+        "orders_rollup": _sql_orders_rollup(),
+        "customers_no_orders": _sql_customers_no_orders(),
+        "returned_orders_semi": _sql_returned_orders_semi(),
+        "quantity_quartiles": _sql_quantity_quartiles(),
+        "salted_supplier_revenue": _sql_salted_supplier_revenue(),
         # image_medallion / image_maintenance / image_gold_star:
         # engine-internal table format + Arrow codec UDFs — not
         # SQL-expressible (rows-only).
