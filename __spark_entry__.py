@@ -2091,6 +2091,63 @@ def q_image_evolution(spark, sf_dir):
     ).orderBy("phase")
 
 
+def q_image_rename(spark, sf_dir):
+    """Column rename/drop as metadata-only ops over plain parquet.
+
+    Iceberg does this with field ids; the engine keeps a name-mapping
+    (`schema.name-mapping` table property) and reads through
+    `Table.read_data`, which coalesces a column's name generations.
+    Phases: rename caption→caption_text (zero rewrites, old files still
+    carry the old physical name), append new-generation files, compact
+    (physical migration), drop a column. Each row reports visible rows,
+    non-null caption_text rows, and how many live data files physically
+    carry the NEW name — 0 right after the rename, all of them after
+    compaction. Engine-internal; rows-only check."""
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from aws_medallion_datalake_spark.operators.compact import compact
+    from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
+    from aws_medallion_datalake_spark.sources.generator import generate_images
+
+    root = tempfile.mkdtemp(prefix="entry_ren_")
+    t = bronze_ingest(spark, os.path.join(root, "t"), 200, n_files=8)
+
+    def phase(name):
+        df = t.scan(spark)
+        cap = (
+            df.filter(F.col("caption_text").isNotNull()).count()
+            if "caption_text" in df.columns
+            else -1
+        )
+        man = t.manifest_pdf()
+        migrated = sum(
+            "caption_text"
+            in _pq.read_schema(os.path.join(t.root, p)).names
+            for p in man["path"]
+        )
+        return (name, int(df.count()), int(cap), int(migrated), len(man))
+
+    rows = [phase("0_initial")]
+    t.rename_column("caption", "caption_text")
+    rows.append(phase("1_after_rename"))
+    new = generate_images(spark, 60, n_files=2, start=80_000).withColumnRenamed(
+        "caption", "caption_text"
+    )
+    t.commit("append", t.write_files(new))
+    rows.append(phase("2_after_new_generation_append"))
+    compact(t, spark, target_file_size_bytes=1 << 22)
+    rows.append(phase("3_after_compact_migration"))
+    t.drop_column("fmt")
+    rows.append(phase("4_after_drop_fmt"))
+    return spark.createDataFrame(
+        rows,
+        "phase string, visible_rows int, caption_text_rows int, "
+        "files_with_new_name int, files_total int",
+    ).orderBy("phase")
+
+
 def q_image_features_ann(spark, sf_dir):
     """Multimodal chain: decode → grid-feature embedding (Arrow UDF) →
     brute-force cosine top-10 against image 0 — the image analogue of
@@ -2468,6 +2525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dup_caption_audit": q_image_dup_caption_audit,
         "image_eq_delete": q_image_eq_delete,
         "image_evolution": q_image_evolution,
+        "image_rename": q_image_rename,
     }
 
 

@@ -349,12 +349,7 @@ def cluster(
         import os as _os
 
         work_paths = [_os.path.join(table.root, p) for p in work["path"]]
-        pruned_cache = (
-            spark.read.schema(table._schema(spark))
-            .parquet(*work_paths)
-            .select(*need)
-            .persist()
-        )
+        pruned_cache = table.read_data(spark, work_paths).select(*need).persist()
         part_values = sorted(
             r[0]
             for r in pruned_cache.select(
@@ -384,7 +379,7 @@ def cluster(
         paths = [os.path.join(table.root, p) for p in rows["path"]]
         tile_bytes = int(rows["file_size_bytes"].sum())
         n_out = max(1, round(tile_bytes / target_file_size_bytes))
-        full = spark.read.schema(schema).parquet(*paths).withColumn(_KEY, key)
+        full = table.read_data(spark, paths).withColumn(_KEY, key)
         if n_out == 1:
             out = full.coalesce(1).sortWithinPartitions(*sort_cols).drop(_KEY)
         else:
@@ -394,7 +389,7 @@ def cluster(
             if pruned_cache is not None and len(tiles) == 1:
                 pruned = pruned_cache
             else:
-                pruned = spark.read.schema(schema).parquet(*paths).select(*need)
+                pruned = table.read_data(spark, paths).select(*need)
             ck = F.coalesce(
                 _composite(key, meta.partition_cols, part_values),
                 F.lit(np.iinfo(np.int64).min + 1),

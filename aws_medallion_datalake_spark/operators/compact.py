@@ -78,7 +78,7 @@ def _group_plan(table: Table, spark: SparkSession, group: CompactionGroup):
     from pyspark.sql import functions as F
 
     paths = [os.path.join(table.root, p) for p in group.paths]
-    df = spark.read.schema(table._schema(spark)).parquet(*paths)
+    df = table.read_data(spark, paths)
     key = _sort_key(df)
     part_cols = transforms.exprs(table.metadata().partition_cols)
     sort_cols = part_cols + ([key] if key is not None else [])
@@ -139,8 +139,7 @@ def _rewrite_batch(
     route_df = spark.createDataFrame(route_rows, "__route_path string, __rt int")
     paths = [os.path.join(table.root, p) for g in groups for p in g.paths]
     df = (
-        spark.read.schema(table._schema(spark))
-        .parquet(*paths)
+        table.read_data(spark, paths)
         .withColumn("__route_path", rel_path_expr(table.root))
         .join(F.broadcast(route_df), "__route_path", "inner")
         .drop("__route_path")

@@ -119,8 +119,7 @@ def delete_where(
 
     with pt.phase("probe"):
         touched_pdf = (
-            spark.read.schema(schema)
-            .parquet(*cand_paths)
+            table.read_data(spark, cand_paths)
             .filter(cond)
             .select(rel.alias("path"))
             .groupBy("path")
@@ -134,8 +133,8 @@ def delete_where(
 
     prefix = table.new_data_prefix()
     with pt.phase("rewrite"), read_split_size(spark, target_file_size_bytes):
-        tgt = spark.read.schema(schema).parquet(
-            *[os.path.join(table.root, p) for p in touched_rel]
+        tgt = table.read_data(
+            spark, [os.path.join(table.root, p) for p in touched_rel]
         )
         # keep rows where the predicate is NOT TRUE (false OR null) —
         # plain ~cond drops predicate-NULL rows, which DELETE must keep
@@ -192,7 +191,7 @@ def _mor_delete(
         snap = table.snapshot()
         live = table._apply_mor_deletes(
             spark,
-            spark.read.schema(schema).parquet(*cand_paths),
+            table.read_data(spark, cand_paths),
             snap,
             keep_pos_cols=True,
         )
@@ -448,8 +447,10 @@ def apply_deletes(
                 if not len(cand):
                     continue
                 probe = (
-                    spark.read.schema(table._schema(spark))
-                    .parquet(*[os.path.join(table.root, p) for p in cand["path"]])
+                    table.read_data(
+                        spark,
+                        [os.path.join(table.root, p) for p in cand["path"]],
+                    )
                     .select(*cols, rel.alias("__p"))
                     .join(F.broadcast(vals), list(cols), "left_semi")
                     .select("__p")
@@ -478,8 +479,8 @@ def apply_deletes(
     schema = table._schema(spark)
     prefix = table.new_data_prefix()
     with pt.phase("rewrite"), read_split_size(spark, target_file_size_bytes):
-        tgt = spark.read.schema(schema).parquet(
-            *[os.path.join(table.root, p) for p in touched_rel]
+        tgt = table.read_data(
+            spark, [os.path.join(table.root, p) for p in touched_rel]
         )
         kept = table._apply_mor_deletes(spark, tgt, snap, keep_pos_cols=True)
         kept = table._apply_eq_deletes(spark, kept, snap, path_col="__mor_path")

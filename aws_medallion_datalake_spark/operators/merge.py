@@ -271,8 +271,8 @@ def merge_into(
     delta_box: dict = {}
 
     def rewrite(gno: int, paths: list) -> None:
-        tgt = spark.read.schema(table._schema(spark)).parquet(
-            *[os.path.join(table.root, p) for p in paths]
+        tgt = table.read_data(
+            spark, [os.path.join(table.root, p) for p in paths]
         )
         # MATCHED THEN UPDATE SET * == replace whole row → key-only
         # anti-join; broadcast filter preserves input splits, so each
@@ -448,8 +448,9 @@ def _mor_merge(
             with pt.phase("probe"):
                 live = table._apply_mor_deletes(
                     spark,
-                    spark.read.schema(schema).parquet(
-                        *[os.path.join(table.root, p) for p in cand["path"]]
+                    table.read_data(
+                        spark,
+                        [os.path.join(table.root, p) for p in cand["path"]],
                     ),
                     snap,
                     keep_pos_cols=True,

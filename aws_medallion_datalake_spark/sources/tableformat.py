@@ -80,6 +80,17 @@ MANIFEST_BASE_COLS = ["path", "partition_json", "record_count", "file_size_bytes
 BLOOM_COLS_PROP = "write.parquet.bloom-filter.columns"  # comma-separated
 BLOOM_NDV_PROP = "write.parquet.bloom-filter.expected-ndv"  # per row group
 
+# Iceberg resolves columns by FIELD ID, so rename/drop are pure metadata
+# ops; plain parquet resolves by NAME. These two properties carry the
+# equivalent bookkeeping (Iceberg's schema.name-mapping.default analogue):
+# RENAMES_PROP maps each current column name to the list of prior physical
+# names still present in not-yet-rewritten data files (newest first);
+# RETIRED_PROP lists names that may never be (re-)added, because old data
+# files still carry a physical column by that name and a name-resolved
+# read would resurrect the wrong values.
+RENAMES_PROP = "schema.name-mapping"  # json: {current: [prior, older, ...]}
+RETIRED_PROP = "schema.retired-names"  # json: [name, ...]
+
 
 def bloom_write_options(meta: "TableMetadata") -> dict:
     """DataFrameWriter options implementing the table's bloom properties
@@ -263,8 +274,173 @@ class Table:
         for f in StructType.fromDDL(ddl).fields:
             if f.name in existing:
                 raise ValueError(f"column {f.name!r} already exists")
+        retired = set(json.loads(str(meta.properties.get(RETIRED_PROP, "[]"))))
+        ren = json.loads(str(meta.properties.get(RENAMES_PROP, "{}")))
+        taken = retired | {a for aliases in ren.values() for a in aliases}
+        for f in StructType.fromDDL(ddl).fields:
+            if f.name in taken:
+                raise ValueError(
+                    f"column name {f.name!r} was retired by a rename/drop; "
+                    "old data files still carry a physical column by that "
+                    "name, so re-adding it would resurrect their values"
+                )
         meta.schema_ddl = f"{meta.schema_ddl}, {ddl.strip()}"
         self._write_metadata_version(version + 1, meta)
+
+    def _guard_schema_change(self, meta: "TableMetadata", col: str) -> None:
+        """Shared rename/drop preconditions."""
+        if col in transforms.source_cols(meta.partition_cols):
+            raise ValueError(
+                f"column {col!r} is a partition source; evolve the "
+                "partition spec off it first (set_partition_spec)"
+            )
+        if meta.current_snapshot_id is not None:
+            s = self.snapshot()
+            if s.delete_paths or s.eq_deletes:
+                raise ValueError(
+                    "merge-on-read deletes are pending; run "
+                    "apply_deletes() before schema changes (delete files "
+                    "reference columns by physical name)"
+                )
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Metadata-only column rename (Iceberg ALTER TABLE ... RENAME).
+
+        No data file is touched: files written before the rename keep the
+        old physical column name, and every data-file read goes through
+        :meth:`read_data`, which coalesces the name generations into the
+        current logical name. Rewrites (compact/cluster/merge/delete)
+        migrate files to the new physical name as a side effect, and the
+        mapping entry for a generation disappears once expiry GC has
+        removed the last file carrying it (kept indefinitely here — it is
+        O(renames) bytes). Manifest stats recorded under the old name
+        simply stop pruning (missing stats → keep, sound) until the file
+        is rewritten. Renaming a partition source column is refused —
+        evolve the spec first; renames while merge-on-read deletes are
+        pending are refused (delete files reference physical names).
+        """
+        from pyspark.sql.types import StructType
+
+        version = self.current_version()
+        meta = self.metadata(version)
+        fields = StructType.fromDDL(meta.schema_ddl).fields
+        names = [f.name for f in fields]
+        if old not in names:
+            raise KeyError(f"no such column: {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        ren = json.loads(str(meta.properties.get(RENAMES_PROP, "{}")))
+        retired = json.loads(str(meta.properties.get(RETIRED_PROP, "[]")))
+        taken = set(retired) | {a for aliases in ren.values() for a in aliases}
+        if new in taken:
+            raise ValueError(
+                f"column name {new!r} was retired by a prior rename/drop; "
+                "old data files still carry it"
+            )
+        self._guard_schema_change(meta, old)
+        meta.schema_ddl = ", ".join(
+            f"{new if f.name == old else f.name} {f.dataType.simpleString()}"
+            for f in fields
+        )
+        # chain renames: files may carry ANY prior generation's name
+        ren[new] = [old] + ren.pop(old, [])
+        meta.properties[RENAMES_PROP] = json.dumps(ren)
+        meta.stats_cols = [new if c == old else c for c in meta.stats_cols]
+        bloom = [
+            c.strip()
+            for c in str(meta.properties.get(BLOOM_COLS_PROP, "")).split(",")
+            if c.strip()
+        ]
+        if old in bloom:
+            meta.properties[BLOOM_COLS_PROP] = ",".join(
+                new if c == old else c for c in bloom
+            )
+        self._write_metadata_version(version + 1, meta)
+
+    def drop_column(self, name: str) -> None:
+        """Metadata-only column drop (Iceberg ALTER TABLE ... DROP COLUMN).
+
+        Data files are untouched; the explicit-schema read simply stops
+        projecting the column, and rewrites physically shed it over time.
+        The name (and every prior name of the column) is retired: it can
+        never be re-added, because not-yet-rewritten files still carry a
+        physical column by that name and a name-resolved read would
+        resurrect the old values (Iceberg avoids this with field ids).
+        Partition sources must be evolved off first; pending merge-on-read
+        deletes must be applied first.
+        """
+        from pyspark.sql.types import StructType
+
+        version = self.current_version()
+        meta = self.metadata(version)
+        fields = StructType.fromDDL(meta.schema_ddl).fields
+        if name not in [f.name for f in fields]:
+            raise KeyError(f"no such column: {name!r}")
+        if len(fields) == 1:
+            raise ValueError("cannot drop the last column")
+        self._guard_schema_change(meta, name)
+        ren = json.loads(str(meta.properties.get(RENAMES_PROP, "{}")))
+        retired = json.loads(str(meta.properties.get(RETIRED_PROP, "[]")))
+        retired = sorted(set(retired) | {name} | set(ren.pop(name, [])))
+        meta.schema_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in fields if f.name != name
+        )
+        meta.properties[RENAMES_PROP] = json.dumps(ren)
+        meta.properties[RETIRED_PROP] = json.dumps(retired)
+        meta.stats_cols = [c for c in meta.stats_cols if c != name]
+        bloom = [
+            c.strip()
+            for c in str(meta.properties.get(BLOOM_COLS_PROP, "")).split(",")
+            if c.strip() and c.strip() != name
+        ]
+        meta.properties[BLOOM_COLS_PROP] = ",".join(bloom)
+        self._write_metadata_version(version + 1, meta)
+
+    def read_data(
+        self, spark: SparkSession, paths: Sequence[str], meta=None
+    ) -> DataFrame:
+        """Read ABSOLUTE data-file paths with the table's logical schema.
+
+        The single chokepoint every engine data-file read goes through.
+        With no rename history this is exactly the plain explicit-schema
+        parquet read (zero overhead). With renames, the read schema also
+        carries each column's prior physical names and the logical column
+        becomes ``coalesce(current, prior, older...)`` — parquet's
+        name-based resolution yields NULL for whichever generations a
+        given file lacks, so every file contributes exactly its own
+        generation. ``_metadata`` stays resolvable through the projection
+        (merge-on-read delete application relies on it)."""
+        from pyspark.sql.types import StructField, StructType
+
+        meta = meta if meta is not None else self.metadata()
+        schema = StructType.fromDDL(meta.schema_ddl)
+        ren = {
+            k: v
+            for k, v in json.loads(
+                str(meta.properties.get(RENAMES_PROP, "{}"))
+            ).items()
+            if v
+        }
+        if not ren:
+            return spark.read.schema(schema).parquet(*paths)
+        by_name = {f.name: f for f in schema.fields}
+        extra = [
+            StructField(alias, by_name[cur].dataType, True)
+            for cur, aliases in sorted(ren.items())
+            if cur in by_name
+            for alias in aliases
+        ]
+        raw = spark.read.schema(StructType(list(schema.fields) + extra)).parquet(
+            *paths
+        )
+        return raw.select(
+            *[
+                F.coalesce(f.name, *ren[f.name]).alias(f.name)
+                if f.name in ren
+                else F.col(f.name)
+                for f in schema.fields
+            ]
+        )
 
     def set_partition_spec(self, partition_cols: Sequence[str]) -> None:
         """Partition-spec evolution (Iceberg-style, metadata-only).
@@ -707,8 +883,8 @@ class Table:
         if pdf.empty:
             empty = spark.createDataFrame([], schema=self.metadata().schema_ddl)
             return empty.select(*columns) if columns else empty
-        df = spark.read.schema(self._schema(spark)).parquet(
-            *[os.path.join(self.root, p) for p in pdf["path"]]
+        df = self.read_data(
+            spark, [os.path.join(self.root, p) for p in pdf["path"]]
         )
         return df.select(*columns) if columns else df
 
@@ -940,7 +1116,7 @@ class Table:
         if len(rel_paths) == 0:
             return _empty()
         paths = [os.path.join(self.root, p) for p in rel_paths]
-        df = spark.read.schema(self._schema(spark)).parquet(*paths)
+        df = self.read_data(spark, paths, meta=meta)
         if s.eq_deletes:
             # equality deletes need a file-path column that survives the
             # positional anti-join; compute it once on the raw relation
@@ -1134,8 +1310,8 @@ class Table:
         if not new_paths:
             e = spark.createDataFrame([], schema=meta.schema_ddl)
             return e.select(*columns) if columns else e
-        df = spark.read.schema(self._schema(spark)).parquet(
-            *[os.path.join(self.root, p) for p in new_paths]
+        df = self.read_data(
+            spark, [os.path.join(self.root, p) for p in new_paths]
         )
         if columns:
             df = df.select(*columns)
@@ -1229,8 +1405,8 @@ class Table:
         cols = [f.name for f in schema.fields]
 
         def _read(rel_paths):
-            return spark.read.schema(schema).parquet(
-                *[os.path.join(self.root, p) for p in rel_paths]
+            return self.read_data(
+                spark, [os.path.join(self.root, p) for p in rel_paths]
             )
 
         def _tag(df, kind, s):
