@@ -21,6 +21,7 @@ the planner's Spark pruning path.
 from __future__ import annotations
 
 import json
+import os
 from datetime import datetime, timezone
 from typing import Optional
 
@@ -125,18 +126,64 @@ def partitions_df(
     )
 
 
+_MANIFESTS_DDL = (
+    "path string, snapshot_id long, file_size_bytes long, entry_count long"
+)
+
+_REFS_DDL = "name string, type string, snapshot_id long"
+
+
+def manifests_df(
+    table: Table, spark: SparkSession, snapshot_id: Optional[int] = None
+) -> DataFrame:
+    """One row per manifest parquet in the snapshot's manifest list with
+    its on-disk size and entry count (Iceberg's ``$manifests``). Entry
+    counts come from parquet FOOTER metadata only — no manifest data is
+    read, so this stays O(manifest-list length) regardless of file count.
+    Delta manifests shared with ancestor snapshots appear under each
+    snapshot that lists them."""
+    import pyarrow.parquet as pq
+
+    s = table.snapshot(snapshot_id)
+    rows = [
+        (
+            rel,
+            s.snapshot_id,
+            os.path.getsize(os.path.join(table.root, rel)),
+            pq.ParquetFile(os.path.join(table.root, rel)).metadata.num_rows,
+        )
+        for rel in s.manifest_paths
+    ]
+    return spark.createDataFrame(rows, schema=_MANIFESTS_DDL)
+
+
+def refs_df(table: Table, spark: SparkSession) -> DataFrame:
+    """Named references (Iceberg's ``$refs``): every tag pinned by
+    ``Table.tag`` plus the single ``main`` branch head."""
+    meta = table.metadata()
+    rows = (
+        [("main", "branch", meta.current_snapshot_id)]
+        if meta.current_snapshot_id is not None
+        else []
+    )
+    rows += [(n, "tag", sid) for n, sid in sorted(table.tags().items())]
+    return spark.createDataFrame(rows, schema=_REFS_DDL)
+
+
 def register_metadata_views(
     table: Table, spark: SparkSession, name: str
 ) -> dict:
-    """Register the four metadata tables as temp views named
-    ``<name>_snapshots`` / ``_history`` / ``_files`` / ``_partitions``
-    so operational SQL runs beside the data views
-    (``Table.register``)."""
+    """Register the metadata tables as temp views named
+    ``<name>_snapshots`` / ``_history`` / ``_files`` / ``_partitions`` /
+    ``_manifests`` / ``_refs`` so operational SQL runs beside the data
+    views (``Table.register``)."""
     views = {
         f"{name}_snapshots": snapshots_df(table, spark),
         f"{name}_history": history_df(table, spark),
         f"{name}_files": files_df(table, spark),
         f"{name}_partitions": partitions_df(table, spark),
+        f"{name}_manifests": manifests_df(table, spark),
+        f"{name}_refs": refs_df(table, spark),
     }
     for vname, df in views.items():
         df.createOrReplaceTempView(vname)

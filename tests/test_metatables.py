@@ -6,7 +6,9 @@ from aws_medallion_datalake_spark.sources.generator import SCHEMA, generate_imag
 from aws_medallion_datalake_spark.sources.metatables import (
     files_df,
     history_df,
+    manifests_df,
     partitions_df,
+    refs_df,
     register_metadata_views,
     snapshots_df,
 )
@@ -66,6 +68,25 @@ def test_history_marks_rollback_branch(table, spark):
     assert not hist[2].is_current_ancestor
 
 
+def test_manifests_footer_only(table, spark):
+    m = manifests_df(table, spark).collect()
+    # two append commits -> delta manifest list of 2 entries
+    assert len(m) == 2
+    assert sum(r.entry_count for r in m) == len(table.manifest_pdf())
+    assert all(r.file_size_bytes > 0 for r in m)
+    # historical snapshot: only its own manifest list
+    m1 = manifests_df(table, spark, snapshot_id=1).collect()
+    assert {r.snapshot_id for r in m1} == {1}
+    assert len(m1) == 1
+
+
+def test_refs_tags_and_main(table, spark):
+    table.tag("audit_v1", snapshot_id=1)
+    refs = {r.name: (r.type, r.snapshot_id) for r in refs_df(table, spark).collect()}
+    assert refs["main"] == ("branch", table.metadata().current_snapshot_id)
+    assert refs["audit_v1"] == ("tag", 1)
+
+
 def test_register_metadata_views_sql(table, spark):
     register_metadata_views(table, spark, "img")
     n = spark.sql(
@@ -80,3 +101,9 @@ def test_register_metadata_views_sql(table, spark):
         "SELECT path FROM img_files ORDER BY record_count DESC LIMIT 1"
     ).first()
     assert top.path.endswith(".parquet")
+    ec = spark.sql("SELECT sum(entry_count) FROM img_manifests").first()[0]
+    assert ec == len(table.manifest_pdf())
+    head = spark.sql(
+        "SELECT snapshot_id FROM img_refs WHERE name = 'main'"
+    ).first()[0]
+    assert head == table.metadata().current_snapshot_id
