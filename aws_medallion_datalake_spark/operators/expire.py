@@ -138,10 +138,16 @@ def expire_snapshots(
             s for s in snaps if s.timestamp_ms >= older_than_ms or s in retained
         ]
     current = [s for s in snaps if s.snapshot_id == meta.current_snapshot_id]
-    # tagged snapshots (ref.<name> properties) are pinned from expiry —
-    # Iceberg's tag-retention semantics
+    # tagged snapshots (ref.<name>) and branch heads (branch.<name>) are
+    # pinned from expiry — Iceberg ref-retention semantics. Pinning only
+    # the HEAD suffices for file reachability: its manifest list names
+    # every manifest (ancestors' delta manifests included), so branch data
+    # files stay reachable even when branch-ancestor snapshot log entries
+    # are reaped.
     tagged_ids = {
-        int(v) for k, v in meta.properties.items() if k.startswith("ref.")
+        int(v)
+        for k, v in meta.properties.items()
+        if k.startswith("ref.") or k.startswith("branch.")
     }
     tagged = [s for s in snaps if s.snapshot_id in tagged_ids]
     # staged-unpublished WAP snapshots are pinned too: their files are not
@@ -153,7 +159,7 @@ def expire_snapshots(
     # decide which files the delete covers, until apply_deletes clears it
     eq_pinned_ids = {
         int(e["as_of_snapshot_id"])
-        for s in (current or snaps[-1:])
+        for s in (current or snaps[-1:]) + tagged
         for e in s.eq_deletes
     }
     eq_pinned = [s for s in snaps if s.snapshot_id in eq_pinned_ids]

@@ -158,14 +158,15 @@ def manifests_df(
 
 
 def refs_df(table: Table, spark: SparkSession) -> DataFrame:
-    """Named references (Iceberg's ``$refs``): every tag pinned by
-    ``Table.tag`` plus the single ``main`` branch head."""
+    """Named references (Iceberg's ``$refs``): the ``main`` head, every
+    branch (``Table.create_branch``), and every tag (``Table.tag``)."""
     meta = table.metadata()
     rows = (
         [("main", "branch", meta.current_snapshot_id)]
         if meta.current_snapshot_id is not None
         else []
     )
+    rows += [(n, "branch", sid) for n, sid in sorted(table.branches().items())]
     rows += [(n, "tag", sid) for n, sid in sorted(table.tags().items())]
     return spark.createDataFrame(rows, schema=_REFS_DDL)
 

@@ -553,6 +553,7 @@ class Table:
         eq_deletes: Optional[list] = None,
         reuse_manifests: bool = False,
         delta_manifest: bool = False,
+        branch: Optional[str] = None,
     ) -> Snapshot:
         """Commit the next snapshot (atomic).
 
@@ -588,9 +589,22 @@ class Table:
         shares every ancestor manifest, append-style — the merge-on-read
         MERGE uses this to keep manifest IO O(delta) under a non-append
         operation name.
+
+        ``branch``: commit onto the named branch (``create_branch``)
+        instead of ``main`` — the snapshot parents on the BRANCH head and
+        only the ``branch.<name>`` pointer advances; readers of main see
+        nothing until ``fast_forward``. Iceberg branch-write semantics
+        (``write.branch``); mutually exclusive with ``stage_only`` (WAP
+        staging is the single-commit special case of a branch).
         """
         version = self.current_version()
         meta = self.metadata(version)
+        if branch is not None:
+            if stage_only:
+                raise ValueError("branch commits and stage_only are exclusive")
+            head_id = self._branch_head(meta, branch)
+        else:
+            head_id = meta.current_snapshot_id
         if properties:
             meta.properties.update({str(k): str(v) for k, v in properties.items()})
         # next id = max over HISTORY, not current+1: after rollback() the
@@ -601,9 +615,7 @@ class Table:
         added_bytes = int(new_manifest["file_size_bytes"].sum()) if len(new_manifest) else 0
         if delete_paths is None or eq_deletes is None:
             parent_for_deletes = (
-                self.snapshot(meta.current_snapshot_id)
-                if meta.current_snapshot_id is not None
-                else None
+                self.snapshot(head_id) if head_id is not None else None
             )
             if delete_paths is None:
                 delete_paths = (
@@ -616,7 +628,7 @@ class Table:
         if reuse_manifests:
             if len(new_manifest):
                 raise ValueError("reuse_manifests commits add no files")
-            parent = self.snapshot(meta.current_snapshot_id)
+            parent = self.snapshot(head_id)
             manifest_paths = list(parent.manifest_paths)
             ps = parent.summary
             totals = dict(
@@ -631,8 +643,8 @@ class Table:
             )
         elif (
             operation == "append" or delta_manifest
-        ) and meta.current_snapshot_id is not None:
-            parent = self.snapshot(meta.current_snapshot_id)
+        ) and head_id is not None:
+            parent = self.snapshot(head_id)
             manifest_paths = list(parent.manifest_paths)
             if len(new_manifest):
                 manifest_paths.append(self._write_manifest(sid, new_manifest))
@@ -656,7 +668,7 @@ class Table:
         extra = {"staged": "true", "wap.id": wap_id or ""} if stage_only else {}
         snap = Snapshot(
             snapshot_id=sid,
-            parent_snapshot_id=meta.current_snapshot_id,
+            parent_snapshot_id=head_id,
             timestamp_ms=int(time.time() * 1000),
             operation=operation,
             manifest_paths=manifest_paths,
@@ -665,7 +677,9 @@ class Table:
             eq_deletes=eq_deletes,
         )
         meta.snapshots.append(snap)
-        if not stage_only:
+        if branch is not None:
+            meta.properties[f"branch.{branch}"] = str(sid)
+        elif not stage_only:
             meta.current_snapshot_id = sid
         self._write_metadata_version(version + 1, meta)
         return snap
@@ -807,6 +821,84 @@ class Table:
             for k, v in self.metadata().properties.items()
             if k.startswith("ref.")
         }
+
+    # ---------- named refs (branches) ----------
+
+    def _branch_head(self, meta: "TableMetadata", name: str) -> int:
+        v = meta.properties.get(f"branch.{name}")
+        if v is None:
+            raise KeyError(f"no branch {name!r}")
+        return int(v)
+
+    def create_branch(self, name: str, snapshot_id: Optional[int] = None) -> int:
+        """Iceberg-style branch: an independently-advancing named head.
+        Commits target it with ``commit(..., branch=name)``; readers pin
+        it via ``scan(branch=name)``; ``fast_forward`` publishes it into
+        main. Starts at ``snapshot_id`` (default: current). Branch-
+        reachable files are protected from ``expire_snapshots`` GC while
+        the branch exists. Metadata-only; no snapshot is created."""
+        version = self.current_version()
+        meta = self.metadata(version)
+        if f"branch.{name}" in meta.properties:
+            raise ValueError(f"branch {name!r} already exists")
+        sid = snapshot_id if snapshot_id is not None else meta.current_snapshot_id
+        if sid not in {s.snapshot_id for s in meta.snapshots}:
+            raise KeyError(f"snapshot {sid} not in table history")
+        meta.properties[f"branch.{name}"] = str(sid)
+        self._write_metadata_version(version + 1, meta)
+        return int(sid)
+
+    def drop_branch(self, name: str) -> None:
+        """Remove the branch pointer. Snapshots that only the branch
+        reached become expirable — the next ``expire_snapshots`` GCs the
+        abandoned branch's files."""
+        version = self.current_version()
+        meta = self.metadata(version)
+        if meta.properties.pop(f"branch.{name}", None) is None:
+            raise KeyError(f"no branch {name!r}")
+        self._write_metadata_version(version + 1, meta)
+
+    def branch_head(self, name: str) -> int:
+        """Snapshot id the branch head points at."""
+        return self._branch_head(self.metadata(), name)
+
+    def branches(self) -> dict:
+        """All branches: {name: head snapshot_id}."""
+        return {
+            k[len("branch."):]: int(v)
+            for k, v in self.metadata().properties.items()
+            if k.startswith("branch.")
+        }
+
+    def fast_forward(self, name: str) -> Snapshot:
+        """Publish a branch into main (Iceberg ``fast_forward``): move the
+        current pointer to the branch head, REQUIRING that main is an
+        ancestor of it — i.e. main gained no commits since the branch was
+        cut, so the branch's snapshots linearize onto main verbatim. A
+        diverged main raises (a branch of appends can instead be replayed
+        commit-by-commit with ``publish``-style cherry-picks; rewrites
+        cannot, their manifests encode the branch parent's file set).
+        Metadata-only."""
+        version = self.current_version()
+        meta = self.metadata(version)
+        head = self._branch_head(meta, name)
+        by_id = {s.snapshot_id: s for s in meta.snapshots}
+        sid: Optional[int] = head
+        on_chain = False
+        while sid is not None and sid in by_id:
+            if sid == meta.current_snapshot_id:
+                on_chain = True
+                break
+            sid = by_id[sid].parent_snapshot_id
+        if not (on_chain or meta.current_snapshot_id is None):
+            raise ValueError(
+                f"main diverged from branch {name!r}: snapshot "
+                f"{meta.current_snapshot_id} is not an ancestor of the "
+                f"branch head {head}"
+            )
+        meta.current_snapshot_id = head
+        self._write_metadata_version(version + 1, meta)
+        return self.snapshot(head)
 
     def rollback(self, snapshot_id: int) -> Snapshot:
         """Iceberg-style rollback: a NEW metadata version whose current
@@ -1063,6 +1155,7 @@ class Table:
         predicates: Optional[Iterable[tuple]] = None,
         columns: Optional[Sequence[str]] = None,
         as_of_ms: Optional[int] = None,
+        branch: Optional[str] = None,
     ) -> DataFrame:
         """Snapshot read with manifest min/max file pruning.
 
@@ -1077,7 +1170,13 @@ class Table:
         real filter for row-level correctness (pruning is only file-level).
         ``as_of_ms``: time travel — read the latest snapshot committed at
         or before this timestamp (mutually exclusive with snapshot_id).
+        ``branch``: read the named branch's head (mutually exclusive with
+        both).
         """
+        if branch is not None:
+            if snapshot_id is not None or as_of_ms is not None:
+                raise ValueError("branch is exclusive with snapshot_id/as_of_ms")
+            snapshot_id = self.branch_head(branch)
         if as_of_ms is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or as_of_ms, not both")
