@@ -245,8 +245,16 @@ def cluster(
     checkpoint: Optional[RunCheckpoint] = None,
     mode: str = "auto",
     incremental_max_dirty_frac: float = 0.5,
+    predicates: Optional[list] = None,
 ) -> Optional[Snapshot]:
     """Rewrite the table clustered by the chosen space-filling curve.
+
+    ``predicates``: scope the rewrite to files whose stats intersect the
+    scan-style ``(col, op, value)`` predicates (whole-file selection,
+    never row filtering) — ``OPTIMIZE … WHERE`` for a 10^12-row table
+    where only the hot partitions need re-clustering. Composes with
+    ``mode="incremental"``: already-sorted generations are kept first,
+    then the predicate scopes the remaining dirty set.
 
     ``mode``:
 
@@ -310,10 +318,20 @@ def cluster(
     )
     if incremental:
         keep, work = man[sorted_mask], man[~sorted_mask]
-        if work.empty:
-            return None  # fully clustered already: nothing to commit
     else:
         keep, work = man.iloc[0:0], man
+    if predicates and len(work):
+        from ..sources.tableformat import prune_manifest
+
+        scoped = prune_manifest(
+            work,
+            transforms.extend_predicates(meta.partition_cols, list(predicates)),
+            transforms.field_names(meta.partition_cols) + list(meta.stats_cols),
+        )
+        keep = man[~man["path"].isin(scoped["path"])]
+        work = scoped
+    if work.empty:
+        return None  # nothing in scope / fully clustered: nothing to commit
 
     # distinct partition TUPLES straight from the manifest (no data read);
     # multi-level specs (year=/month=/day=) join levels with _PART_SEP
@@ -464,10 +482,12 @@ def cluster(
     new_rel = sorted(
         {_os.path.relpath(prefixes[i], table.root) for i in range(len(tiles))}
     )
+    # (keyed on kept files, not the incremental flag: a predicate-scoped
+    # full run also keeps files, whose generations stay live)
     live_old = [
         p
         for p in prev_prefixes
-        if incremental and bool(keep["path"].str.startswith(p.rstrip("/") + "/").any())
+        if len(keep) and bool(keep["path"].str.startswith(p.rstrip("/") + "/").any())
     ]
     props = {
         _SORT_SPEC_PROP: spec,

@@ -164,9 +164,19 @@ def compact(
     parallelism: int = 8,
     groups_per_job: int = DEFAULT_GROUPS_PER_JOB,
     checkpoint: Optional[RunCheckpoint] = None,
+    predicates: Optional[list] = None,
 ) -> Optional[Snapshot]:
     """Compact the current snapshot; returns the new snapshot or None if
-    nothing to do. Safe to re-run; resumable via ``checkpoint``."""
+    nothing to do. Safe to re-run; resumable via ``checkpoint``.
+
+    ``predicates``: scope the rewrite to files whose stats intersect the
+    scan-style ``(col, op, value)`` predicates (Iceberg
+    ``rewrite_data_files(where=…)``). Whole files are selected, never
+    row-filtered, so out-of-scope files are carried through untouched —
+    at 10^12-row scale maintenance targets the hot partitions of the
+    day's ingest, not the whole table. Hidden-partition transforms apply
+    (a plain ``ingest_date`` predicate scopes a ``days(ingest_date)``
+    table)."""
     if table.pending_delete_paths() or table.pending_eq_deletes():
         # a pack-group rewrite copies whole files, resurrecting rows a
         # pending positional/equality delete suppresses (and re-stamping a
@@ -179,21 +189,45 @@ def compact(
     t0 = time.time()
     pt = PhaseTimer()
     with pt.phase("plan"):
-        from ..sources.tableformat import SPARK_MANIFEST_THRESHOLD
+        from ..sources import transforms
+        from ..sources.tableformat import (
+            SPARK_MANIFEST_THRESHOLD,
+            manifest_prune_cond,
+            prune_manifest,
+        )
 
-        src_snapshot = table.metadata().current_snapshot_id
+        meta = table.metadata()
+        src_snapshot = meta.current_snapshot_id
+        prune_preds = (
+            transforms.extend_predicates(meta.partition_cols, list(predicates))
+            if predicates
+            else []
+        )
+        statable = transforms.field_names(meta.partition_cols) + list(
+            meta.stats_cols
+        )
         n_entries = table.manifest_rows()
         if n_entries > SPARK_MANIFEST_THRESHOLD:
             # distributed planning: the FFD loop runs per-partition on
-            # executors; the driver gets one row per GROUP, not per file
+            # executors; the driver gets one row per GROUP, not per file.
+            # Predicate scoping filters the manifest RELATION — surviving
+            # paths never land on the driver.
+            man_df = table.manifest_df(spark)
+            if prune_preds:
+                man_df = man_df.filter(
+                    manifest_prune_cond(set(man_df.columns), prune_preds, statable)
+                )
             plan: CompactionPlan = plan_compaction_spark(
-                table.manifest_df(spark),
+                man_df,
                 target_file_size_bytes,
                 min_input_files=min_input_files,
             )
         else:
+            man_scope = table.manifest_pdf()
+            if prune_preds:
+                man_scope = prune_manifest(man_scope, prune_preds, statable)
             plan = plan_compaction(
-                table.manifest_pdf(),
+                man_scope,
                 target_file_size_bytes,
                 min_input_files=min_input_files,
             )

@@ -1810,8 +1810,18 @@ def prune_manifest_spark(man_df: DataFrame, preds, stats_cols) -> list:
     parquet (the ≥ SPARK_MANIFEST_THRESHOLD planner path — at 10^8 files
     the manifest itself is big data). Same soundness rules as
     :func:`prune_manifest`; returns the surviving relative paths."""
+    cond = manifest_prune_cond(set(man_df.columns), preds, stats_cols)
+    return [r[0] for r in man_df.filter(cond).select("path").collect()]
+
+
+def manifest_prune_cond(cols: set, preds, stats_cols):
+    """The file-survival predicate over manifest stats columns as one
+    Catalyst Column — shared by the Spark pruning planner and the
+    predicate-scoped maintenance operators (``compact(predicates=…)``),
+    which filter the manifest RELATION with it instead of collecting
+    surviving paths to the driver."""
     cond = F.lit(True)
-    cols = set(man_df.columns)
+    cols = set(cols)
     for col, op, value in preds:
         if op in ("isnull", "notnull"):
             # null-count stats: IS NULL keeps files with >= 1 null,
@@ -1851,7 +1861,7 @@ def prune_manifest_spark(man_df: DataFrame, preds, stats_cols) -> list:
         else:
             raise ValueError(f"unsupported predicate op {op!r}")
         cond = cond & F.when(has, c).otherwise(F.lit(True))
-    return [r[0] for r in man_df.filter(cond).select("path").collect()]
+    return cond
 
 
 def prune_manifest(man: pd.DataFrame, preds, stats_cols) -> pd.DataFrame:
