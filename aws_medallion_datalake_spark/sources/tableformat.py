@@ -1078,6 +1078,62 @@ class Table:
         self.data_writer(df).parquet(prefix)
         return self.collect_stats_for_prefix(df.sparkSession, prefix)
 
+    def add_files(
+        self,
+        spark: SparkSession,
+        source,
+        branch: Optional[str] = None,
+    ) -> Snapshot:
+        """Import EXISTING parquet files into the table without rewriting
+        them (Iceberg's ``add_files`` migration procedure): the files are
+        hard-linked (copy fallback across filesystems) into a fresh commit
+        prefix — zero payload decode/encode — then one column-pruned Spark
+        aggregation collects per-file stats and an append commit registers
+        them. The originals are left untouched; the lakehouse adopts a
+        plain-parquet dataset in O(stats scan), not O(rewrite).
+
+        ``source``: a directory containing ``*.parquet`` or an explicit
+        list of parquet file paths. Schema is validated against the table
+        (same column-name set, read from the first file's FOOTER — no data
+        read); a mismatch raises before anything is linked.
+        """
+        import shutil
+
+        if isinstance(source, str):
+            paths = sorted(
+                os.path.join(source, fn)
+                for fn in os.listdir(source)
+                if fn.endswith(".parquet")
+            )
+        else:
+            paths = list(source)
+        if not paths:
+            raise ValueError("add_files: no parquet files in source")
+        file_cols = {f.name for f in pq.ParquetFile(paths[0]).schema_arrow}
+        table_cols = {f.name for f in self._schema(spark).fields}
+        if file_cols != table_cols:
+            raise ValueError(
+                f"add_files: schema mismatch — file columns {sorted(file_cols)} "
+                f"vs table columns {sorted(table_cols)}"
+            )
+        prefix = self.new_data_prefix()
+        for p in paths:
+            dst = os.path.join(prefix, os.path.basename(p))
+            try:
+                os.link(p, dst)
+            except OSError:
+                shutil.copy2(p, dst)
+        entries = self.collect_stats_for_prefix(spark, prefix)
+        return self.commit(
+            "append",
+            entries,
+            summary={
+                "stage": "add_files",
+                "source_files": len(paths),
+            },
+            branch=branch,
+        )
+
     def collect_stats_for_prefix(self, spark: SparkSession, prefix: str) -> pd.DataFrame:
         """Distributed per-file stats: one Spark agg grouped by file path.
 
