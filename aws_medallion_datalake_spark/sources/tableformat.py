@@ -63,6 +63,14 @@ from pyspark.sql import functions as F
 
 from . import transforms
 
+
+class CommitConflictError(RuntimeError):
+    """A commit lost the metadata-version CAS to a concurrent writer and
+    cannot be transparently rebased (non-additive operations encode the
+    parent's exact file set). Re-plan against the new head and retry —
+    Iceberg's optimistic-concurrency validation failure."""
+
+
 SPARK_MANIFEST_THRESHOLD = 2_000_000  # manifest rows before planning moves to Spark
 
 MANIFEST_PART_ROWS = 1_000_000  # rows per manifest part in a Spark rewrite
@@ -525,7 +533,23 @@ class Table:
                 tbl = tbl.set_column(
                     i, pa.field(name, t), pa.nulls(len(tbl), t)
                 )
-        pq.write_table(tbl, os.path.join(self.root, rel))
+        # write-then-link: a concurrent writer racing to the same snapshot
+        # id must never OVERWRITE a manifest the winner's commit already
+        # references — os.link fails on an existing target, and the loser
+        # falls back to a uniquified name (its commit CAS will also retry)
+        tmp = os.path.join(
+            self.root, "metadata", f".manifest-{uuid.uuid4().hex}.tmp"
+        )
+        pq.write_table(tbl, tmp)
+        try:
+            os.link(tmp, os.path.join(self.root, rel))
+        except FileExistsError:
+            rel = os.path.join(
+                "metadata", f"manifest-{snapshot_id}-{uuid.uuid4().hex[:8]}.parquet"
+            )
+            os.link(tmp, os.path.join(self.root, rel))
+        finally:
+            os.unlink(tmp)
         return rel
 
     # ---------- commit protocol ----------
@@ -542,6 +566,61 @@ class Table:
         os.replace(tmp, os.path.join(self.meta_dir, "version-hint.text"))
 
     def commit(
+        self,
+        operation: str,
+        new_manifest: pd.DataFrame,
+        summary: Optional[dict] = None,
+        properties: Optional[dict] = None,
+        stage_only: bool = False,
+        wap_id: Optional[str] = None,
+        delete_paths: Optional[list] = None,
+        eq_deletes: Optional[list] = None,
+        reuse_manifests: bool = False,
+        delta_manifest: bool = False,
+        branch: Optional[str] = None,
+        max_retries: int = 5,
+    ) -> Snapshot:
+        """Commit with optimistic concurrency (Iceberg's commit protocol):
+        the metadata-version CAS (``open(…, "x")``) detects a concurrent
+        writer; ADD-ONLY commits (append / ``delta_manifest``) commute
+        with any winner, so they are transparently REBASED — re-read the
+        new head, recompute the shared manifest list, retry — up to
+        ``max_retries`` times. Non-additive commits (replace / merge /
+        expire / merge-on-read deletes) encode assumptions about the
+        parent's exact file set, so a lost race raises
+        :class:`CommitConflictError` and the caller re-plans against the
+        new head (exactly Iceberg's validation failure)."""
+        additive = operation == "append" or delta_manifest
+        attempts = max(1, max_retries + 1) if additive else 1
+        last: Optional[BaseException] = None
+        for _ in range(attempts):
+            try:
+                return self._commit_once(
+                    operation,
+                    new_manifest,
+                    summary=summary,
+                    properties=properties,
+                    stage_only=stage_only,
+                    wap_id=wap_id,
+                    delete_paths=delete_paths,
+                    eq_deletes=eq_deletes,
+                    reuse_manifests=reuse_manifests,
+                    delta_manifest=delta_manifest,
+                    branch=branch,
+                )
+            except FileExistsError as e:
+                last = e
+                if not additive:
+                    raise CommitConflictError(
+                        f"{operation!r} commit lost a race with a concurrent "
+                        f"writer; re-plan against the new table head"
+                    ) from e
+                time.sleep(0.01 * (1 + (uuid.uuid4().int & 7)))
+        raise CommitConflictError(
+            f"append commit still conflicting after {attempts} attempts"
+        ) from last
+
+    def _commit_once(
         self,
         operation: str,
         new_manifest: pd.DataFrame,
@@ -779,7 +858,13 @@ class Table:
         )
         meta.snapshots.append(snap)
         meta.current_snapshot_id = sid
-        self._write_metadata_version(version + 1, meta)
+        try:
+            self._write_metadata_version(version + 1, meta)
+        except FileExistsError as e:
+            raise CommitConflictError(
+                f"{operation!r} commit lost a race with a concurrent "
+                f"writer; re-plan against the new table head"
+            ) from e
         return snap
 
     # ---------- named refs (tags) ----------
@@ -946,8 +1031,13 @@ class Table:
         writes exactly one delta manifest named with its own snapshot id —
         identifiable even after the parent expired (expiry pins a staged
         snapshot, not its ancestry)."""
-        own = f"manifest-{s.snapshot_id}.parquet"
-        delta = [p for p in s.manifest_paths if os.path.basename(p) == own]
+        own = (f"manifest-{s.snapshot_id}.parquet", f"manifest-{s.snapshot_id}-")
+        delta = [
+            p
+            for p in s.manifest_paths
+            if os.path.basename(p) == own[0]
+            or os.path.basename(p).startswith(own[1])
+        ]
         if not delta:
             return pd.DataFrame(columns=MANIFEST_BASE_COLS)
         return pd.concat(
