@@ -1336,6 +1336,137 @@ def _sql_ivf_topk():
     """
 
 
+_SEMDEDUP_TAU = 0.35  # prune threshold (margin to nearest pair cos: 8e-6 at sf0.1)
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, prune
+    within-cluster semantic near-duplicates; report per-cluster
+    kept/pruned counts.
+
+    Pipeline: (1) k=|labels| centroids (deterministic codebook — the
+    k-means of the published method, seeded from label means);
+    (2) every vector ASSIGNED to its nearest centroid by cosine
+    (rounded to 6 dp; ties → greatest cluster id — deterministic across
+    engines); (3) within each cluster, a vector is PRUNED when a
+    lower-id vector sits at cosine ≥ τ (the published keep-one-per-
+    near-dup-set rule with an id tie-break instead of
+    distance-to-centroid).
+
+    Scale: the centroid table is k×64 rows (broadcast); assignment and
+    pairwise products are dim-exploded joins whose shuffle keys are
+    (i) and (cluster, i) — never an unbucketed all-pairs. At 10^12
+    vectors k grows ~√n so within-cluster pair counts stay bounded
+    (SemDeDup's own regime); the per-cluster all-pairs would then run as
+    a numpy ``applyInPandas`` per cluster, same plan shape.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = dims.groupBy(F.col("label").alias("c"), "i").agg(
+        F.avg("v").alias("cv")
+    )
+    percos = (
+        dims.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "c")
+        .agg(
+            F.sum(F.col("v") * F.col("cv")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("nv"),
+            F.sum(F.col("cv") * F.col("cv")).alias("nc"),
+        )
+        .select(
+            "vec_id",
+            "c",
+            F.round(
+                F.col("dot") / (F.sqrt("nv") * F.sqrt("nc")), 6
+            ).alias("cos"),
+        )
+    )
+    assign = (
+        percos.groupBy("vec_id")
+        .agg(F.max(F.struct("cos", "c")).alias("m"))
+        .select("vec_id", F.col("m.c").alias("cluster"))
+    )
+    ad = dims.join(assign, "vec_id").select("cluster", "vec_id", "i", "v")
+    x = ad.select(
+        "cluster", F.col("vec_id").alias("u"), "i", F.col("v").alias("vx")
+    )
+    y = ad.select(
+        F.col("cluster").alias("cl2"),
+        F.col("vec_id").alias("w"),
+        F.col("i").alias("i2"),
+        F.col("v").alias("vy"),
+    )
+    pairs = (
+        x.join(
+            y,
+            (F.col("cluster") == F.col("cl2"))
+            & (F.col("i") == F.col("i2"))
+            & (F.col("u") < F.col("w")),
+        )
+        .groupBy("u", "w")
+        .agg(
+            F.sum(F.col("vx") * F.col("vy")).alias("dot"),
+            F.sum(F.col("vx") * F.col("vx")).alias("nx"),
+            F.sum(F.col("vy") * F.col("vy")).alias("ny"),
+        )
+        .select(
+            "w",
+            F.round(
+                F.col("dot") / (F.sqrt("nx") * F.sqrt("ny")), 6
+            ).alias("cos"),
+        )
+    )
+    pruned = pairs.filter(F.col("cos") >= _SEMDEDUP_TAU).select("w").distinct()
+    return (
+        assign.join(pruned, assign.vec_id == pruned.w, "left")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count("w").alias("n_pruned"),
+            F.count(F.when(F.col("w").isNull(), 1)).alias("n_kept"),
+        )
+    )
+
+
+def _sql_semdedup():
+    return f"""
+        WITH dims AS (
+            SELECT vec_id, g.i, embedding[g.i]::DOUBLE AS v
+            FROM embeddings, generate_series(1, 64) g(i)
+        ), cent AS (
+            SELECT label AS c, g.i AS i, avg(embedding[g.i]::DOUBLE) AS cv
+            FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2
+        ), percos AS (
+            SELECT d.vec_id, c.c,
+                   round(sum(d.v * c.cv) / (sqrt(sum(d.v * d.v)) * sqrt(sum(c.cv * c.cv))), 6) AS cos
+            FROM dims d JOIN cent c USING (i) GROUP BY 1, 2
+        ), assign AS (
+            SELECT vec_id, c AS cluster FROM (
+                SELECT vec_id, c,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c DESC) rn
+                FROM percos) WHERE rn = 1
+        ), ad AS (
+            SELECT d.vec_id, a.cluster, d.i, d.v
+            FROM dims d JOIN assign a USING (vec_id)
+        ), pairs AS (
+            SELECT y.vec_id AS w,
+                   round(sum(x.v * y.v) / (sqrt(sum(x.v * x.v)) * sqrt(sum(y.v * y.v))), 6) AS cos
+            FROM ad x JOIN ad y
+              ON x.cluster = y.cluster AND x.i = y.i AND x.vec_id < y.vec_id
+            GROUP BY x.vec_id, y.vec_id
+        ), pruned AS (
+            SELECT DISTINCT w FROM pairs WHERE cos >= {_SEMDEDUP_TAU}
+        )
+        SELECT a.cluster, count(*) AS n_vectors,
+               count(p.w) AS n_pruned,
+               count(*) FILTER (WHERE p.w IS NULL) AS n_kept
+        FROM assign a LEFT JOIN pruned p ON a.vec_id = p.w
+        GROUP BY a.cluster
+    """
+
+
 # ---------------------------------------------------------------------------
 # gold star schema via the spark.sql surface (S13 + J5)
 # ---------------------------------------------------------------------------
@@ -2301,6 +2432,129 @@ def _sql_orders_rollup():
     """
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward AS-OF join (attribution): every purchase event matched
+    to the user's latest view event at or before it.
+
+    Beyond the reference (equi-joins only); Spark lacks ASOF JOIN, so
+    ``operators/joins.py::asof_join`` composes it as union-tag + one
+    running ``last(ignorenulls)`` window — ONE key shuffle, linear
+    per-partition scan, no inequality-join blowup (plan shape and the
+    hot-key note in that module's docstring). Ties on the view
+    timestamp resolve to the greatest (event_id) payload, matching the
+    oracle's max-at-max-ts subquery exactly.
+    """
+    from aws_medallion_datalake_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("last_view_id")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload_cols=["last_view_id"],
+    ).select("purchase_id", "user_id", "last_view_id")
+
+
+def _sql_asof_join():
+    return """
+        WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+             p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        SELECT p.event_id AS purchase_id, p.user_id,
+               (SELECT max(v.event_id) FROM v
+                WHERE v.user_id = p.user_id AND v.ts =
+                  (SELECT max(v2.ts) FROM v v2
+                   WHERE v2.user_id = p.user_id AND v2.ts <= p.ts)) AS last_view_id
+        FROM p
+    """
+
+
+def q_range_join(spark, sf_dir):
+    """Point-in-interval RANGE join: lineitems shipped inside each
+    order's first week ([o_orderdate, +7 days)), counted per order.
+
+    Beyond the reference; a naive inequality join is an O(n·m) cross
+    product, so ``operators/joins.py::range_join`` reduces it to an
+    equi-join on 7-day buckets (intervals explode to ≤2 buckets, points
+    map to 1) + exact filter — the bucket is the shuffle key that keeps
+    the join linear at 100 TB, and hot buckets are ordinary equi-join
+    skew that AQE splits.
+    """
+    from aws_medallion_datalake_spark.operators.joins import range_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("win_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("win_end"),
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")  # noqa: E741
+    joined = range_join(
+        l,
+        o,
+        point_col="l_shipdate",
+        start_col="win_start",
+        end_col="win_end",
+        bucket_width=7 * 86400,
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_ship"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+    )
+
+
+def _sql_range_join():
+    return """
+        SELECT o.o_orderkey, count(*) AS n_ship,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM orders o
+        JOIN lineitem l
+          ON l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        GROUP BY o.o_orderkey
+    """
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark, sf_dir):
+    """PIVOT: hour-of-day × event-type count matrix.
+
+    Beyond the reference. The pivot VALUE LIST is fixed (no
+    discover-distinct-values pre-job): the plan is a single partial+
+    final hash aggregate with one conditional-count column per type —
+    static plan width, one shuffle, scale-independent.
+    """
+    e = _t(spark, sf_dir, "events")
+    piv = (
+        e.groupBy(F.hour("ts").cast("int").alias("hora"))
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "hora", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _PIVOT_TYPES]
+    )
+
+
+def _sql_events_pivot():
+    cols = ",\n               ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS {t}"
+        for t in _PIVOT_TYPES
+    )
+    return f"""
+        SELECT CAST(hour(ts) AS INTEGER) AS hora,
+               {cols}
+        FROM events GROUP BY 1
+    """
+
+
 def q_customers_no_orders(spark, sf_dir):
     """LEFT ANTI join (TPC-H Q22 shape): customers with no orders.
 
@@ -2508,6 +2762,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidate_pairs": q_minhash_candidate_pairs,
         "neardup_components": q_neardup_components,
         "orders_rollup": q_orders_rollup,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "events_pivot": q_events_pivot,
+        "semdedup": q_semdedup,
         "customers_no_orders": q_customers_no_orders,
         "returned_orders_semi": q_returned_orders_semi,
         "quantity_quartiles": q_quantity_quartiles,
@@ -2574,6 +2832,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidate_pairs": _sql_minhash_candidate_pairs(),
         "neardup_components": _sql_neardup_components(),
         "orders_rollup": _sql_orders_rollup(),
+        "asof_join": _sql_asof_join(),
+        "range_join": _sql_range_join(),
+        "events_pivot": _sql_events_pivot(),
+        "semdedup": _sql_semdedup(),
         "customers_no_orders": _sql_customers_no_orders(),
         "returned_orders_semi": _sql_returned_orders_semi(),
         "quantity_quartiles": _sql_quantity_quartiles(),

@@ -43,6 +43,9 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "embedding_topk",
     "embedding_neardup_pairs",
+    "semdedup",
+    "asof_join",
+    "range_join",
     "label_centroid_sim",
     "gold_star_rollup",
     "gold_fact_dim_join",
