@@ -385,6 +385,17 @@ def cluster(
         )
     prefixes: dict = {}
     broadcasts: list = []
+    stats_frames: dict = {}
+
+    def stats_for(tile_no: int, prefix: str) -> None:
+        # per-tile stats collected INSIDE the tile's own thread, the
+        # moment its write lands (or its checkpoint resume resolves):
+        # tile A's stats job overlaps tile B's write instead of forming
+        # a serial post-barrier tail (measured 1-5 s on the bench).
+        with pt.phase("stats"):
+            stats_frames[tile_no] = table.collect_stats_for_prefix(
+                spark, prefix
+            )
 
     def run_tile(tile_no: int, idxs: list) -> None:
         import os
@@ -392,6 +403,7 @@ def cluster(
         unit = f"tile-{tile_no}"
         if checkpoint is not None and checkpoint.is_unit_done("cluster", unit):
             prefixes[tile_no] = checkpoint.unit_payload("cluster", unit)["output_prefix"]
+            stats_for(tile_no, prefixes[tile_no])
             return
         rows = work.loc[idxs]
         paths = [os.path.join(table.root, p) for p in rows["path"]]
@@ -454,6 +466,7 @@ def cluster(
                     "output_prefix": prefix,
                 },
             )
+        stats_for(tile_no, prefix)
 
     # Read splits aligned with the target file size for the whole stage:
     # the default 128 MB split caps the read/route stage at
@@ -469,10 +482,9 @@ def cluster(
                 for f in futures:
                     f.result()  # surface the first failure
 
-    with pt.phase("stats"):
-        entries = table.collect_stats_for_prefix(  # one batched stats job
-            spark, [prefixes[i] for i in range(len(tiles))]
-        )
+    entries = pd.concat(
+        [stats_frames[i] for i in range(len(tiles))], ignore_index=True
+    )
     import os as _os
 
     # sorted-generation bookkeeping: output prefixes of this run, plus any

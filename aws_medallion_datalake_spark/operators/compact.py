@@ -245,11 +245,21 @@ def compact(
         batches += [pool_groups[i : i + k] for i in range(0, len(pool_groups), k)]
     batches += [[g] for g in singles]
     results: dict = {}
+    stats_frames: dict = {}
+
+    def stats_for(bno: int, prefix: str) -> None:
+        # per-batch stats collected INSIDE the batch's own thread as its
+        # write lands (or its checkpoint resume resolves): batch A's
+        # stats job overlaps batch B's write instead of forming a serial
+        # post-barrier tail (measured 3-6 s on the bench).
+        with pt.phase("stats"):
+            stats_frames[bno] = table.collect_stats_for_prefix(spark, prefix)
 
     def run_batch(bno: int, groups: list):
         unit = f"batch-{bno}"
         if checkpoint is not None and checkpoint.is_unit_done("compact", unit):
             results[bno] = checkpoint.unit_payload("compact", unit)["output_prefix"]
+            stats_for(bno, results[bno])
             return
         with pt.phase("rewrite"):
             prefix = _rewrite_batch(table, spark, groups)
@@ -268,6 +278,7 @@ def compact(
                 },
             )
         results[bno] = prefix
+        stats_for(bno, prefix)
 
     # Concurrent batch jobs keep many executors busy on a real cluster
     # (Iceberg's RewriteDataFiles ships 5 by default); more driver threads
@@ -284,9 +295,9 @@ def compact(
     # the commit manifest is pandas either way; load it once, here
     man = table.manifest_pdf()
     keep = man[~man["path"].isin(rewritten)]
-    prefixes = [results[i] for i in range(len(batches))]
-    with pt.phase("stats"):
-        new_entries = table.collect_stats_for_prefix(spark, prefixes)  # one job
+    new_entries = pd.concat(
+        [stats_frames[i] for i in range(len(batches))], ignore_index=True
+    )
     new_man = pd.concat([keep, new_entries], ignore_index=True)
     # residual of duration_sec minus the phases = commit/manifest IO
     snap = table.commit(
