@@ -25,7 +25,19 @@ _PKG_NAME = os.path.basename(_PKG_DIR)
 
 
 def build_pyfiles_zip(dest: str | None = None) -> str:
-    """Zip the package for --py-files / addPyFile distribution."""
+    """Zip the package for --py-files / addPyFile distribution.
+
+    When the package already IMPORTS from a zip (a spark-submit
+    --py-files driver), that zip is the distributable — return it
+    instead of walking a zip-interior path (which yields nothing and
+    would truncate the very zip spark-submit distributed)."""
+    if not os.path.isdir(_PKG_DIR):
+        container = _PKG_DIR
+        while container and not os.path.isfile(container):
+            container = os.path.dirname(container)
+        if container and zipfile.is_zipfile(container):
+            return container
+        raise RuntimeError(f"package dir {_PKG_DIR!r} is not walkable")
     if dest is None:
         dest = os.path.join(tempfile.gettempdir(), f"{_PKG_NAME}.zip")
     with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
@@ -78,6 +90,11 @@ def get_session(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if ship_package:
+    # Under `spark-submit --py-files engine.zip` the package already
+    # imports FROM a shipped zip: re-adding a freshly built (hence
+    # byte-different) zip of the same name makes addFile fail with
+    # "exists and does not match contents". The files are already on
+    # every worker's path in that mode — skip the self-ship.
+    if ship_package and ".zip" not in _PKG_DIR:
         spark.sparkContext.addPyFile(build_pyfiles_zip())
     return spark
