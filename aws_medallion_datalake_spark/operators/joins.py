@@ -67,7 +67,8 @@ def asof_join(
     than ``left_time - tolerance``.
 
     Output: every left column, plus ``payload_cols`` from the right
-    (same names). See module docstring for the plan shape.
+    (same names — rename right columns that collide with left ones
+    before the call). See module docstring for the plan shape.
     """
     pay = F.struct(
         *[F.col(c).alias(c) for c in payload_cols],

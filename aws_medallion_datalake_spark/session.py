@@ -95,6 +95,6 @@ def get_session(
     # byte-different) zip of the same name makes addFile fail with
     # "exists and does not match contents". The files are already on
     # every worker's path in that mode — skip the self-ship.
-    if ship_package and ".zip" not in _PKG_DIR:
+    if ship_package and os.path.isdir(_PKG_DIR):
         spark.sparkContext.addPyFile(build_pyfiles_zip())
     return spark

@@ -96,6 +96,22 @@ def _(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 
 
+@check("range join compiles to an equi-join, not a nested-loop product")
+def _(spark, sf_dir):
+    p = plan_of(entry.q_range_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    assert "Join" in p, p  # the bucket equi-join is a real join
+
+
+@check("asof join: one shuffle on the key, no inequality join")
+def _(spark, sf_dir):
+    p = plan_of(entry.q_asof_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    assert p.count("Window") >= 1, p
+    # exactly one exchange hashes the join key for the running window
+    assert "hashpartitioning(__k" in p, p
+
+
 @check("merge keep-path: broadcast anti-join, zero payload exchange")
 def _(spark, sf_dir):
     # the copy-on-write keep plan must broadcast the source KEY set and
