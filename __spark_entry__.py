@@ -669,6 +669,47 @@ def _sql_token_stats():
     """
 
 
+# GPT-2-style pre-tokenizer, minus contra-RE2 constructs (no lookahead,
+# ASCII classes) so Spark's Java regex and DuckDB's RE2 count identically
+# (verified match-for-match against Python re on the documents table).
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +"
+
+
+def q_bpe_token_stats(spark, sf_dir):
+    """Token counting with a BPE-ish pre-tokenizer regex (the GPT-2
+    pretokenizer shape) vs the whitespace tokenizer, per source.
+
+    JVM-side ``regexp_count`` — no Python row path; at 10^12 docs this
+    is a single partial+final hash aggregate over a projected column.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n_bpe = F.regexp_count("text", F.lit(_BPE_PAT))
+    n_ws = F.size(F.split(F.trim("text"), " "))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_bpe.cast("bigint")).alias("total_bpe"),
+        F.sum(n_ws.cast("bigint")).alias("total_ws"),
+        F.round(
+            F.sum(n_bpe.cast("double")) / F.sum(n_ws.cast("double")), 4
+        ).alias("bpe_per_ws"),
+    )
+
+
+def _sql_bpe_token_stats():
+    sqlpat = _BPE_PAT.replace("'", "''")
+    return f"""
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(regexp_extract_all(text, '{sqlpat}'))) AS BIGINT)
+                 AS total_bpe,
+               CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+                 AS total_ws,
+               round(sum(len(regexp_extract_all(text, '{sqlpat}'))::DOUBLE)
+                     / sum(len(string_split(trim(text), ' '))::DOUBLE), 4)
+                 AS bpe_per_ws
+        FROM documents GROUP BY source
+    """
+
+
 def q_doc_quality(spark, sf_dir):
     """Quality scoring: length + stopword-ratio heuristic → class."""
     d = _doc_tokens(spark, sf_dir)
@@ -2743,6 +2784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "train_val_split": q_train_val_split,
         "token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
         "simhash": q_simhash,
@@ -2813,6 +2855,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _sql_doc_fingerprint(),
         "train_val_split": _sql_train_val_split(),
         "token_stats": _sql_token_stats(),
+        "bpe_token_stats": _sql_bpe_token_stats(),
         "doc_quality": _sql_doc_quality(),
         "lang_id": _sql_lang_id(),
         "simhash": _sql_simhash(),

@@ -11,8 +11,10 @@ committed work — exactly the reference's fail-stop semantics (SURVEY.md
 §3.3), minus the AWS control plane.
 
 Intended CLI: ``spark-submit --py-files $(build_pyfiles_zip())
--m aws_medallion_datalake_spark.operators.run`` or the
-``run_maintenance`` API below.
+run_maintenance.py …`` where the driver script is two lines
+(``from …operators.run import main; main(sys.argv[1:])`` — spark-submit
+takes a script path, not ``-m``); tests/test_spark_submit.py runs it
+end-to-end. Or the ``run_maintenance`` API below.
 """
 
 from __future__ import annotations
@@ -156,7 +158,7 @@ def run_maintenance(
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
-    """CLI for ``spark-submit --py-files engine.zip -m ...operators.run``.
+    """CLI entry point for a ``spark-submit --py-files engine.zip`` driver.
 
     Example::
 
