@@ -90,6 +90,34 @@ class Transform:
             return (F.year(d) - 1970) * 12 + F.month(d) - 1
         return F.year(d) - 1970  # years
 
+    @property
+    def monotonic(self) -> bool:
+        """Order-preserving transforms: transform(min/max of a file's
+        source column) IS the min/max of the transform column — the
+        property that lets parquet-footer stats stand in for a data
+        scan. Only ``bucket`` (a hash) breaks it."""
+        return self.kind != "bucket"
+
+    def py_value(self, v):
+        """Apply the transform to one Python value (driver/executor-side,
+        no Spark). Mirrors ``expr`` exactly; None passes through (every
+        transform is null-preserving). ``bucket`` is supported too (used
+        by predicate derivation), but note it is NOT monotonic."""
+        if v is None:
+            return None
+        if self.kind == "identity":
+            return v
+        if self.kind == "bucket":
+            return _bucket_py(v, self.param)
+        if self.kind == "truncate":
+            return str(v)[: self.param]
+        d = _to_date(v)
+        if self.kind == "days":
+            return (d - _EPOCH).days
+        if self.kind == "months":
+            return (d.year - 1970) * 12 + d.month - 1
+        return d.year - 1970  # years
+
     def derive(self, op: str, value):
         """Transform-space predicate implied by ``(source, op, value)``;
         None when this transform cannot prune on that operator."""
@@ -105,14 +133,7 @@ class Transform:
                     sorted({_bucket_py(v, self.param) for v in value}),
                 )
             return None
-        f = {
-            "truncate": lambda v: str(v)[: self.param],
-            "days": lambda v: (_to_date(v) - _EPOCH).days,
-            "months": lambda v: (_to_date(v).year - 1970) * 12
-            + _to_date(v).month
-            - 1,
-            "years": lambda v: _to_date(v).year - 1970,
-        }[self.kind]
+        f = self.py_value
         try:
             if op in ("=", ">=", "<="):
                 return (self.name, op, f(value))
