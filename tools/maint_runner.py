@@ -176,6 +176,38 @@ def main() -> None:
             .count()
         )
         times["verify"] = round(time.time() - t0, 3)
+        if bad:
+            # Diagnose before failing: dump the offending rows, then
+            # re-verify the SAME ids in a second pass. Second pass clean
+            # => transient read/decode flake (Arrow batch / worker), not
+            # corrupt stored data; second pass dirty => the maintenance
+            # run committed an inconsistent (bytes, phash) row.
+            diag = (
+                t.scan(spark)
+                .withColumn("rehash", phash64_udf(F.col("bytes")))
+                .filter(F.col("rehash") != F.col("phash"))
+                .select(
+                    "image_id", "fmt", "w", "h",
+                    F.length("bytes").alias("nbytes"),
+                    "phash", "rehash",
+                )
+                .collect()
+            )
+            ids = [r["image_id"] for r in diag]
+            recheck = (
+                t.scan(spark)
+                .filter(F.col("image_id").isin(ids))
+                .withColumn("rehash", phash64_udf(F.col("bytes")))
+                .select("image_id", (F.col("rehash") == F.col("phash")).alias("ok"))
+                .collect()
+            )
+            sys.stderr.write(
+                "VERIFY-DIAG bad_rows="
+                + json.dumps([r.asDict() for r in diag], default=str)
+                + " second_pass="
+                + json.dumps([r.asDict() for r in recheck])
+                + "\n"
+            )
         assert bad == 0, f"{bad} rows failed decode-hash verification"
 
         # box ceiling: probed BEFORE and AFTER the stages; the ratio uses
