@@ -20,6 +20,11 @@ for i in range(n):
     dt = round(time.time() - t0, 1)
     ok = p.returncode == 0
     print(f"rep {i} local[{level}] rc={p.returncode} {dt}s", flush=True)
+    if ok and p.stdout.strip():
+        # rep timings are clean-window scaling evidence — keep them in
+        # the same jsonl shape health_gated_reps writes
+        with open(os.path.join(REPO, "BENCH", "verify_repro.log.jsonl"), "a") as jf:
+            jf.write(p.stdout.strip().splitlines()[-1] + "\n")
     if not ok:
         sys.stderr.write(p.stderr[-8000:] + "\n")
         print("FAILURE REPRODUCED", flush=True)
