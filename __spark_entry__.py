@@ -2084,6 +2084,57 @@ def q_image_mor_merge(spark, sf_dir):
     )
 
 
+def q_image_update(spark, sf_dir):
+    """UPDATE ... SET ... WHERE in both Iceberg write modes
+    (operators/update.py): a copy-on-write bulk update rewrites only the
+    stats-pruned touched files; a merge-on-read sparse update costs
+    O(updated rows) (positional deletes + delta append, zero rewrites);
+    apply_deletes materializes with identical logical state. Returns
+    per-stage row accounting. Engine-internal; rows-only check."""
+    import tempfile
+
+    from aws_medallion_datalake_spark.operators import (
+        apply_deletes,
+        update_where,
+    )
+    from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
+
+    root = tempfile.mkdtemp(prefix="entry_update_")
+    t = bronze_ingest(spark, os.path.join(root, "t"), _IMG_ROWS, n_files=4)
+    lo = t.scan(spark).agg(F.min("phash")).first()[0]
+    preds = [("phash", "<=", lo + 10**17)]
+    cow = update_where(
+        t, spark, preds, {"caption": F.concat(F.col("caption"), F.lit(" [cow]"))}
+    )
+    mor = update_where(
+        t,
+        spark,
+        preds,
+        {"caption": F.concat(F.col("caption"), F.lit(" [mor]"))},
+        mode="merge-on-read",
+    )
+    n_mor_visible = (
+        t.scan(spark).filter(F.col("caption").endswith(" [mor]")).count()
+    )
+    apply_deletes(t, spark)
+    post = t.scan(spark).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("caption").endswith(" [mor]").cast("long")).alias("upd"),
+    ).first()
+    rows = [
+        ("cow", int(cow.summary["rows_updated"]),
+         int(cow.summary["files_rewritten"]), 0, _IMG_ROWS),
+        ("mor", int(mor.summary["rows_updated"]), 0,
+         int(mor.summary["delete_files_added"]), int(n_mor_visible)),
+        ("applied", int(post["upd"]), 0, 0, int(post["n"])),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage string, rows_updated long, files_rewritten long, "
+        "delete_files long, check long",
+    )
+
+
 def q_image_wap(spark, sf_dir):
     """Write-audit-publish ingestion gate: a clean batch stages, passes
     the audit (metadata profile + full decode probe) and publishes; a
@@ -2837,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_incremental": q_image_incremental,
         "image_cdc": q_image_cdc,
         "image_mor_merge": q_image_mor_merge,
+        "image_update": q_image_update,
         "image_wap": q_image_wap,
         "image_mor_delete": q_image_mor_delete,
         "image_phash_neardup": q_image_phash_neardup,

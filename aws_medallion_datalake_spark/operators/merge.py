@@ -432,8 +432,8 @@ def _mor_merge(
     scans compose it with any pending deletes (the probe reads THROUGH
     them, so already-suppressed rows are never re-recorded).
     CDC note: ``changes_cdc`` reads this commit as delta inserts + the
-    positional deletes; key-paired update pre/post images apply only to
-    the copy-on-write path."""
+    positional deletes; with ``key_cols`` the matched keys pair into
+    update pre/post images exactly like the copy-on-write path."""
     import shutil
 
     import pyarrow.parquet as _pq

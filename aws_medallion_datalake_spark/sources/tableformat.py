@@ -123,7 +123,7 @@ class Snapshot:
     snapshot_id: int
     parent_snapshot_id: Optional[int]
     timestamp_ms: int
-    operation: str  # append | replace | merge | expire
+    operation: str  # append | replace | merge | delete | update | expire
     # manifest LIST (Iceberg-style): the snapshot's file set is the union
     # of these manifest parquets. An append commit writes ONLY a delta
     # manifest and shares its ancestors' manifests, so appending to a
@@ -1637,9 +1637,9 @@ class Table:
             prev_man = self.manifest_df(spark, from_snapshot_id).select("path")
             for s in chain:
                 cur_man = self.manifest_df(spark, s.snapshot_id).select("path")
-                if s.operation in ("append", "merge"):
+                if s.operation in ("append", "merge", "update"):
                     added_df = cur_man.join(prev_man, "path", "left_anti")
-                    if s.operation == "merge":
+                    if s.operation in ("merge", "update"):
                         delta_prefix = s.summary.get("delta_prefix")
                         added_df = (
                             added_df.filter(
@@ -1658,7 +1658,7 @@ class Table:
                 added = cur_paths - prev_paths
                 if s.operation == "append":
                     new_paths += sorted(added)
-                elif s.operation == "merge":
+                elif s.operation in ("merge", "update"):
                     delta_prefix = s.summary.get("delta_prefix")
                     if delta_prefix:
                         new_paths += sorted(
@@ -1733,7 +1733,10 @@ class Table:
         a delete and an insert in the SAME commit sharing a key tuple are
         re-tagged ``update_preimage`` / ``update_postimage`` — a MERGE's
         caption rewrite then reads as an update of that image_id rather
-        than an unrelated remove + add.
+        than an unrelated remove + add. Pairing is uniform across write
+        modes: a merge-on-read MERGE/UPDATE's delta inserts pair with its
+        positional-delete suppressions the same way a copy-on-write
+        commit's file-diff surpluses do.
 
         Per-snapshot derivation (all bounded by the commit's TOUCHED
         files, never the table):
@@ -1798,9 +1801,13 @@ class Table:
                 .select("__r.*")
             )
 
-        def _diff_parts(old, new, s):
-            """insert/delete (or paired update) parts of one CoW commit."""
-            ins, dels = _surplus(new, old), _surplus(old, new)
+        def _pair(ins, dels, s):
+            """Tag ONE commit's insert-side and delete-side rows; with
+            ``key_cols``, a same-commit delete+insert sharing a key tuple
+            is re-tagged as an update pre/post image. Applies uniformly:
+            a copy-on-write commit's multiset-diff surpluses and a
+            merge-on-read commit's delta-insert + positional-delete feed
+            pair the same way (Iceberg changelog compute-updates)."""
             if not key_cols:
                 return [_tag(ins, "insert", s), _tag(dels, "delete", s)]
             kc = list(key_cols)
@@ -1829,7 +1836,7 @@ class Table:
             else None
         )
         for s in chain:
-            logical = s.operation in ("append", "merge", "delete")
+            logical = s.operation in ("append", "merge", "delete", "update")
             if use_spark:
                 cur_man = self.manifest_df(spark, s.snapshot_id).select("path")
                 added = removed = []
@@ -1851,15 +1858,19 @@ class Table:
                 added = sorted(cur_paths - prev_paths) if logical else []
                 removed = sorted(prev_paths - cur_paths) if logical else []
                 prev_paths = cur_paths
+            ins_side = None
+            dels_side = None
             if s.operation == "append":
                 if added:
-                    parts.append(_tag(_read(added), "insert", s))
-            elif s.operation in ("merge", "delete") and (added or removed):
+                    ins_side = _read(added)
+            elif s.operation in ("merge", "delete", "update") and (
+                added or removed
+            ):
                 old = _read(removed) if removed else _read(added).limit(0)
                 new = _read(added) if added else old.limit(0)
-                parts.extend(_diff_parts(old, new, s))
-            # merge-on-read commits: the manifest is unchanged, the pending
-            # delete sets grew relative to the parent
+                ins_side, dels_side = _surplus(new, old), _surplus(old, new)
+            # merge-on-read commits: the manifest is unchanged (or grew by
+            # a delta append); the pending delete sets grew vs the parent
             new_dp = sorted(set(s.delete_paths) - set(prev.delete_paths))
             if new_dp:
                 dels = spark.read.schema("path string, pos long").parquet(
@@ -1881,8 +1892,8 @@ class Table:
                     ),
                     ["__mor_path", "__mor_pos"],
                     "left_semi",
-                )
-                parts.append(_tag(hit, "delete", s))
+                ).select(*cols)
+                dels_side = hit if dels_side is None else dels_side.unionByName(hit)
             prev_eq = {e["path"] for e in prev.eq_deletes}
             new_eq = [e for e in s.eq_deletes if e["path"] not in prev_eq]
             if new_eq:
@@ -1893,13 +1904,19 @@ class Table:
                         .select(*e["cols"])
                         .distinct()
                     )
-                    parts.append(
-                        _tag(
-                            base.join(F.broadcast(vals), list(e["cols"]), "left_semi"),
-                            "delete",
-                            s,
-                        )
+                    hit = base.join(F.broadcast(vals), list(e["cols"]), "left_semi")
+                    dels_side = (
+                        hit if dels_side is None else dels_side.unionByName(hit)
                     )
+            if ins_side is not None or dels_side is not None:
+                empty = spark.createDataFrame([], schema=schema)
+                parts.extend(
+                    _pair(
+                        ins_side if ins_side is not None else empty,
+                        dels_side if dels_side is not None else empty,
+                        s,
+                    )
+                )
             prev = s
         if not parts:
             return _tag(
