@@ -2135,6 +2135,50 @@ def q_image_update(spark, sf_dir):
     )
 
 
+def q_image_sql_dml(spark, sf_dir):
+    """SQL command surface (aws_medallion_datalake_spark/sqlcmd.py): the
+    Delta/Iceberg write-side SQL a reference user types — UPDATE /
+    DELETE / MERGE / OPTIMIZE ZORDER / ANALYZE — dispatched to the
+    engine operators, plus SELECT passthrough at the current snapshot
+    (reference consumption layer is pure SQL:
+    /root/reference/sql/athena_gold_queries.sql:8-95). Returns one
+    accounting row per statement. Engine-internal; rows-only check."""
+    import tempfile
+
+    from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
+    from aws_medallion_datalake_spark.sources.generator import generate_images
+    from aws_medallion_datalake_spark.sqlcmd import EngineSQL
+
+    root = tempfile.mkdtemp(prefix="entry_sql_")
+    t = bronze_ingest(spark, os.path.join(root, "t"), _IMG_ROWS, n_files=4)
+    eng = EngineSQL(spark, {"images": t})
+
+    upd = eng.sql(
+        "UPDATE images SET caption = upper(caption) WHERE w >= 256"
+    ).first()
+    one_id = t.scan(spark).select("image_id").head()[0]
+    dele = eng.sql(f"DELETE FROM images WHERE image_id = '{one_id}'").first()
+    generate_images(spark, 40, n_files=1, start=_IMG_ROWS - 20).createOrReplaceTempView(
+        "fixes"
+    )
+    mrg = eng.sql("MERGE INTO images USING fixes ON image_id").first()
+    opt = eng.sql("OPTIMIZE images ZORDER BY (phash, w, h)").first()
+    stats = eng.sql(
+        "ANALYZE TABLE images COMPUTE STATISTICS FOR COLUMNS image_id"
+    ).collect()
+    sel = eng.sql("SELECT count(*) AS n FROM images").first()
+    rows = [
+        ("update", int(upd["rows_updated"])),
+        ("delete", int(dele["rows_deleted"])),
+        ("merge_upd", int(mrg["rows_updated"])),
+        ("merge_ins", int(mrg["rows_inserted"])),
+        ("optimize_zorder", 1 if opt["snapshot_id"] is not None else 0),
+        ("analyze_cols", len(stats)),
+        ("select_rows", int(sel["n"])),
+    ]
+    return spark.createDataFrame(rows, "statement string, value long")
+
+
 def q_image_wap(spark, sf_dir):
     """Write-audit-publish ingestion gate: a clean batch stages, passes
     the audit (metadata profile + full decode probe) and publishes; a
@@ -2889,6 +2933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_cdc": q_image_cdc,
         "image_mor_merge": q_image_mor_merge,
         "image_update": q_image_update,
+        "image_sql_dml": q_image_sql_dml,
         "image_wap": q_image_wap,
         "image_mor_delete": q_image_mor_delete,
         "image_phash_neardup": q_image_phash_neardup,

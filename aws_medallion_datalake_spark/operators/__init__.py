@@ -1,5 +1,6 @@
 """Table-maintenance operators: compact, cluster, merge, expire, run."""
 
+from .analyze import analyze_table  # noqa: F401
 from .checkpoint import RunCheckpoint  # noqa: F401
 from .cluster import cluster, clustering_quality  # noqa: F401
 from .compact import compact  # noqa: F401

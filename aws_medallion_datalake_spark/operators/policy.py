@@ -54,7 +54,14 @@ def table_health(
         "cluster_metric_kind": "none",
         "pending_pos_delete_files": 0,
         "pending_eq_delete_files": 0,
+        # ANALYZE freshness (operators/analyze.py): None = never analyzed
+        "stats_snapshot_id": None,
+        "stats_stale": None,
     }
+    cs = table.column_stats()
+    if cs is not None:
+        out["stats_snapshot_id"] = cs["snapshot_id"]
+        out["stats_stale"] = cs["stale"]
     if meta.current_snapshot_id is None:
         return out
     s = table.snapshot()

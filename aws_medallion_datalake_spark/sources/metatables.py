@@ -171,13 +171,42 @@ def refs_df(table: Table, spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, schema=_REFS_DDL)
 
 
+_COLSTATS_DDL = (
+    "column string, ndv long, null_count long, min string, max string, "
+    "avg_len double, snapshot_id long, stale boolean"
+)
+
+
+def column_stats_df(table: Table, spark: SparkSession) -> DataFrame:
+    """Persisted ANALYZE statistics (``operators.analyze_table``) as a
+    relation — Iceberg's Puffin-stats content surfaced like ``$files``.
+    Empty (not an error) when the table was never analyzed."""
+    cs = table.column_stats()
+    if cs is None:
+        return spark.createDataFrame([], schema=_COLSTATS_DDL)
+    rows = [
+        (
+            c,
+            int(st["ndv"]),
+            int(st["null_count"]),
+            st.get("min"),
+            st.get("max"),
+            float(st["avg_len"]) if "avg_len" in st else None,
+            cs["snapshot_id"],
+            cs["stale"],
+        )
+        for c, st in sorted(cs["columns"].items())
+    ]
+    return spark.createDataFrame(rows, schema=_COLSTATS_DDL)
+
+
 def register_metadata_views(
     table: Table, spark: SparkSession, name: str
 ) -> dict:
     """Register the metadata tables as temp views named
     ``<name>_snapshots`` / ``_history`` / ``_files`` / ``_partitions`` /
-    ``_manifests`` / ``_refs`` so operational SQL runs beside the data
-    views (``Table.register``)."""
+    ``_manifests`` / ``_refs`` / ``_column_stats`` so operational SQL
+    runs beside the data views (``Table.register``)."""
     views = {
         f"{name}_snapshots": snapshots_df(table, spark),
         f"{name}_history": history_df(table, spark),
@@ -185,6 +214,7 @@ def register_metadata_views(
         f"{name}_partitions": partitions_df(table, spark),
         f"{name}_manifests": manifests_df(table, spark),
         f"{name}_refs": refs_df(table, spark),
+        f"{name}_column_stats": column_stats_df(table, spark),
     }
     for vname, df in views.items():
         df.createOrReplaceTempView(vname)

@@ -886,6 +886,25 @@ class Table:
         self._write_metadata_version(version + 1, meta)
         return sid
 
+    def column_stats(self) -> Optional[dict]:
+        """Column statistics persisted by ``operators.analyze_table``
+        (Iceberg ANALYZE/Puffin analogue), or None if never analyzed.
+        ``stale`` is True when the table advanced past the snapshot the
+        stats were computed at — consumers decide whether approximate
+        planner stats may lag (usually yes) or must be recomputed."""
+        meta = self.metadata()
+        raw = meta.properties.get("stats.columns")
+        if raw is None:
+            return None
+        sid = int(meta.properties.get("stats.snapshot-id", -1))
+        return {
+            "columns": json.loads(str(raw)),
+            "snapshot_id": sid,
+            "row_count": int(meta.properties.get("stats.row-count", -1)),
+            "analyzed_at_ms": int(meta.properties.get("stats.analyzed-at-ms", 0)),
+            "stale": sid != meta.current_snapshot_id,
+        }
+
     def drop_tag(self, name: str) -> None:
         version = self.current_version()
         meta = self.metadata(version)

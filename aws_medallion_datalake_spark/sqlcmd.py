@@ -1,0 +1,303 @@
+"""SQL command surface for engine tables (DML + maintenance).
+
+The reference's entire consumption layer is SQL
+(/root/reference/sql/athena_gold_queries.sql:8-95 — SURVEY.md §2.1 S13);
+``Table.register`` already serves SELECTs through ``spark.sql``. This
+module adds the WRITE-side SQL surface Delta/Iceberg users type —
+``UPDATE`` / ``DELETE`` / ``MERGE`` / ``OPTIMIZE`` / ``VACUUM`` /
+``ANALYZE`` — dispatching to the engine's operators, so a SQL-first user
+of the reference can drive the whole lakehouse without touching the
+Python API:
+
+    eng = EngineSQL(spark, {"images": table})
+    eng.sql("UPDATE images SET caption = upper(caption) WHERE w >= 512")
+    eng.sql("DELETE FROM images WHERE phash BETWEEN 10 AND 99")
+    eng.sql("MERGE INTO images USING fixes ON image_id")
+    eng.sql("OPTIMIZE images WHERE ingest_date = '2026-01-01'")
+    eng.sql("OPTIMIZE images ZORDER BY (phash, w, h)")
+    eng.sql("VACUUM images RETAIN 168 HOURS")
+    eng.sql("ANALYZE TABLE images COMPUTE STATISTICS FOR COLUMNS image_id, w")
+    eng.sql("SELECT fmt, count(*) FROM images GROUP BY fmt")  # passthrough
+
+Grammar, deliberately small and strict (clear errors beat silent
+misparses; everything here maps 1:1 onto an operator call):
+
+- WHERE accepts ``col op literal`` conjunctions (``AND`` only) with the
+  ops the manifest pruner understands — ``=``, ``>=``, ``<=``,
+  ``BETWEEN a AND b``, ``IN (…)``, ``IS [NOT] NULL`` — so every SQL
+  predicate prunes files exactly like ``Table.scan(predicates=…)``.
+  Literals: numbers and ``'strings'``.
+- ``UPDATE`` SET right-hand sides are arbitrary Spark SQL expressions
+  (they feed ``F.expr``; ``update_where`` casts to declared types).
+- ``MERGE INTO t USING <view> ON <key> [WHEN MATCHED THEN DELETE]``
+  reads the source from ``spark.table(view)`` — any registered view or
+  DataFrame the caller named.
+- DML/maintenance statements return a one-row metrics DataFrame (the
+  snapshot summary), like Spark's own DML commands; ``ANALYZE`` returns
+  the column-stats relation; anything else is delegated verbatim to
+  ``spark.sql`` after (re-)registering the catalog's current snapshots.
+
+SELECT passthrough re-registers each catalog table at its CURRENT
+snapshot per call — a registered view pins the snapshot of its
+registration, which is right for repeated reads inside one job but
+wrong for a REPL-style surface where a VACUUM/UPDATE just ran.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import (
+    analyze_table,
+    cluster,
+    compact,
+    delete_where,
+    expire_snapshots,
+    merge_into,
+    remove_orphan_files,
+    update_where,
+)
+from .sources.metatables import column_stats_df
+from .sources.tableformat import Snapshot, Table
+
+_LIT = r"(?:'[^']*'|-?\d+(?:\.\d+)?)"
+_ID = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+class SQLCommandError(ValueError):
+    """Statement does not match the supported grammar."""
+
+
+def _lit(tok: str):
+    tok = tok.strip()
+    if tok.startswith("'"):
+        return tok[1:-1]
+    return float(tok) if "." in tok else int(tok)
+
+
+def parse_where(text: str) -> list:
+    """``col op literal AND …`` → scan/delete/update predicate triples."""
+    preds = []
+    rest = text.strip()
+    pats = [
+        (re.compile(rf"({_ID})\s+BETWEEN\s+({_LIT})\s+AND\s+({_LIT})", re.I),
+         lambda m: (m.group(1), "between", (_lit(m.group(2)), _lit(m.group(3))))),
+        (re.compile(rf"({_ID})\s+IN\s*\(\s*({_LIT}(?:\s*,\s*(?:{_LIT}))*)\s*\)",
+                    re.I),
+         lambda m: (m.group(1), "in",
+                    [_lit(t) for t in re.findall(_LIT, m.group(2))])),
+        (re.compile(rf"({_ID})\s+IS\s+NOT\s+NULL", re.I),
+         lambda m: (m.group(1), "notnull", None)),
+        (re.compile(rf"({_ID})\s+IS\s+NULL", re.I),
+         lambda m: (m.group(1), "isnull", None)),
+        (re.compile(rf"({_ID})\s*(>=|<=|=)\s*({_LIT})"),
+         lambda m: (m.group(1), m.group(2), _lit(m.group(3)))),
+    ]
+    while rest:
+        for pat, mk in pats:
+            m = pat.match(rest)
+            if m:
+                preds.append(mk(m))
+                rest = rest[m.end():].strip()
+                break
+        else:
+            raise SQLCommandError(f"cannot parse WHERE at: {rest!r}")
+        if rest:
+            m = re.match(r"AND\s+", rest, re.I)
+            if not m:
+                raise SQLCommandError(
+                    f"expected AND between conditions, got: {rest!r}"
+                )
+            rest = rest[m.end():]
+    if not preds:
+        raise SQLCommandError("empty WHERE clause")
+    return preds
+
+
+def _split_top_commas(text: str) -> list:
+    """Split on commas outside quotes/parens (SET-list separator)."""
+    parts, depth, q, start = [], 0, False, 0
+    for i, ch in enumerate(text):
+        if ch == "'":
+            q = not q
+        elif not q and ch == "(":
+            depth += 1
+        elif not q and ch == ")":
+            depth -= 1
+        elif not q and depth == 0 and ch == ",":
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+class EngineSQL:
+    """SQL dispatcher over a catalog of engine tables (name → Table)."""
+
+    def __init__(self, spark: SparkSession, tables: Dict[str, Table]):
+        self.spark = spark
+        self.tables = dict(tables)
+
+    def _table(self, name: str) -> Table:
+        if name not in self.tables:
+            raise SQLCommandError(
+                f"unknown table {name!r}; catalog has {sorted(self.tables)}"
+            )
+        return self.tables[name]
+
+    def _summary_df(self, op: str, tbl: str, snap: Optional[Snapshot],
+                    extra: Optional[dict] = None) -> DataFrame:
+        s = dict(snap.summary) if snap is not None else {}
+        s.update(extra or {})
+        keys = [
+            k for k in ("rows_updated", "rows_deleted", "rows_inserted",
+                        "files_rewritten", "files_candidate",
+                        "delete_files_added")
+            if k in s
+        ]
+        row = tuple([op, tbl, snap.snapshot_id if snap else None]
+                    + [int(s[k]) for k in keys])
+        ddl = "operation string, table string, snapshot_id long" + "".join(
+            f", {k} long" for k in keys
+        )
+        return self.spark.createDataFrame([row], ddl)
+
+    def sql(self, stmt: str) -> DataFrame:
+        s = stmt.strip().rstrip(";").strip()
+        head = s.split(None, 1)[0].upper() if s else ""
+        if head == "UPDATE":
+            return self._update(s)
+        if head == "DELETE":
+            return self._delete(s)
+        if head == "MERGE":
+            return self._merge(s)
+        if head == "OPTIMIZE":
+            return self._optimize(s)
+        if head == "VACUUM":
+            return self._vacuum(s)
+        if head == "ANALYZE":
+            return self._analyze(s)
+        # SELECT / WITH / EXPLAIN …: refresh catalog views, delegate
+        for name, t in self.tables.items():
+            t.register(self.spark, name)
+        return self.spark.sql(s)
+
+    # ---------- statement handlers ----------
+
+    def _update(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"UPDATE\s+({_ID})\s+SET\s+(.*?)\s+WHERE\s+(.*)$", s,
+            re.I | re.S,
+        )
+        if not m:
+            raise SQLCommandError(
+                "expected: UPDATE <table> SET col = expr[, …] WHERE <conds>"
+            )
+        name, set_text, where = m.groups()
+        assignments = {}
+        for part in _split_top_commas(set_text):
+            am = re.match(rf"({_ID})\s*=\s*(.+)$", part, re.S)
+            if not am:
+                raise SQLCommandError(f"cannot parse SET item: {part!r}")
+            assignments[am.group(1)] = am.group(2).strip()
+        snap = update_where(
+            self._table(name), self.spark, parse_where(where), assignments
+        )
+        return self._summary_df("UPDATE", name, snap,
+                                {} if snap else {"rows_updated": 0})
+
+    def _delete(self, s: str) -> DataFrame:
+        m = re.match(rf"DELETE\s+FROM\s+({_ID})\s+WHERE\s+(.*)$", s, re.I | re.S)
+        if not m:
+            raise SQLCommandError("expected: DELETE FROM <table> WHERE <conds>")
+        name, where = m.groups()
+        snap = delete_where(self._table(name), self.spark, parse_where(where))
+        return self._summary_df("DELETE", name, snap,
+                                {} if snap else {"rows_deleted": 0})
+
+    def _merge(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"MERGE\s+INTO\s+({_ID})\s+USING\s+({_ID})\s+ON\s+({_ID})"
+            rf"(?:\s+WHEN\s+MATCHED\s+THEN\s+(UPDATE|DELETE))?$",
+            s, re.I,
+        )
+        if not m:
+            raise SQLCommandError(
+                "expected: MERGE INTO <table> USING <view> ON <key> "
+                "[WHEN MATCHED THEN UPDATE|DELETE]"
+            )
+        name, src_view, key, matched = m.groups()
+        snap = merge_into(
+            self._table(name), self.spark, self.spark.table(src_view),
+            key=key, when_matched=(matched or "update").lower(),
+        )
+        return self._summary_df("MERGE", name, snap)
+
+    def _optimize(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"OPTIMIZE\s+({_ID})(?:\s+WHERE\s+(.*?))?"
+            rf"(?:\s+ZORDER\s+BY\s*\(\s*({_ID}(?:\s*,\s*{_ID})*)\s*\))?$",
+            s, re.I | re.S,
+        )
+        if not m:
+            raise SQLCommandError(
+                "expected: OPTIMIZE <table> [WHERE <conds>] "
+                "[ZORDER BY (col, …)]"
+            )
+        name, where, zcols = m.groups()
+        t = self._table(name)
+        preds = parse_where(where) if where else None
+        if zcols:
+            cols = tuple(c.strip() for c in zcols.split(","))
+            snap = cluster(t, self.spark, cols=cols, predicates=preds)
+        else:
+            snap = compact(t, self.spark, predicates=preds)
+        extra = {} if snap else {"files_rewritten": 0}
+        return self._summary_df("OPTIMIZE", name, snap, extra)
+
+    def _vacuum(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"VACUUM\s+({_ID})(?:\s+RETAIN\s+(\d+)\s+HOURS)?$", s, re.I
+        )
+        if not m:
+            raise SQLCommandError("expected: VACUUM <table> [RETAIN n HOURS]")
+        name, hours = m.groups()
+        t = self._table(name)
+        retain_h = float(hours) if hours else 168.0  # Delta's 7-day default
+        cutoff = int(time.time() * 1000 - retain_h * 3600 * 1000)
+        exp = expire_snapshots(t, spark=self.spark, keep_last=1,
+                               older_than_ms=cutoff)
+        orph = remove_orphan_files(t, older_than_hours=retain_h)
+        row = (
+            "VACUUM", name, len(exp.get("expired_snapshots", [])),
+            int(exp.get("deleted_files", 0)),
+            int(orph.get("deleted_files", 0)),
+        )
+        return self.spark.createDataFrame(
+            [row],
+            "operation string, table string, snapshots_expired long, "
+            "data_files_deleted long, orphan_files_deleted long",
+        )
+
+    def _analyze(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"ANALYZE\s+TABLE\s+({_ID})\s+COMPUTE\s+STATISTICS"
+            rf"(?:\s+FOR\s+COLUMNS\s+({_ID}(?:\s*,\s*{_ID})*))?$",
+            s, re.I,
+        )
+        if not m:
+            raise SQLCommandError(
+                "expected: ANALYZE TABLE <t> COMPUTE STATISTICS "
+                "[FOR COLUMNS c1, …]"
+            )
+        name, cols = m.groups()
+        t = self._table(name)
+        analyze_table(
+            t, self.spark,
+            [c.strip() for c in cols.split(",")] if cols else None,
+        )
+        return column_stats_df(t, self.spark)

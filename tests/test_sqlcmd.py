@@ -1,0 +1,122 @@
+"""SQL command surface (EngineSQL): DML + maintenance statements
+dispatch to the engine operators; SELECT passes through at the current
+snapshot; bad grammar raises, never misparses."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_medallion_datalake_spark.sources.generator import SCHEMA, generate_images
+from aws_medallion_datalake_spark.sources.tableformat import Table
+from aws_medallion_datalake_spark.sqlcmd import (
+    EngineSQL,
+    SQLCommandError,
+    parse_where,
+)
+
+N = 200
+
+
+@pytest.fixture()
+def eng(tmp_path, spark):
+    t = Table.create(
+        str(tmp_path / "tbl"),
+        SCHEMA,
+        partition_cols=["ingest_date"],
+        stats_cols=["phash", "w", "h", "image_id", "ingest_date"],
+    )
+    t.commit("append", t.write_files(generate_images(spark, N, n_files=8)))
+    return EngineSQL(spark, {"images": t})
+
+
+def test_parse_where_grammar():
+    assert parse_where("w >= 10 AND fmt = 'png'") == [
+        ("w", ">=", 10), ("fmt", "=", "png")
+    ]
+    assert parse_where("phash BETWEEN 5 AND 9") == [("phash", "between", (5, 9))]
+    assert parse_where("fmt IN ('a', 'b') AND w <= 1.5") == [
+        ("fmt", "in", ["a", "b"]), ("w", "<=", 1.5)
+    ]
+    assert parse_where("caption IS NULL AND w IS NOT NULL") == [
+        ("caption", "isnull", None), ("w", "notnull", None)
+    ]
+    with pytest.raises(SQLCommandError):
+        parse_where("w > 10")  # > unsupported: pruner ops only
+    with pytest.raises(SQLCommandError):
+        parse_where("w >= 10 OR w <= 2")
+
+
+def test_sql_update_and_select(eng, spark):
+    t = eng.tables["images"]
+    lo = t.scan(spark).agg(F.min("w")).first()[0]
+    res = eng.sql(
+        f"UPDATE images SET caption = upper(caption) WHERE w = {lo}"
+    ).first()
+    n = t.scan(spark).filter(F.col("w") == lo).count()
+    assert res["operation"] == "UPDATE" and res["rows_updated"] == n
+    got = eng.sql(
+        f"SELECT count(*) AS n FROM images WHERE caption = upper(caption) "
+        f"AND w = {lo}"
+    ).first()
+    assert got["n"] == n
+
+
+def test_sql_delete_refreshes_select_view(eng, spark):
+    before = eng.sql("SELECT count(*) AS n FROM images").first()["n"]
+    victim = eng.tables["images"].scan(spark).select("image_id").head()[0]
+    res = eng.sql(f"DELETE FROM images WHERE image_id = '{victim}'").first()
+    assert res["rows_deleted"] == 1
+    # passthrough re-registers at the current snapshot
+    after = eng.sql("SELECT count(*) AS n FROM images").first()["n"]
+    assert after == before - 1
+
+
+def test_sql_merge_with_view_source(eng, spark):
+    src = generate_images(spark, 40, n_files=1, start=N - 20).withColumn(
+        "caption", F.concat(F.col("caption"), F.lit("-v2"))
+    )
+    src.createOrReplaceTempView("fixes")
+    res = eng.sql("MERGE INTO images USING fixes ON image_id").first()
+    assert res["rows_updated"] == 20 and res["rows_inserted"] == 20
+    assert eng.sql(
+        "SELECT count(*) AS n FROM images WHERE caption LIKE '%-v2'"
+    ).first()["n"] == 40
+
+
+def test_sql_optimize_compact_and_zorder(eng, spark):
+    t = eng.tables["images"]
+    n_before = len(t.manifest_pdf())
+    res = eng.sql("OPTIMIZE images").first()
+    assert res["operation"] == "OPTIMIZE"
+    assert len(t.manifest_pdf()) <= n_before
+    res2 = eng.sql("OPTIMIZE images ZORDER BY (phash, w, h)").first()
+    assert res2["snapshot_id"] is not None
+    assert t.snapshot().operation == "replace"
+    assert eng.sql("SELECT count(*) AS n FROM images").first()["n"] == N
+
+
+def test_sql_vacuum_and_analyze(eng, spark):
+    t = eng.tables["images"]
+    eng.sql("UPDATE images SET fmt = 'png' WHERE w >= 0")  # 2nd snapshot
+    res = eng.sql("VACUUM images RETAIN 0 HOURS").first()
+    assert res["snapshots_expired"] >= 1
+    assert len(t.metadata().snapshots) == 1
+    stats = eng.sql(
+        "ANALYZE TABLE images COMPUTE STATISTICS FOR COLUMNS image_id, w"
+    )
+    rows = {r["column"]: r for r in stats.collect()}
+    assert set(rows) == {"image_id", "w"}
+    assert abs(rows["image_id"]["ndv"] - N) <= max(3, int(0.1 * N))
+    assert t.column_stats() is not None
+
+
+def test_sql_errors(eng):
+    with pytest.raises(SQLCommandError, match="unknown table"):
+        eng.sql("UPDATE nope SET a = 1 WHERE b = 2")
+    with pytest.raises(SQLCommandError, match="expected"):
+        eng.sql("DELETE FROM images")  # no unguarded truncate
+    with pytest.raises(SQLCommandError, match="expected"):
+        eng.sql("VACUUM images RETAIN SOME HOURS")
+    with pytest.raises(SQLCommandError, match="expected"):
+        eng.sql("UPDATE images SET WHERE w = 1")
+    with pytest.raises(SQLCommandError, match="cannot parse SET"):
+        eng.sql("UPDATE images SET q q q WHERE w = 1")
