@@ -2135,6 +2135,61 @@ def q_image_update(spark, sf_dir):
     )
 
 
+def q_image_bucketed_join(spark, sf_dir):
+    """Storage-partitioned (co-located) join: two engine tables bucketed
+    ``bucket(8, image_id)`` join WITHOUT shuffling either full side —
+    per-bucket broadcast hash joins over manifest-listed file groups
+    (operators/joins.py bucketed_join; Iceberg SPJ shape). Checks the
+    result equals the plain shuffled join and that the compiled plan
+    contains no SortMergeJoin. Engine-internal; rows-only check."""
+    import tempfile
+
+    from aws_medallion_datalake_spark.operators.cluster import route_exact
+    from aws_medallion_datalake_spark.operators.joins import bucketed_join
+    from aws_medallion_datalake_spark.sources import transforms
+    from aws_medallion_datalake_spark.sources.generator import (
+        SCHEMA,
+        generate_images,
+    )
+    from aws_medallion_datalake_spark.sources.tableformat import Table
+
+    root = tempfile.mkdtemp(prefix="entry_spj_")
+    tf = transforms.parse("bucket(8, image_id)")
+
+    def _mk(name, n, start):
+        t = Table.create(
+            os.path.join(root, name),
+            SCHEMA,
+            partition_cols=["bucket(8, image_id)"],
+            stats_cols=["phash", "image_id"],
+        )
+        df = generate_images(spark, n, n_files=4, start=start)
+        t.commit("append", t.write_files(route_exact(df, tf.expr(), 8)))
+        return t
+
+    ta = _mk("a", _IMG_ROWS, 0)
+    tb = _mk("b", _IMG_ROWS // 2, _IMG_ROWS // 4)
+    spj = bucketed_join(
+        ta, tb, spark, key="image_id",
+        columns_a=["image_id", "w", "h"], columns_b=["image_id", "fmt"],
+    )
+    n_spj = spj.count()
+    n_plain = (
+        ta.scan(spark, columns=["image_id"])
+        .join(tb.scan(spark, columns=["image_id"]), "image_id")
+        .count()
+    )
+    plan = spj._jdf.queryExecution().executedPlan().toString()
+    rows = [
+        ("spj_rows", int(n_spj)),
+        ("plain_rows", int(n_plain)),
+        ("match", int(n_spj == n_plain)),
+        ("broadcast_joins", int(plan.count("BroadcastHashJoin") > 0)),
+        ("sort_merge_joins", int("SortMergeJoin" in plan)),
+    ]
+    return spark.createDataFrame(rows, "check string, value long")
+
+
 def q_image_sql_dml(spark, sf_dir):
     """SQL command surface (aws_medallion_datalake_spark/sqlcmd.py): the
     Delta/Iceberg write-side SQL a reference user types — UPDATE /
@@ -2934,6 +2989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_mor_merge": q_image_mor_merge,
         "image_update": q_image_update,
         "image_sql_dml": q_image_sql_dml,
+        "image_bucketed_join": q_image_bucketed_join,
         "image_wap": q_image_wap,
         "image_mor_delete": q_image_mor_delete,
         "image_phash_neardup": q_image_phash_neardup,

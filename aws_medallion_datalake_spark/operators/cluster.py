@@ -95,6 +95,25 @@ def _murmur3_int32(x: int, seed: int = 42) -> int:
     return h - (1 << 32) if h >= 1 << 31 else h
 
 
+def route_exact(df, idx_col, n_out: int):
+    """Shuffle each row whose 0-based ``idx_col`` value lies in
+    ``[0, n_out)`` to EXACTLY output partition ``idx_col`` — the
+    reusable form of the exact hash-routing used by cluster tiles and
+    the silver refine: one shuffle, partition-homogeneous outputs,
+    no repartitionByRange sampling job. Callers writing a
+    ``bucket(N, key)``-partitioned table route with
+    ``route_exact(df, transform.expr(), N)`` before ``write_files``."""
+    salts = [int(s) for s in exact_route_salts(n_out)]
+    route = F.element_at(
+        F.array(*[F.lit(s) for s in salts]), idx_col.cast("int") + 1
+    )
+    return (
+        df.withColumn("__rt", route.cast("int"))
+        .repartition(n_out, F.col("__rt"))
+        .drop("__rt")
+    )
+
+
 def exact_route_salts(n_out: int) -> np.ndarray:
     """For each target partition i, an int s_i with
     ``pmod(murmur3(s_i), n_out) == i`` — makes ``repartition(n_out,

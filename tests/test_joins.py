@@ -123,3 +123,89 @@ def test_range_join_timestamps_and_keys(spark):
         ).collect()
     }
     assert got == {("w1", 3), ("w1", 4), ("w1", 5), ("w2", 10)}
+
+
+# ---------- bucketed (storage-partitioned) join ----------
+
+
+def _bucketed_table(tmp_path, spark, name, n, start=0, caption_suffix=""):
+    from pyspark.sql import functions as F
+
+    from aws_medallion_datalake_spark.operators.cluster import route_exact
+    from aws_medallion_datalake_spark.sources import transforms
+    from aws_medallion_datalake_spark.sources.generator import (
+        SCHEMA,
+        generate_images,
+    )
+    from aws_medallion_datalake_spark.sources.tableformat import Table
+
+    t = Table.create(
+        str(tmp_path / name),
+        SCHEMA,
+        partition_cols=["bucket(8, image_id)"],
+        stats_cols=["phash", "image_id"],
+    )
+    df = generate_images(spark, n, n_files=4, start=start)
+    if caption_suffix:
+        df = df.withColumn(
+            "caption", F.concat(F.col("caption"), F.lit(caption_suffix))
+        )
+    tf = transforms.parse("bucket(8, image_id)")
+    t.commit("append", t.write_files(route_exact(df, tf.expr(), 8)))
+    return t
+
+
+def test_bucketed_join_matches_plain_join(tmp_path, spark):
+    from aws_medallion_datalake_spark.operators.joins import bucketed_join
+
+    ta = _bucketed_table(tmp_path, spark, "a", 200)
+    tb = _bucketed_table(tmp_path, spark, "b", 120, start=100, caption_suffix="-b")
+    got = bucketed_join(
+        ta, tb, spark, key="image_id",
+        columns_a=["image_id", "w", "caption"],
+        columns_b=["image_id", "fmt"],
+    ).toPandas()
+    a = ta.scan(spark).select("image_id", "w", "caption")
+    b = tb.scan(spark).select("image_id", "fmt")
+    exp = a.join(b, "image_id", "inner").toPandas()
+    assert len(got) == len(exp) == 100
+    assert sorted(got["image_id"]) == sorted(exp["image_id"])
+    # b-side captions carry the suffix; join kept a-side caption column
+    assert got["caption"].str.endswith("-b").sum() == 0
+
+    # per-bucket broadcast: no sort-merge join, no full-side shuffle
+    plan = bucketed_join(
+        ta, tb, spark, key="image_id",
+        columns_a=["image_id", "w"], columns_b=["image_id", "caption"],
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_left_and_errors(tmp_path, spark):
+    import pytest as _pytest
+
+    from aws_medallion_datalake_spark.operators.joins import bucketed_join
+    from aws_medallion_datalake_spark.sources.generator import SCHEMA, generate_images
+    from aws_medallion_datalake_spark.sources.tableformat import Table
+
+    ta = _bucketed_table(tmp_path, spark, "la", 150)
+    tb = _bucketed_table(tmp_path, spark, "lb", 50, start=120, caption_suffix="-b")
+    got = bucketed_join(
+        ta, tb, spark, key="image_id", how="left",
+        columns_a=["image_id", "w"], columns_b=["image_id", "fmt"],
+    ).toPandas()
+    assert len(got) == 150
+    assert got["fmt"].notna().sum() == 30  # ids 120-149 overlap
+    # mismatched bucket count
+    t16 = Table.create(
+        str(tmp_path / "n16"), SCHEMA, partition_cols=["bucket(16, image_id)"]
+    )
+    t16.commit("append", t16.write_files(generate_images(spark, 20, n_files=1)))
+    with _pytest.raises(ValueError, match="bucket counts differ"):
+        bucketed_join(ta, t16, spark, key="image_id")
+    # no bucket spec at all
+    plain = Table.create(str(tmp_path / "plain"), SCHEMA)
+    plain.commit("append", plain.write_files(generate_images(spark, 20, n_files=1)))
+    with _pytest.raises(ValueError, match="no bucket"):
+        bucketed_join(ta, plain, spark, key="image_id")
