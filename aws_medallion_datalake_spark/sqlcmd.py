@@ -18,6 +18,8 @@ Python API:
     eng.sql("VACUUM images RETAIN 168 HOURS")
     eng.sql("ANALYZE TABLE images COMPUTE STATISTICS FOR COLUMNS image_id, w")
     eng.sql("SELECT fmt, count(*) FROM images GROUP BY fmt")  # passthrough
+    eng.sql("SELECT count(*) FROM images VERSION AS OF 1")    # time travel
+    eng.sql("SELECT count(*) FROM images TIMESTAMP AS OF '2026-01-01T00:00'")
 
 Grammar, deliberately small and strict (clear errors beat silent
 misparses; everything here maps 1:1 onto an operator call):
@@ -182,9 +184,50 @@ class EngineSQL:
         if head == "ANALYZE":
             return self._analyze(s)
         # SELECT / WITH / EXPLAIN …: refresh catalog views, delegate
+        s = self._rewrite_time_travel(s)
         for name, t in self.tables.items():
             t.register(self.spark, name)
         return self.spark.sql(s)
+
+    def _rewrite_time_travel(self, s: str) -> str:
+        """Iceberg/Delta time-travel syntax in SELECTs:
+        ``FROM <t> VERSION AS OF <snapshot_id>`` and
+        ``FROM <t> TIMESTAMP AS OF '<ts>'`` — each occurrence registers
+        a snapshot-pinned view and the clause is rewritten to its name
+        (plain text rewrite; the pinned view IS snapshot isolation)."""
+        def _version(m):
+            name, sid = m.group(1), int(m.group(2))
+            if name not in self.tables:
+                return m.group(0)
+            view = f"{name}__v{sid}"
+            self.tables[name].register(self.spark, view, snapshot_id=sid)
+            return view
+
+        def _timestamp(m):
+            name, ts = m.group(1), m.group(2)
+            if name not in self.tables:
+                return m.group(0)
+            import datetime as _dt
+
+            try:
+                ms = int(float(ts) * 1000) if re.fullmatch(
+                    r"\d+(?:\.\d+)?", ts
+                ) else int(
+                    _dt.datetime.fromisoformat(ts).timestamp() * 1000
+                )
+            except ValueError as e:
+                raise SQLCommandError(f"bad TIMESTAMP AS OF value {ts!r}") from e
+            view = f"{name}__t{ms}"
+            self.tables[name].register(self.spark, view, as_of_ms=ms)
+            return view
+
+        s = re.sub(
+            rf"({_ID})\s+VERSION\s+AS\s+OF\s+(\d+)", _version, s, flags=re.I
+        )
+        return re.sub(
+            rf"({_ID})\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'", _timestamp, s,
+            flags=re.I,
+        )
 
     # ---------- statement handlers ----------
 

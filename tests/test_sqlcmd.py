@@ -109,6 +109,30 @@ def test_sql_vacuum_and_analyze(eng, spark):
     assert t.column_stats() is not None
 
 
+def test_sql_time_travel(eng, spark):
+    t = eng.tables["images"]
+    sid1 = t.snapshot().snapshot_id
+    eng.sql("UPDATE images SET caption = upper(caption) WHERE w >= 0")
+    n_upper = eng.sql(
+        "SELECT count(*) AS n FROM images WHERE caption = upper(caption)"
+    ).first()["n"]
+    assert n_upper == N
+    old = eng.sql(
+        f"SELECT count(*) AS n FROM images VERSION AS OF {sid1} "
+        f"WHERE caption = upper(caption)"
+    ).first()["n"]
+    assert old < N  # generator captions are not all-caps
+    # timestamp form: epoch-seconds before the update sees the old state
+    ts = t.snapshot(sid1).timestamp_ms / 1000.0
+    old2 = eng.sql(
+        f"SELECT count(*) AS n FROM images TIMESTAMP AS OF '{ts}' "
+        f"WHERE caption = upper(caption)"
+    ).first()["n"]
+    assert old2 == old
+    with pytest.raises(SQLCommandError, match="bad TIMESTAMP"):
+        eng.sql("SELECT * FROM images TIMESTAMP AS OF 'yesterday-ish'")
+
+
 def test_sql_errors(eng):
     with pytest.raises(SQLCommandError, match="unknown table"):
         eng.sql("UPDATE nope SET a = 1 WHERE b = 2")
