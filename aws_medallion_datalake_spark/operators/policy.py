@@ -57,11 +57,19 @@ def table_health(
         # ANALYZE freshness (operators/analyze.py): None = never analyzed
         "stats_snapshot_id": None,
         "stats_stale": None,
+        "stats_lag_commits": None,
     }
     cs = table.column_stats()
     if cs is not None:
         out["stats_snapshot_id"] = cs["snapshot_id"]
         out["stats_stale"] = cs["stale"]
+        sids = [s.snapshot_id for s in meta.snapshots]
+        try:
+            out["stats_lag_commits"] = len(sids) - 1 - sids.index(
+                cs["snapshot_id"]
+            )
+        except ValueError:  # stats snapshot expired from history
+            out["stats_lag_commits"] = len(sids)
     if meta.current_snapshot_id is None:
         return out
     s = table.snapshot()
@@ -131,6 +139,7 @@ def plan_maintenance(
     manifest_count_threshold: int = 8,
     keep_last: int = 2,
     min_pending_delete_files: int = 4,
+    stats_lag_threshold: int = 4,
 ) -> list:
     """Ordered [(stage, reason)] plan from :func:`table_health`.
 
@@ -185,6 +194,20 @@ def plan_maintenance(
         plan.append((
             "expire",
             f"{h['n_snapshots']} snapshots > keep_last={keep_last}",
+        ))
+    # ANALYZE cadence: tables opt in with their first analyze_table run
+    # (a never-analyzed healthy table still plans empty); after that,
+    # stats lagging >= stats_lag_threshold commits schedule a refresh —
+    # the Databricks predictive-optimization ANALYZE cadence.
+    if (
+        h["stats_snapshot_id"] is not None
+        and h["stats_stale"]
+        and h.get("stats_lag_commits", 0) >= stats_lag_threshold
+    ):
+        plan.append((
+            "analyze",
+            f"column stats lag {h['stats_lag_commits']} commits "
+            f">= {stats_lag_threshold}",
         ))
     return plan
 

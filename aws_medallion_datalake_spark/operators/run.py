@@ -150,6 +150,15 @@ def run_maintenance(
         elif stage == "expire":
             metrics = expire_snapshots(table, spark=spark, keep_last=keep_last)
             cp.stage_done("expire", metrics)
+        elif stage == "analyze":
+            from .analyze import analyze_table
+
+            stats = analyze_table(table, spark, tune_bloom=True)
+            metrics = {
+                "columns_analyzed": len(stats),
+                "snapshot_id": table.metadata().current_snapshot_id,
+            }
+            cp.stage_done("analyze", metrics)
         else:
             raise ValueError(f"unknown stage {stage!r}")
         metrics["wall_sec"] = round(time.time() - t0, 3)

@@ -94,3 +94,35 @@ def test_empty_table_plans_nothing(tmp_path, spark):
 
     t = Table.create(str(tmp_path / "e"), SCHEMA, stats_cols=["phash"])
     assert policy.plan_maintenance(t) == []
+
+
+def test_analyze_cadence_in_plan(tmp_path, spark):
+    """Tables opt into the ANALYZE cadence with their first analyze run;
+    stats lagging >= stats_lag_threshold commits schedule a refresh."""
+    from aws_medallion_datalake_spark.operators import analyze_table
+    from aws_medallion_datalake_spark.operators.policy import plan_maintenance
+    from aws_medallion_datalake_spark.operators.run import run_maintenance
+    from aws_medallion_datalake_spark.sources.generator import SCHEMA, generate_images
+    from aws_medallion_datalake_spark.sources.tableformat import Table
+
+    t = Table.create(
+        str(tmp_path / "an"), SCHEMA, stats_cols=["phash", "image_id"]
+    )
+    t.commit("append", t.write_files(generate_images(spark, 80, n_files=1)))
+    # never analyzed: no analyze stage even though stats are absent
+    assert "analyze" not in {s for s, _ in plan_maintenance(t, spark)}
+    analyze_table(t, spark, ["image_id"])
+    assert "analyze" not in {s for s, _ in plan_maintenance(t, spark)}
+    for i in range(4):
+        t.commit(
+            "append",
+            t.write_files(generate_images(spark, 10, n_files=1, start=1000 + i * 10)),
+        )
+    stages = {s for s, _ in plan_maintenance(t, spark, stats_lag_threshold=4)}
+    assert "analyze" in stages
+    # the runnable stage refreshes stats and pins them to the new head
+    run_maintenance(
+        t, spark, stages=("analyze",), checkpoint_path=str(tmp_path / "cp")
+    )
+    cs = t.column_stats()
+    assert cs is not None and not cs["stale"]
