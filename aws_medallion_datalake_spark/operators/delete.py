@@ -48,6 +48,7 @@ from ..sources.tableformat import (
     prune_manifest,
     read_split_size,
     rel_path_expr,
+    resolve_write_mode,
 )
 from .timing import PhaseTimer
 
@@ -58,7 +59,7 @@ def delete_where(
     predicates: Iterable[tuple],
     *,
     target_file_size_bytes: int = 128 * 1024 * 1024,
-    mode: str = "copy-on-write",
+    mode: Optional[str] = None,
 ) -> Optional[Snapshot]:
     """Delete rows matching ALL predicates; returns the new snapshot, or
     None when no file holds a matching row (no-op, no commit).
@@ -73,6 +74,7 @@ def delete_where(
     bytes. Scans anti-join the (small) delete set out; a later
     ``apply_deletes`` run materializes them back to copy-on-write form.
     """
+    mode = resolve_write_mode(table.metadata(), "delete", mode)
     if mode not in ("copy-on-write", "merge-on-read"):
         raise ValueError(f"unknown delete mode {mode!r}")
     t0 = time.time()

@@ -90,7 +90,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import transforms
-from ..sources.tableformat import Snapshot, Table
+from ..sources.tableformat import Snapshot, Table, resolve_write_mode
 from ..sources.tableformat import read_split_size as _read_split_size
 from ..sources.tableformat import rel_path_expr as _rel_path_expr
 from .timing import PhaseTimer
@@ -110,7 +110,7 @@ def merge_into(
     when_matched: str = "update",
     smj_salt_buckets: int = 0,
     properties: Optional[dict] = None,
-    mode: str = "copy-on-write",
+    mode: Optional[str] = None,
 ) -> Snapshot:
     """See module docstring. ``properties`` are merged into the table
     properties atomically with the merge commit (the hook transactional
@@ -126,6 +126,7 @@ def merge_into(
     """
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
+    mode = resolve_write_mode(table.metadata(), "merge", mode)
     if mode not in ("copy-on-write", "merge-on-read"):
         raise ValueError(f"mode must be 'copy-on-write' or 'merge-on-read', got {mode!r}")
     if mode == "copy-on-write" and (

@@ -62,6 +62,7 @@ from ..sources.tableformat import (
     prune_manifest,
     read_split_size,
     rel_path_expr,
+    resolve_write_mode,
 )
 from .timing import PhaseTimer
 
@@ -96,7 +97,7 @@ def update_where(
     assignments: Mapping[str, object],
     *,
     target_file_size_bytes: int = 128 * 1024 * 1024,
-    mode: str = "copy-on-write",
+    mode: Optional[str] = None,
 ) -> Optional[Snapshot]:
     """Update rows matching ALL predicates; returns the new snapshot, or
     None when no file holds a matching row (no-op, no commit).
@@ -107,6 +108,7 @@ def update_where(
     maps column name → new value (a ``pyspark.sql.Column`` or a SQL
     expression string evaluated against the old row).
     """
+    mode = resolve_write_mode(table.metadata(), "update", mode)
     if mode not in ("copy-on-write", "merge-on-read"):
         raise ValueError(f"unknown update mode {mode!r}")
     t0 = time.time()

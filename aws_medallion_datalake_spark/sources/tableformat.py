@@ -2256,3 +2256,23 @@ def prune_manifest(man: pd.DataFrame, preds, stats_cols) -> pd.DataFrame:
             raise ValueError(f"unsupported predicate op {op!r}")
         mask &= cond
     return man[mask]
+
+
+# Iceberg v2 write-mode properties (write.delete.mode / write.update.mode /
+# write.merge.mode): the TABLE declares whether its DML defaults to
+# copy-on-write (bulk-change friendly) or merge-on-read (sparse-change
+# friendly); operators resolve mode=None against these, and an explicit
+# mode= argument always wins — exactly Iceberg's precedence.
+WRITE_DELETE_MODE_PROP = "write.delete.mode"
+WRITE_UPDATE_MODE_PROP = "write.update.mode"
+WRITE_MERGE_MODE_PROP = "write.merge.mode"
+
+
+def resolve_write_mode(meta: "TableMetadata", op: str, mode) -> str:
+    """``mode`` if given, else the table's ``write.<op>.mode`` property,
+    else copy-on-write (Iceberg's default)."""
+    if mode is not None:
+        return mode
+    return str(
+        meta.properties.get(f"write.{op}.mode", "copy-on-write")
+    ).strip().lower()

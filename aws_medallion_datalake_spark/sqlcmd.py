@@ -31,6 +31,9 @@ misparses; everything here maps 1:1 onto an operator call):
   Literals: numbers and ``'strings'``.
 - ``UPDATE`` SET right-hand sides are arbitrary Spark SQL expressions
   (they feed ``F.expr``; ``update_where`` casts to declared types).
+- UPDATE/DELETE/MERGE write modes resolve from the table's Iceberg
+  ``write.<op>.mode`` properties (copy-on-write default, merge-on-read
+  opt-in) — the statement surface never hardcodes a mode.
 - ``MERGE INTO t USING <view> ON <key> [WHEN MATCHED THEN DELETE]``
   reads the source from ``spark.table(view)`` — any registered view or
   DataFrame the caller named.

@@ -206,3 +206,45 @@ def test_cdc_and_changes_read_mor_update(table, spark):
     assert (
         feed.filter(F.col("_change_type") == "update_preimage").count() == n_match
     )
+
+
+def test_write_mode_table_properties(tmp_path, spark):
+    """Iceberg write.<op>.mode properties: DML defaults resolve from the
+    table; an explicit mode= argument wins."""
+    from aws_medallion_datalake_spark.operators.merge import merge_into
+    from aws_medallion_datalake_spark.sources.generator import generate_images
+    from aws_medallion_datalake_spark.sources.tableformat import (
+        WRITE_DELETE_MODE_PROP,
+        WRITE_MERGE_MODE_PROP,
+        WRITE_UPDATE_MODE_PROP,
+    )
+
+    t = Table.create(
+        str(tmp_path / "wm"),
+        SCHEMA,
+        stats_cols=STATS,
+        properties={
+            WRITE_UPDATE_MODE_PROP: "merge-on-read",
+            WRITE_DELETE_MODE_PROP: "merge-on-read",
+            WRITE_MERGE_MODE_PROP: "merge-on-read",
+        },
+    )
+    t.commit("append", t.write_files(generate_images(spark, 100, n_files=2)))
+    files0 = set(t.manifest_pdf()["path"])
+
+    s1 = update_where(t, spark, [("w", ">=", 0)], {"fmt": F.lit("u")})
+    assert s1.summary["mode"] == "merge-on-read"
+    s2 = delete_where(t, spark, [("fmt", "=", "u")])
+    assert s2.summary["mode"] == "merge-on-read"
+    src = generate_images(spark, 10, n_files=1, start=5000)
+    s3 = merge_into(t, spark, src, key="image_id")
+    assert s3.summary.get("mode") == "merge-on-read"
+    # none of the three rewrote a data file
+    assert files0 <= set(t.manifest_pdf()["path"])
+    # explicit argument overrides the table default
+    apply_deletes(t, spark)
+    s4 = update_where(
+        t, spark, [("image_id", ">=", "")], {"fmt": F.lit("c")},
+        mode="copy-on-write",
+    )
+    assert "mode" not in s4.summary or s4.summary["mode"] != "merge-on-read"
