@@ -2623,6 +2623,140 @@ def _sql_orders_rollup():
     """
 
 
+def q_rank_topn_per_group(spark, sf_dir):
+    """Top-N per group via dense_rank (the "latest/biggest K per key"
+    workhorse, SURVEY §2.5): top-2 orders by price per customer segment.
+    One shuffle on the partition key; the rank filter prunes before any
+    further join. Ties broken by o_orderkey for engine-stable output."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o["o_custkey"] == c["c_custkey"],
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        j.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select(
+            "c_mktsegment",
+            "rnk",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+        .orderBy("c_mktsegment", "rnk")
+    )
+
+
+def _sql_rank_topn_per_group():
+    return """
+        SELECT c_mktsegment, rnk, o_orderkey,
+               round(o_totalprice, 2) AS total_price
+        FROM (
+            SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                   dense_rank() OVER (
+                       PARTITION BY c.c_mktsegment
+                       ORDER BY o.o_totalprice DESC, o.o_orderkey
+                   ) AS rnk
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        )
+        WHERE rnk <= 2
+        ORDER BY c_mktsegment, rnk
+    """
+
+
+def q_moving_avg(spark, sf_dir):
+    """Sliding-frame window aggregate (SURVEY §2.5): 7-day moving
+    average of daily order revenue. ROWS BETWEEN framing over one date
+    shuffle — the trend-smoothing query every dashboard runs; at scale
+    the frame is per-partition state, never a self-join."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        "d",
+        "revenue",
+        F.round(F.avg("revenue").over(w), 2).alias("ma7"),
+    ).orderBy("d").limit(200)
+
+
+def _sql_moving_avg():
+    return """
+        SELECT d, revenue,
+               round(avg(revenue) OVER (
+                   ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ), 2) AS ma7
+        FROM (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        )
+        ORDER BY d LIMIT 200
+    """
+
+
+def q_cube_agg(spark, sf_dir):
+    """CUBE aggregation (all grouping-set combinations, SURVEY §2.4):
+    lineitem counts and quantity by (returnflag, linestatus) with every
+    subtotal — one shuffle for all four grouping sets via Spark's
+    native ``cube`` (the reference recomputes each rollup as a separate
+    Athena query)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+def _sql_cube_agg():
+    return """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+
+
+def q_except_customers(spark, sf_dir):
+    """Set difference (SURVEY §2.7 beyond UNION): customers with a
+    finished ('F') order who never placed an open ('O') one — EXCEPT
+    compiles to distinct + anti-join in one plan, no driver
+    set-building; both branches are one column-pruned scan each."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    # subtract = SQL EXCEPT (set semantics: distinct minus distinct)
+    return f.subtract(op).orderBy("o_custkey")
+
+
+def _sql_except_customers():
+    return """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        ORDER BY o_custkey
+    """
+
+
 def q_asof_join(spark, sf_dir):
     """Backward AS-OF join (attribution): every purchase event matched
     to the user's latest view event at or before it.
@@ -2972,6 +3106,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidate_pairs": q_minhash_candidate_pairs,
         "neardup_components": q_neardup_components,
         "orders_rollup": q_orders_rollup,
+        "rank_topn_per_group": q_rank_topn_per_group,
+        "moving_avg": q_moving_avg,
+        "cube_agg": q_cube_agg,
+        "except_customers": q_except_customers,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "events_pivot": q_events_pivot,
@@ -3046,6 +3184,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidate_pairs": _sql_minhash_candidate_pairs(),
         "neardup_components": _sql_neardup_components(),
         "orders_rollup": _sql_orders_rollup(),
+        "rank_topn_per_group": _sql_rank_topn_per_group(),
+        "moving_avg": _sql_moving_avg(),
+        "cube_agg": _sql_cube_agg(),
+        "except_customers": _sql_except_customers(),
         "asof_join": _sql_asof_join(),
         "range_join": _sql_range_join(),
         "events_pivot": _sql_events_pivot(),
