@@ -70,6 +70,16 @@ def main() -> None:
     levels = [2, 8, 32]
     if "--levels" in sys.argv:
         levels = [int(x) for x in sys.argv[sys.argv.index("--levels") + 1].split(",")]
+    # Optional per-level cpu_gate ceilings ("8:3.6,32:2.4"): alloc_gate
+    # alone misses plain CPU contention (another Spark job on the box
+    # inflates every stage while fresh-page faults stay fast), so a rep
+    # only counts toward the clean target if its in-rep pure-CPU probe
+    # also lands under the level's quiet-window ceiling.
+    gate_max = {}
+    if "--gate-max" in sys.argv:
+        for part in sys.argv[sys.argv.index("--gate-max") + 1].split(","):
+            lv, mx = part.split(":")
+            gate_max[int(lv)] = float(mx)
     clean = {lv: 0 for lv in levels}
     # resume: count clean reps already in the log
     if os.path.exists(log_path):
@@ -107,7 +117,9 @@ def main() -> None:
                 log.write(f"# rep{rep} local[{lv}] FAILED: {out.stderr[-500:]}\n")
                 continue
             r = json.loads(out.stdout.strip().splitlines()[-1])
-            is_clean = r["times"].get("alloc_gate", 0.0) <= 1.0
+            is_clean = r["times"].get("alloc_gate", 0.0) <= 1.0 and r[
+                "times"
+            ].get("cpu_gate", 0.0) <= gate_max.get(lv, float("inf"))
             log.write(
                 f"rep{rep} local[{lv}]{'' if is_clean else ' [NOISY]'}: "
                 f"{r['times']} -> {r['rows_per_sec']} rows/s\n"
