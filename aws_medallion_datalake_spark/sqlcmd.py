@@ -186,6 +186,14 @@ class EngineSQL:
             return self._vacuum(s)
         if head == "ANALYZE":
             return self._analyze(s)
+        if head == "INSERT":
+            return self._insert(s)
+        if head == "RESTORE":
+            return self._restore(s)
+        if head == "DESCRIBE":
+            return self._describe(s)
+        if head == "SHOW":
+            return self._show(s)
         # SELECT / WITH / EXPLAIN …: refresh catalog views, delegate
         s = self._rewrite_time_travel(s)
         for name, t in self.tables.items():
@@ -284,6 +292,16 @@ class EngineSQL:
         return self._summary_df("MERGE", name, snap)
 
     def _optimize(self, s: str) -> DataFrame:
+        mm = re.match(rf"OPTIMIZE\s+({_ID})\s+MANIFESTS$", s, re.I)
+        if mm:
+            # Iceberg CALL rewrite_manifests: compact the delta-manifest
+            # list back to one manifest; physical-only commit
+            name = mm.group(1)
+            snap = self._table(name).rewrite_manifests(spark=self.spark)
+            return self._summary_df(
+                "OPTIMIZE MANIFESTS", name, snap,
+                {} if snap else {"files_rewritten": 0},
+            )
         m = re.match(
             rf"OPTIMIZE\s+({_ID})(?:\s+WHERE\s+(.*?))?"
             rf"(?:\s+ZORDER\s+BY\s*\(\s*({_ID}(?:\s*,\s*{_ID})*)\s*\))?$",
@@ -327,6 +345,86 @@ class EngineSQL:
             [row],
             "operation string, table string, snapshots_expired long, "
             "data_files_deleted long, orphan_files_deleted long",
+        )
+
+    def _insert(self, s: str) -> DataFrame:
+        """``INSERT INTO <t> <select…>``: the query runs through the
+        SELECT passthrough (catalog views + time travel apply), columns
+        are matched BY NAME against the table schema and cast to the
+        declared types, and the rows land as one append commit."""
+        m = re.match(rf"INSERT\s+INTO\s+({_ID})\s+(.+)$", s, re.I | re.S)
+        if not m:
+            raise SQLCommandError("expected: INSERT INTO <table> <select …>")
+        name, query = m.groups()
+        t = self._table(name)
+        for vname, vt in self.tables.items():
+            vt.register(self.spark, vname)
+        df = self.spark.sql(self._rewrite_time_travel(query.strip()))
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromDDL(t.metadata().schema_ddl)
+        missing = [f.name for f in schema.fields if f.name not in df.columns]
+        if missing:
+            raise SQLCommandError(
+                f"INSERT query lacks table columns {missing}"
+            )
+        from pyspark.sql import functions as F
+
+        out = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+        entries = t.write_files(out)
+        n = int(entries["record_count"].sum()) if len(entries) else 0
+        snap = t.commit(
+            "append", entries, {"stage": "insert", "rows_inserted": n}
+        )
+        return self._summary_df("INSERT", name, snap)
+
+    def _restore(self, s: str) -> DataFrame:
+        """``RESTORE TABLE <t> TO VERSION AS OF <snapshot_id>`` — Delta's
+        RESTORE, mapped to ``Table.rollback`` (a new head commit pointing
+        at the old file set; history is preserved, not rewritten)."""
+        m = re.match(
+            rf"RESTORE\s+TABLE\s+({_ID})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)$",
+            s, re.I,
+        )
+        if not m:
+            raise SQLCommandError(
+                "expected: RESTORE TABLE <t> TO VERSION AS OF <snapshot_id>"
+            )
+        name, sid = m.group(1), int(m.group(2))
+        snap = self._table(name).rollback(sid)
+        return self.spark.createDataFrame(
+            [("RESTORE", name, snap.snapshot_id, sid)],
+            "operation string, table string, snapshot_id long, "
+            "restored_to long",
+        )
+
+    def _describe(self, s: str) -> DataFrame:
+        m = re.match(rf"DESCRIBE\s+(?:TABLE\s+)?({_ID})$", s, re.I)
+        if not m:
+            raise SQLCommandError("expected: DESCRIBE [TABLE] <table>")
+        t = self._table(m.group(1))
+        from pyspark.sql.types import StructType
+
+        fields = StructType.fromDDL(t.metadata().schema_ddl).fields
+        return self.spark.createDataFrame(
+            [(f.name, f.dataType.simpleString()) for f in fields],
+            "col_name string, data_type string",
+        )
+
+    def _show(self, s: str) -> DataFrame:
+        m = re.match(rf"SHOW\s+TBLPROPERTIES\s+({_ID})$", s, re.I)
+        if m:
+            props = self._table(m.group(1)).metadata().properties
+            rows = [(k, str(v)) for k, v in sorted(props.items())]
+            return self.spark.createDataFrame(rows, "key string, value string")
+        if re.match(r"SHOW\s+TABLES$", s, re.I):
+            return self.spark.createDataFrame(
+                [(n,) for n in sorted(self.tables)], "table string"
+            )
+        raise SQLCommandError(
+            "expected: SHOW TABLES | SHOW TBLPROPERTIES <table>"
         )
 
     def _analyze(self, s: str) -> DataFrame:

@@ -144,3 +144,43 @@ def test_sql_errors(eng):
         eng.sql("UPDATE images SET WHERE w = 1")
     with pytest.raises(SQLCommandError, match="cannot parse SET"):
         eng.sql("UPDATE images SET q q q WHERE w = 1")
+
+
+def test_sql_insert_restore_describe_show(eng, spark):
+    t = eng.tables["images"]
+    sid0 = t.snapshot().snapshot_id
+    # INSERT INTO ... SELECT with projection reorder + cast by name
+    generate_images(spark, 30, n_files=1, start=7000).createOrReplaceTempView(
+        "stage30"
+    )
+    res = eng.sql("INSERT INTO images SELECT * FROM stage30").first()
+    assert res["operation"] == "INSERT" and res["rows_inserted"] == 30
+    assert eng.sql("SELECT count(*) AS n FROM images").first()["n"] == N + 30
+    with pytest.raises(SQLCommandError, match="lacks table columns"):
+        eng.sql("INSERT INTO images SELECT image_id FROM stage30")
+    # RESTORE to the pre-insert snapshot
+    r = eng.sql(f"RESTORE TABLE images TO VERSION AS OF {sid0}").first()
+    assert r["restored_to"] == sid0
+    assert eng.sql("SELECT count(*) AS n FROM images").first()["n"] == N
+    # DESCRIBE matches the declared schema
+    desc = {row["col_name"]: row["data_type"] for row in
+            eng.sql("DESCRIBE images").collect()}
+    assert desc["image_id"] == "string" and desc["bytes"] == "binary"
+    # SHOW TABLES / TBLPROPERTIES
+    assert [r["table"] for r in eng.sql("SHOW TABLES").collect()] == ["images"]
+    props = eng.sql("SHOW TBLPROPERTIES images")
+    assert props.columns == ["key", "value"]
+
+
+def test_sql_optimize_manifests(eng, spark):
+    t = eng.tables["images"]
+    for i in range(3):
+        generate_images(spark, 10, n_files=1, start=8000 + i * 10)\
+            .createOrReplaceTempView(f"s{i}")
+        eng.sql(f"INSERT INTO images SELECT * FROM s{i}")
+    n_manifests = len(t.snapshot().manifest_paths)
+    assert n_manifests > 1  # delta-append chain
+    res = eng.sql("OPTIMIZE images MANIFESTS").first()
+    assert res["operation"] == "OPTIMIZE MANIFESTS"
+    assert len(t.snapshot().manifest_paths) == 1
+    assert eng.sql("SELECT count(*) AS n FROM images").first()["n"] == N + 30
