@@ -479,6 +479,28 @@ class Table:
         meta.partition_cols = list(partition_cols)
         self._write_metadata_version(version + 1, meta)
 
+    def set_properties(self, props: dict) -> None:
+        """Upsert table properties (Iceberg ALTER TABLE … SET TBLPROPERTIES).
+
+        Metadata-only version bump; a value of ``None`` unsets the key
+        (UNSET TBLPROPERTIES). Reserved engine keys (``branch.*``,
+        ``ref.*`` — managed by the branch/tag APIs) are refused so a
+        property write can't silently move a ref head."""
+        version = self.current_version()
+        meta = self.metadata(version)
+        for k in props:
+            if k.startswith(("branch.", "ref.")):
+                raise ValueError(
+                    f"property {k!r} is a managed ref; use tag()/"
+                    "create_branch()/drop_* instead"
+                )
+        for k, v in props.items():
+            if v is None:
+                meta.properties.pop(k, None)
+            else:
+                meta.properties[k] = str(v)
+        self._write_metadata_version(version + 1, meta)
+
     # ---------- manifests ----------
 
     def manifest_abs_paths(self, snapshot_id: Optional[int] = None) -> list:
@@ -1461,6 +1483,13 @@ class Table:
                 raise ValueError("pass snapshot_id or as_of_ms, not both")
             snapshot_id = self.snapshot_as_of(as_of_ms).snapshot_id
         meta = self.metadata()
+        if snapshot_id is None and meta.current_snapshot_id is None:
+            # freshly created table (no snapshot yet): a zero-row relation
+            # with the declared schema — Iceberg's CREATE-then-SELECT shape
+            from pyspark.sql.types import StructType
+
+            empty = spark.createDataFrame([], StructType.fromDDL(meta.schema_ddl))
+            return empty.select(*columns) if columns else empty
         preds = list(predicates or [])
         # hidden partitioning: file-level pruning additionally uses the
         # transform-space predicates derived from source-column predicates

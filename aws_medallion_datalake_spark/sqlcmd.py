@@ -21,6 +21,18 @@ Python API:
     eng.sql("SELECT count(*) FROM images VERSION AS OF 1")    # time travel
     eng.sql("SELECT count(*) FROM images TIMESTAMP AS OF '2026-01-01T00:00'")
 
+DDL completes the surface (each maps to a Table metadata commit):
+
+    eng.sql("CREATE TABLE t2 (id string, v double) "
+            "PARTITIONED BY (bucket(8, id)) LOCATION '/data/t2' "
+            "TBLPROPERTIES ('write.merge.mode' = 'merge-on-read')")
+    eng.sql("CREATE TABLE big LOCATION '/data/big' AS SELECT * FROM images")
+    eng.sql("ALTER TABLE images ADD COLUMNS (license string)")
+    eng.sql("ALTER TABLE images RENAME COLUMN caption TO title")
+    eng.sql("ALTER TABLE images SET TBLPROPERTIES ('k' = 'v')")
+    eng.sql("ALTER TABLE images SET PARTITION SPEC (fmt, days(ts))")
+    eng.sql("DROP TABLE t2 PURGE")
+
 Grammar, deliberately small and strict (clear errors beat silent
 misparses; everything here maps 1:1 onto an operator call):
 
@@ -123,6 +135,39 @@ def parse_where(text: str) -> list:
     return preds
 
 
+def _take_parens(text: str) -> tuple:
+    """``text`` starts at an opening paren: return (inner, remainder) with
+    nesting and quotes respected — column DDL (``decimal(10,2)``) and
+    partition transforms (``bucket(8, id)``) nest parens."""
+    if not text.startswith("("):
+        raise SQLCommandError(f"expected '(' at: {text[:40]!r}")
+    depth, q = 0, False
+    for i, ch in enumerate(text):
+        if ch == "'":
+            q = not q
+        elif not q and ch == "(":
+            depth += 1
+        elif not q and ch == ")":
+            depth -= 1
+            if depth == 0:
+                return text[1:i].strip(), text[i + 1:].strip()
+    raise SQLCommandError(f"unbalanced parens at: {text[:40]!r}")
+
+
+def _parse_props(inner: str) -> dict:
+    """TBLPROPERTIES list: ``'k' = 'v', …`` → dict."""
+    props, rest = {}, inner.strip()
+    while rest:
+        m = re.match(r"'([^']*)'\s*=\s*'([^']*)'\s*(?:,\s*)?", rest)
+        if not m:
+            raise SQLCommandError(f"cannot parse property at: {rest!r}")
+        props[m.group(1)] = m.group(2)
+        rest = rest[m.end():]
+    if not props:
+        raise SQLCommandError("empty TBLPROPERTIES list")
+    return props
+
+
 def _split_top_commas(text: str) -> list:
     """Split on commas outside quotes/parens (SET-list separator)."""
     parts, depth, q, start = [], 0, False, 0
@@ -194,6 +239,12 @@ class EngineSQL:
             return self._describe(s)
         if head == "SHOW":
             return self._show(s)
+        if head == "CREATE":
+            return self._create(s)
+        if head == "ALTER":
+            return self._alter(s)
+        if head == "DROP":
+            return self._drop(s)
         # SELECT / WITH / EXPLAIN …: refresh catalog views, delegate
         s = self._rewrite_time_travel(s)
         for name, t in self.tables.items():
@@ -445,3 +496,171 @@ class EngineSQL:
             [c.strip() for c in cols.split(",")] if cols else None,
         )
         return column_stats_df(t, self.spark)
+
+    # ---------- DDL ----------
+
+    def _ddl_df(self, op: str, tbl: str, detail: str) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(op, tbl, detail)], "operation string, table string, detail string"
+        )
+
+    def _create(self, s: str) -> DataFrame:
+        """``CREATE TABLE <t> [(col type, …)] [PARTITIONED BY (spec, …)]
+        [STATS BY (col, …)] LOCATION '<path>' [TBLPROPERTIES ('k'='v', …)]
+        [AS <select>]`` — engine tables are path-based, so LOCATION is
+        required. CTAS derives the schema from the query; partition
+        items accept hidden-partitioning transforms (``bucket(8, id)``,
+        ``days(ts)``) exactly like ``Table.create``."""
+        m = re.match(rf"CREATE\s+TABLE\s+({_ID})\s*", s, re.I)
+        if not m:
+            raise SQLCommandError("expected: CREATE TABLE <name> …")
+        name, rest = m.group(1), s[m.end():].strip()
+        if name in self.tables:
+            raise SQLCommandError(f"table {name!r} already exists in catalog")
+        ddl = None
+        if rest.startswith("("):
+            inner, rest = _take_parens(rest)
+            ddl = inner
+        part, stats, loc, props, query = [], [], None, {}, None
+        while rest:
+            pm = re.match(r"PARTITIONED\s+BY\s*", rest, re.I)
+            if pm:
+                inner, rest = _take_parens(rest[pm.end():])
+                part = _split_top_commas(inner)
+                continue
+            sm = re.match(r"STATS\s+BY\s*", rest, re.I)
+            if sm:
+                inner, rest = _take_parens(rest[sm.end():])
+                stats = _split_top_commas(inner)
+                continue
+            lm = re.match(r"LOCATION\s+'([^']+)'\s*", rest, re.I)
+            if lm:
+                loc, rest = lm.group(1), rest[lm.end():]
+                continue
+            tm = re.match(r"TBLPROPERTIES\s*", rest, re.I)
+            if tm:
+                inner, rest = _take_parens(rest[tm.end():])
+                props = _parse_props(inner)
+                continue
+            am = re.match(r"AS\s+(.+)$", rest, re.I | re.S)
+            if am:
+                query, rest = am.group(1).strip(), ""
+                continue
+            raise SQLCommandError(f"cannot parse CREATE TABLE at: {rest[:60]!r}")
+        if loc is None:
+            raise SQLCommandError(
+                "LOCATION '<path>' is required (engine tables are path-based)"
+            )
+        if ddl is None and query is None:
+            raise SQLCommandError(
+                "CREATE TABLE needs a column list or AS <select>"
+            )
+        df = None
+        if query is not None:
+            for vname, vt in self.tables.items():
+                vt.register(self.spark, vname)
+            df = self.spark.sql(self._rewrite_time_travel(query))
+            if ddl is None:
+                ddl = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in df.schema.fields
+                )
+        t = Table.create(loc, ddl, partition_cols=part, stats_cols=stats,
+                         properties=props)
+        detail = "created"
+        if df is not None:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromDDL(ddl)
+            from pyspark.sql import functions as F
+
+            out = df.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name)
+                  for f in schema.fields]
+            )
+            entries = t.write_files(out)
+            n = int(entries["record_count"].sum()) if len(entries) else 0
+            t.commit("append", entries, {"stage": "ctas", "rows_inserted": n})
+            detail = f"created, {n} rows"
+        self.tables[name] = t
+        return self._ddl_df("CREATE TABLE", name, detail)
+
+    def _alter(self, s: str) -> DataFrame:
+        """``ALTER TABLE <t> ADD COLUMNS (ddl) | RENAME COLUMN a TO b |
+        DROP COLUMN a | SET TBLPROPERTIES (…) | UNSET TBLPROPERTIES
+        ('k', …) | SET PARTITION SPEC (spec, …)`` — each maps 1:1 onto
+        the Table metadata-evolution API (all metadata-only commits)."""
+        m = re.match(rf"ALTER\s+TABLE\s+({_ID})\s+", s, re.I)
+        if not m:
+            raise SQLCommandError("expected: ALTER TABLE <name> <action>")
+        name, rest = m.group(1), s[m.end():].strip()
+        t = self._table(name)
+        am = re.match(r"ADD\s+COLUMNS\s*", rest, re.I)
+        if am:
+            inner, tail = _take_parens(rest[am.end():])
+            if tail:
+                raise SQLCommandError(f"trailing input: {tail!r}")
+            t.add_columns(inner)
+            return self._ddl_df("ALTER TABLE", name, f"added: {inner}")
+        rm = re.match(rf"RENAME\s+COLUMN\s+({_ID})\s+TO\s+({_ID})$", rest, re.I)
+        if rm:
+            t.rename_column(rm.group(1), rm.group(2))
+            return self._ddl_df(
+                "ALTER TABLE", name, f"renamed {rm.group(1)} -> {rm.group(2)}"
+            )
+        dm = re.match(rf"DROP\s+COLUMN\s+({_ID})$", rest, re.I)
+        if dm:
+            t.drop_column(dm.group(1))
+            return self._ddl_df("ALTER TABLE", name, f"dropped {dm.group(1)}")
+        sm = re.match(r"SET\s+TBLPROPERTIES\s*", rest, re.I)
+        if sm:
+            inner, tail = _take_parens(rest[sm.end():])
+            if tail:
+                raise SQLCommandError(f"trailing input: {tail!r}")
+            t.set_properties(_parse_props(inner))
+            return self._ddl_df("ALTER TABLE", name, "properties set")
+        um = re.match(r"UNSET\s+TBLPROPERTIES\s*", rest, re.I)
+        if um:
+            inner, tail = _take_parens(rest[um.end():])
+            if tail:
+                raise SQLCommandError(f"trailing input: {tail!r}")
+            keys = re.findall(r"'([^']*)'", inner)
+            if not keys:
+                raise SQLCommandError("expected: UNSET TBLPROPERTIES ('k', …)")
+            t.set_properties({k: None for k in keys})
+            return self._ddl_df("ALTER TABLE", name, "properties unset")
+        pm = re.match(r"SET\s+PARTITION\s+SPEC\s*", rest, re.I)
+        if pm:
+            inner, tail = _take_parens(rest[pm.end():])
+            if tail:
+                raise SQLCommandError(f"trailing input: {tail!r}")
+            t.set_partition_spec(_split_top_commas(inner))
+            return self._ddl_df("ALTER TABLE", name, f"spec: {inner}")
+        raise SQLCommandError(
+            "expected: ADD COLUMNS (…) | RENAME COLUMN a TO b | "
+            "DROP COLUMN a | SET TBLPROPERTIES (…) | "
+            "UNSET TBLPROPERTIES (…) | SET PARTITION SPEC (…)"
+        )
+
+    def _drop(self, s: str) -> DataFrame:
+        """``DROP TABLE <t> [PURGE]`` — removes the table from this
+        catalog (and its temp view); PURGE also deletes the table
+        directory from storage. Without PURGE the table data is
+        untouched and re-attachable via ``Table.load``."""
+        m = re.match(rf"DROP\s+TABLE\s+({_ID})(\s+PURGE)?$", s, re.I)
+        if not m:
+            raise SQLCommandError("expected: DROP TABLE <table> [PURGE]")
+        name, purge = m.group(1), bool(m.group(2))
+        t = self._table(name)
+        del self.tables[name]
+        try:
+            self.spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        if purge:
+            import shutil
+
+            shutil.rmtree(t.root, ignore_errors=True)
+        return self._ddl_df(
+            "DROP TABLE", name, "purged" if purge else "detached"
+        )

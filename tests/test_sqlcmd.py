@@ -184,3 +184,99 @@ def test_sql_optimize_manifests(eng, spark):
     assert res["operation"] == "OPTIMIZE MANIFESTS"
     assert len(t.snapshot().manifest_paths) == 1
     assert eng.sql("SELECT count(*) AS n FROM images").first()["n"] == N + 30
+
+
+def test_sql_create_table_and_insert(eng, spark, tmp_path):
+    res = eng.sql(
+        f"CREATE TABLE t2 (id string, v double, ts timestamp) "
+        f"PARTITIONED BY (bucket(4, id)) STATS BY (id, v) "
+        f"LOCATION '{tmp_path / 't2'}' "
+        f"TBLPROPERTIES ('write.merge.mode' = 'merge-on-read')"
+    ).first()
+    assert res["operation"] == "CREATE TABLE" and res["table"] == "t2"
+    t2 = eng.tables["t2"]
+    assert t2.metadata().partition_cols == ["bucket(4, id)"]
+    assert t2.metadata().properties["write.merge.mode"] == "merge-on-read"
+    spark.sql(
+        "SELECT concat('k', id) AS id, id * 1.5 AS v, "
+        "timestamp'2026-01-02 03:04:05' AS ts FROM range(50)"
+    ).createOrReplaceTempView("src50")
+    eng.sql("INSERT INTO t2 SELECT * FROM src50")
+    assert eng.sql("SELECT count(*) AS n FROM t2").first()["n"] == 50
+
+
+def test_sql_ctas(eng, spark, tmp_path):
+    res = eng.sql(
+        f"CREATE TABLE wide LOCATION '{tmp_path / 'wide'}' "
+        f"AS SELECT image_id, w, h FROM images WHERE w >= 100"
+    ).first()
+    assert res["detail"].startswith("created, ")
+    exp = eng.sql(
+        "SELECT count(*) AS n FROM images WHERE w >= 100"
+    ).first()["n"]
+    assert eng.sql("SELECT count(*) AS n FROM wide").first()["n"] == exp
+    # derived schema matches the query's
+    cols = {r["col_name"]: r["data_type"]
+            for r in eng.sql("DESCRIBE wide").collect()}
+    assert cols == {"image_id": "string", "w": "int", "h": "int"}
+
+
+def test_sql_alter_columns(eng, spark):
+    eng.sql("ALTER TABLE images ADD COLUMNS (license string, score double)")
+    cols = {r["col_name"] for r in eng.sql("DESCRIBE images").collect()}
+    assert {"license", "score"} <= cols
+    # pre-evolution files read the new columns as NULL
+    got = eng.sql(
+        "SELECT count(*) AS n FROM images WHERE license IS NULL"
+    ).first()["n"]
+    assert got == N
+    eng.sql("ALTER TABLE images RENAME COLUMN license TO rights")
+    eng.sql("ALTER TABLE images DROP COLUMN score")
+    cols = {r["col_name"] for r in eng.sql("DESCRIBE images").collect()}
+    assert "rights" in cols and "license" not in cols and "score" not in cols
+
+
+def test_sql_tblproperties_roundtrip(eng):
+    eng.sql("ALTER TABLE images SET TBLPROPERTIES ('a' = '1', 'b' = 'x')")
+    props = {r["key"]: r["value"]
+             for r in eng.sql("SHOW TBLPROPERTIES images").collect()}
+    assert props["a"] == "1" and props["b"] == "x"
+    eng.sql("ALTER TABLE images UNSET TBLPROPERTIES ('a')")
+    props = {r["key"]: r["value"]
+             for r in eng.sql("SHOW TBLPROPERTIES images").collect()}
+    assert "a" not in props and props["b"] == "x"
+    with pytest.raises(ValueError):  # managed refs refused
+        eng.sql("ALTER TABLE images SET TBLPROPERTIES ('ref.x' = '1')")
+
+
+def test_sql_set_partition_spec(eng):
+    eng.sql("ALTER TABLE images SET PARTITION SPEC (fmt, days(ingest_date))")
+    t = eng.tables["images"]
+    assert t.metadata().partition_cols == ["fmt", "days(ingest_date)"]
+
+
+def test_sql_drop_table(eng, tmp_path):
+    import os
+
+    root = str(tmp_path / "t3")
+    eng.sql(f"CREATE TABLE t3 (id string) LOCATION '{root}'")
+    res = eng.sql("DROP TABLE t3").first()
+    assert res["detail"] == "detached" and "t3" not in eng.tables
+    assert os.path.isdir(root)  # data untouched without PURGE
+    from aws_medallion_datalake_spark.sources.tableformat import Table as T
+
+    eng.tables["t3"] = T.load(root)  # re-attachable
+    eng.sql("DROP TABLE t3 PURGE")
+    assert not os.path.exists(root)
+
+
+def test_sql_ddl_errors(eng, tmp_path):
+    for bad in [
+        "CREATE TABLE images (id string) LOCATION '/x'",  # exists
+        "CREATE TABLE nx (id string)",                     # no LOCATION
+        f"CREATE TABLE nx LOCATION '{tmp_path / 'nx'}'",   # no cols, no AS
+        "ALTER TABLE images FROBNICATE",
+        "DROP TABLE missing",
+    ]:
+        with pytest.raises(SQLCommandError):
+            eng.sql(bad)
