@@ -3055,6 +3055,246 @@ def _sql_salted_supplier_revenue():
     """
 
 
+def q_small_qty_revenue(spark, sf_dir):
+    """Correlated scalar subquery, decorrelated (TPC-H Q17 shape):
+    revenue from line items whose quantity is below 20% of the part's
+    own average quantity.
+
+    Spark-first decorrelation: instead of a per-row subquery, the
+    per-part average is ONE grouped aggregate over the already
+    part-filtered fact, joined back on the grouping key — the plan
+    Catalyst's own decorrelation would produce, written explicitly.
+    At 100 TB the brand filter broadcasts (small part dim) so the fact
+    is filtered before the agg, and the agg + back-join share the
+    l_partkey partitioning (one shuffle, reused).
+
+    Exactness: l_quantity is integer-valued, so sum/avg are exact in
+    IEEE doubles regardless of partial-agg order; the 0.2*avg threshold
+    comparison is therefore bit-stable against the oracle.
+    Reference parity: the correlated-subquery consumption pattern the
+    Athena layer supports (sql/athena_gold_queries.sql consumers).
+    """
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    flt = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lim = flt.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * F.lit(0.2)).alias("qty_lim")
+    )
+    return (
+        flt.join(lim, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        )
+    )
+
+
+def _sql_small_qty_revenue():
+    return """
+        SELECT count(*) AS n_items,
+               round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#12'
+          AND l.l_quantity < (SELECT avg(l2.l_quantity) * 0.2
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+    """
+
+
+def q_big_orders(spark, sf_dir):
+    """IN-subquery with aggregate HAVING (TPC-H Q18 shape): the top
+    orders whose line items total more than 180 units.
+
+    Spark-first: the IN (SELECT … GROUP BY … HAVING …) membership test
+    decorrelates to one grouped aggregate + an equi-join — the
+    aggregate is computed ONCE and reused both as the filter and as the
+    output measure (the oracle's subquery recomputes it). Top-10
+    compiles to TakeOrderedAndProject: no global sort materializes.
+    sum(l_quantity) over integer-valued doubles is exact, so the
+    HAVING boundary is bit-stable.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 180.0)
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def _sql_big_orders():
+    return """
+        SELECT o.o_orderkey, o.o_totalprice, sum(l.l_quantity) AS total_qty
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                               GROUP BY l_orderkey
+                               HAVING sum(l_quantity) > 180.0)
+        GROUP BY o.o_orderkey, o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 10
+    """
+
+
+def q_disjunctive_parts(spark, sf_dir):
+    """Disjunctive multi-clause join predicate (TPC-H Q19 shape):
+    revenue over OR-ed (brand, size-range, quantity-range) clause
+    groups.
+
+    Spark-first: the brand disjunction is factored into a conjunctive
+    part-side pre-filter (p_brand IN …, p_size <= 15) so the dim shrinks
+    BEFORE the broadcast and the scan prunes on the pushed IN-list; the
+    residual OR evaluates post-join on already-matched rows only. At
+    100 TB the win is that the fact side never shuffles — the filtered
+    part dim broadcasts.
+    """
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= 15)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size") <= 5)
+            & F.col("l_quantity").between(1.0, 11.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size") <= 10)
+            & F.col("l_quantity").between(10.0, 20.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("l_quantity").between(20.0, 30.0)
+        )
+    )
+    return j.filter(clause).agg(
+        F.count("*").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+def _sql_disjunctive_parts():
+    return """
+        SELECT count(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1.0 AND 11.0)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10.0 AND 20.0)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20.0 AND 30.0)
+    """
+
+
+def q_above_avg_balance(spark, sf_dir):
+    """Uncorrelated scalar subquery (TPC-H Q22 shape): customers whose
+    balance exceeds the average positive balance.
+
+    Spark-first: the scalar subquery becomes a 1-row aggregate
+    broadcast-cross-joined onto the table — no driver collect, no
+    second pass; the threshold rides along as a column and the filter
+    stays in whole-stage codegen. (float caveat: avg over doubles is
+    partial-agg-order dependent at the last ulp; acctbal granularity
+    ~0.01 dwarfs that, so membership is stable.)
+    """
+    c = _t(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("thr"))
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+def _sql_above_avg_balance():
+    return """
+        SELECT c_mktsegment, count(*) AS n_custs,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+        GROUP BY c_mktsegment
+    """
+
+
+def q_order_count_distribution(spark, sf_dir):
+    """Two-level aggregate over an outer join (TPC-H Q13 shape): the
+    distribution of per-customer order counts, zero-order customers
+    included.
+
+    Spark-first: the orders side is filtered BEFORE the left join (the
+    SQL form must put the predicate in the ON clause to keep
+    zero-order customers; pre-filtering the right side is the
+    equivalent pushed-down plan). The second aggregate's key
+    (c_count) has tiny cardinality, so the second shuffle moves a few
+    hundred rows regardless of table size. All-integer measures —
+    bit-stable oracle comparison.
+    """
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def _sql_order_count_distribution():
+    return """
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                                AND o.o_orderpriority <> '1-URGENT'
+              GROUP BY c.c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3118,6 +3358,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_orders_semi": q_returned_orders_semi,
         "quantity_quartiles": q_quantity_quartiles,
         "salted_supplier_revenue": q_salted_supplier_revenue,
+        "small_qty_revenue": q_small_qty_revenue,
+        "big_orders": q_big_orders,
+        "disjunctive_parts": q_disjunctive_parts,
+        "above_avg_balance": q_above_avg_balance,
+        "order_count_distribution": q_order_count_distribution,
         "image_features_ann": q_image_features_ann,
         "image_medallion": q_image_medallion,
         "image_maintenance": q_image_maintenance,
@@ -3196,6 +3441,11 @@ def oracle_sql() -> dict[str, str]:
         "returned_orders_semi": _sql_returned_orders_semi(),
         "quantity_quartiles": _sql_quantity_quartiles(),
         "salted_supplier_revenue": _sql_salted_supplier_revenue(),
+        "small_qty_revenue": _sql_small_qty_revenue(),
+        "big_orders": _sql_big_orders(),
+        "disjunctive_parts": _sql_disjunctive_parts(),
+        "above_avg_balance": _sql_above_avg_balance(),
+        "order_count_distribution": _sql_order_count_distribution(),
         # image_medallion / image_maintenance / image_gold_star:
         # engine-internal table format + Arrow codec UDFs — not
         # SQL-expressible (rows-only).
