@@ -81,8 +81,10 @@ non-deterministic — same rule as Iceberg's cardinality check).
 from __future__ import annotations
 
 import os
+import re
 import time
 from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
 from typing import Optional
 
 import pandas as pd
@@ -94,6 +96,85 @@ from ..sources.tableformat import Snapshot, Table, resolve_write_mode
 from ..sources.tableformat import read_split_size as _read_split_size
 from ..sources.tableformat import rel_path_expr as _rel_path_expr
 from .timing import PhaseTimer
+
+_SRC_REF = re.compile(r"\bsrc_([A-Za-z_][A-Za-z0-9_]*)\b")
+
+
+@dataclass(frozen=True)
+class MergeClauses:
+    """Resolved WHEN-clause configuration (SQL:2003 / Delta MERGE surface).
+
+    Conditions are SQL boolean expressions. Target columns are referenced
+    by their plain names; SOURCE columns by a ``src_`` prefix (``src_ts >
+    ts`` = "source row is newer than the target row"), mirroring Delta's
+    ``s.ts > t.ts`` with the alias folded into the name — keeps condition
+    evaluation a single joined projection instead of an expression
+    rewriter. ``not_matched_condition`` sees only source rows, so its
+    columns use plain names.
+    """
+
+    matched: str = "update"                   # update | delete | ignore
+    matched_condition: Optional[str] = None
+    not_matched: str = "insert"               # insert | ignore
+    not_matched_condition: Optional[str] = None
+    nmbs: Optional[str] = None                # None | delete
+    nmbs_condition: Optional[str] = None
+
+    def is_default(self) -> bool:
+        return (
+            self.matched in ("update", "delete")
+            and self.matched_condition is None
+            and self.not_matched == "insert"
+            and self.not_matched_condition is None
+            and self.nmbs is None
+        )
+
+    def validate(self, src_cols: list, tgt_cols: list) -> None:
+        if self.matched not in ("update", "delete", "ignore"):
+            raise ValueError(
+                f"when_matched must be 'update'|'delete'|'ignore', got {self.matched!r}"
+            )
+        if self.not_matched not in ("insert", "ignore"):
+            raise ValueError(
+                f"when_not_matched must be 'insert'|'ignore', got {self.not_matched!r}"
+            )
+        if self.nmbs not in (None, "delete"):
+            raise ValueError(
+                f"when_not_matched_by_source must be None|'delete', got {self.nmbs!r}"
+            )
+        if self.matched == "ignore" and self.not_matched == "ignore" and not self.nmbs:
+            raise ValueError("MERGE with every clause a no-op")
+        for cond, where in (
+            (self.matched_condition, "matched_condition"),
+            (self.nmbs_condition, "not_matched_by_source_condition"),
+        ):
+            for c in _cond_src_cols(cond):
+                if c not in src_cols:
+                    raise ValueError(
+                        f"{where} references src_{c} but the source has no column {c!r}"
+                    )
+        if self.nmbs_condition and _cond_src_cols(self.nmbs_condition):
+            raise ValueError(
+                "not_matched_by_source_condition sees only target rows; "
+                "src_ references are meaningless there"
+            )
+
+
+def _cond_src_cols(cond: Optional[str]) -> list:
+    """Source columns a condition references via the ``src_`` prefix."""
+    return sorted({m.group(1) for m in _SRC_REF.finditer(cond or "")})
+
+
+def _cond_tgt_cols(cond: Optional[str], schema_cols: list) -> list:
+    """Target schema columns a condition references by plain name —
+    over-selection is harmless (probe stays column-pruned to the hits)."""
+    if not cond:
+        return []
+    return [
+        c
+        for c in schema_cols
+        if re.search(rf"(?<!src_)\b{re.escape(c)}\b", cond)
+    ]
 
 
 def merge_into(
@@ -108,6 +189,11 @@ def merge_into(
     check_duplicate_keys: bool = True,
     broadcast_key_limit: int = 4_000_000,
     when_matched: str = "update",
+    matched_condition: Optional[str] = None,
+    when_not_matched: str = "insert",
+    not_matched_condition: Optional[str] = None,
+    when_not_matched_by_source: Optional[str] = None,
+    not_matched_by_source_condition: Optional[str] = None,
     smj_salt_buckets: int = 0,
     properties: Optional[dict] = None,
     mode: Optional[str] = None,
@@ -123,9 +209,31 @@ def merge_into(
       INSERT * — matched target rows are dropped by the same key-only
       anti-join rewrite; the delta is only the UNMATCHED source rows
       (the retention/replace merge shape).
+    - ``"ignore"``: matched rows untouched (insert-only MERGE).
+
+    Clause surface (SQL:2003 / Delta parity — see ``MergeClauses``):
+    ``matched_condition`` gates the matched action per TARGET row
+    (source columns referenced as ``src_<name>``, e.g. ``src_ts > ts``
+    for the only-if-newer CDC shape; a key whose every target copy
+    fails the condition is left untouched and its source row is
+    dropped); ``when_not_matched="ignore"`` suppresses inserts;
+    ``not_matched_condition`` filters insert rows (source columns,
+    plain names); ``when_not_matched_by_source="delete"`` removes
+    target rows whose key is absent from the source (the full-sync /
+    mirror shape — inherently a whole-table probe unless
+    ``not_matched_by_source_condition`` scopes it, so stats pruning on
+    the condition bounds the touched set). Defaults reproduce the
+    classic upsert exactly (same fast path, zero plan change).
     """
-    if when_matched not in ("update", "delete"):
-        raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
+    cl = MergeClauses(
+        matched=when_matched,
+        matched_condition=matched_condition,
+        not_matched=when_not_matched,
+        not_matched_condition=not_matched_condition,
+        nmbs=when_not_matched_by_source,
+        nmbs_condition=not_matched_by_source_condition,
+    )
+    cl.validate(source.columns, [f.name for f in table._schema(spark).fields])
     mode = resolve_write_mode(table.metadata(), "merge", mode)
     if mode not in ("copy-on-write", "merge-on-read"):
         raise ValueError(f"mode must be 'copy-on-write' or 'merge-on-read', got {mode!r}")
@@ -240,8 +348,21 @@ def merge_into(
     if mode == "merge-on-read":
         try:
             return _mor_merge(
-                table, spark, src, key, src_keys, probe_preds, when_matched,
+                table, spark, src, key, src_keys, probe_preds, cl,
                 n_src_keys, properties, pt, t0,
+            )
+        finally:
+            src_key_counts.unpersist()
+    if not cl.is_default():
+        try:
+            return _cow_merge_clauses(
+                table, spark, src, key,
+                broadcast=n_src_keys <= broadcast_key_limit,
+                probe_preds=probe_preds, cl=cl, properties=properties,
+                pt=pt, t0=t0,
+                target_file_size_bytes=target_file_size_bytes,
+                max_files_per_job=max_files_per_job,
+                rewrite_parallelism=rewrite_parallelism,
             )
         finally:
             src_key_counts.unpersist()
@@ -406,6 +527,214 @@ def merge_into(
 
 
 
+def _cow_merge_clauses(
+    table: Table,
+    spark: SparkSession,
+    src: DataFrame,
+    key: str,
+    *,
+    broadcast: bool,
+    probe_preds,
+    cl: MergeClauses,
+    properties: Optional[dict],
+    pt: PhaseTimer,
+    t0: float,
+    target_file_size_bytes: int,
+    max_files_per_job: int,
+    rewrite_parallelism: int,
+) -> Snapshot:
+    """Generalized copy-on-write MERGE for any non-default clause config
+    (conditional WHEN MATCHED, insert suppression/filtering, WHEN NOT
+    MATCHED BY SOURCE DELETE). Same architecture as the fast path —
+    column-pruned probes, key-only anti-join rewrites in bounded
+    thread-pool groups, one atomic commit — plus:
+
+    - the matched CONDITION is evaluated once, at probe time, over a
+      projection carrying only the referenced columns (target plain,
+      source as ``src_<name>``); the rewrite itself stays a key-only
+      anti-join against the *affected* key set, so files whose every
+      match fails the condition are never rewritten at all;
+    - NOT MATCHED BY SOURCE probes the FULL table (source-key-range
+      pruning is unsound there — a deletable row is precisely one the
+      source doesn't cover); its condition is re-evaluated per row in
+      the keep-side rewrite with a broadcast membership marker.
+
+    At 10^12 rows the unconditioned full-sync shape (``nmbs="delete"``,
+    no condition) honestly touches every file not fully covered by the
+    source — that IS the operation; a scoped condition (partition
+    predicate) bounds the probe like any stats-pruned scan.
+    """
+    man = table.manifest_pdf()
+    schema_cols = [f.name for f in table._schema(spark).fields]
+    rel = _rel_path_expr(table.root)
+
+    def _bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast else df
+
+    src_keys = src.select(key).distinct()
+
+    # ---- matched probe: (key, path) pairs + the clause condition,
+    # evaluated over only the referenced columns
+    m_src = _cond_src_cols(cl.matched_condition)
+    m_tgt = _cond_tgt_cols(cl.matched_condition, schema_cols)
+    probe_side = src.select(
+        key, *[F.col(c).alias(f"src_{c}") for c in m_src]
+    )
+    tgt = table.scan(spark, predicates=probe_preds)
+    probe = (
+        tgt.select(
+            F.col(key),
+            *[F.col(c) for c in m_tgt if c != key],
+            rel.alias("__path"),
+        )
+        .join(_bc(probe_side), key, "inner")
+        .persist()
+    )
+    if cl.matched == "ignore":
+        aff = probe.limit(0).select(key, "__path")
+    elif cl.matched_condition:
+        aff = probe.filter(F.expr(cl.matched_condition)).select(key, "__path")
+    else:
+        aff = probe.select(key, "__path")
+    aff = aff.persist()
+    with pt.phase("probe"):
+        touched_matched = set(
+            aff.select("__path").distinct().toPandas()["__path"]
+        )
+        n_replaced = aff.select(key).distinct().count()
+    replaced_keys = aff.select(key).distinct()
+
+    # ---- NOT MATCHED BY SOURCE probe: full-table, no source-range pruning
+    nmbs_rows = 0
+    touched_nmbs: set = set()
+    if cl.nmbs == "delete":
+        nm_tgt = _cond_tgt_cols(cl.nmbs_condition, schema_cols)
+        nm = table.scan(spark).select(
+            F.col(key),
+            *[F.col(c) for c in nm_tgt if c != key],
+            rel.alias("__path"),
+        ).join(_bc(src_keys), key, "left_anti")
+        if cl.nmbs_condition:
+            nm = nm.filter(F.expr(cl.nmbs_condition))
+        with pt.phase("nmbs_probe"):
+            nm_pdf = nm.groupBy("__path").agg(
+                F.count(F.lit(1)).alias("n")
+            ).toPandas()
+        touched_nmbs = set(nm_pdf["__path"])
+        nmbs_rows = int(nm_pdf["n"].sum()) if len(nm_pdf) else 0
+
+    touched_rel = touched_matched | touched_nmbs
+    touched_man = man[man["path"].isin(touched_rel)]
+    groups = (
+        _plan_rewrite_groups(touched_man, max_files_per_job)
+        if len(touched_man)
+        else []
+    )
+
+    results: dict = {}
+    delta_box: dict = {}
+    stats_frames: dict = {}
+
+    def stats_for(tag, prefix: str) -> None:
+        if _has_parquet(prefix):
+            with pt.phase("stats"):
+                stats_frames[tag] = table.collect_stats_for_prefix(spark, prefix)
+
+    def rewrite(gno: int, paths: list) -> None:
+        tgt_rows = table.read_data(
+            spark, [os.path.join(table.root, p) for p in paths]
+        )
+        keep = tgt_rows.join(_bc(replaced_keys), key, "left_anti")
+        if cl.nmbs == "delete":
+            # drop rows where the nmbs condition holds AND the key has no
+            # source coverage — broadcast membership marker, tri-state
+            # condition folded to drop-only-when-TRUE
+            cond = (
+                F.coalesce(F.expr(cl.nmbs_condition), F.lit(False))
+                if cl.nmbs_condition
+                else F.lit(True)
+            )
+            keep = (
+                keep.join(
+                    _bc(src_keys.withColumn("__in_src", F.lit(1))),
+                    key,
+                    "left",
+                )
+                .filter(~(cond & F.col("__in_src").isNull()))
+                .drop("__in_src")
+            )
+        prefix = table.new_data_prefix()
+        table.data_writer(keep).parquet(prefix)
+        results[gno] = prefix
+        stats_for(gno, prefix)
+
+    def write_delta() -> None:
+        parts = []
+        if cl.matched == "update" and n_replaced:
+            parts.append(src.join(_bc(replaced_keys), key, "left_semi"))
+        if cl.not_matched == "insert":
+            ins = src.join(_bc(probe.select(key).distinct()), key, "left_anti")
+            if cl.not_matched_condition:
+                ins = ins.filter(F.expr(cl.not_matched_condition))
+            parts.append(ins)
+        if not parts:
+            return
+        delta_src = parts[0].select(schema_cols)
+        for p in parts[1:]:
+            delta_src = delta_src.unionByName(p.select(schema_cols))
+        delta_box["prefix"] = _modest_write(table, delta_src, key)
+        stats_for("delta", delta_box["prefix"])
+
+    with pt.phase("rewrite"), _read_split_size(spark, target_file_size_bytes):
+        with ThreadPoolExecutor(max_workers=max(2, rewrite_parallelism)) as pool:
+            futures = [pool.submit(rewrite, i, g) for i, g in enumerate(groups)]
+            futures.append(pool.submit(write_delta))
+            for f in futures:
+                f.result()
+
+    new_entries_frames = [
+        stats_frames[k]
+        for k in [*range(len(groups)), "delta"]
+        if k in stats_frames
+    ]
+    delta_records = 0
+    if "delta" in stats_frames:
+        delta_records = int(stats_frames["delta"]["record_count"].sum())
+    n_inserts = delta_records - (n_replaced if cl.matched == "update" else 0)
+
+    keep_man = man[~man["path"].isin(touched_rel)]
+    new_man = (
+        pd.concat([keep_man] + new_entries_frames, ignore_index=True)
+        if new_entries_frames
+        else keep_man
+    )
+    summary = {
+        "stage": "merge",
+        "when_matched": cl.matched,
+        "clauses": {
+            "matched_condition": cl.matched_condition,
+            "when_not_matched": cl.not_matched,
+            "not_matched_condition": cl.not_matched_condition,
+            "when_not_matched_by_source": cl.nmbs,
+            "not_matched_by_source_condition": cl.nmbs_condition,
+        },
+        "rows_updated": int(n_replaced) if cl.matched == "update" else 0,
+        "rows_deleted": (int(n_replaced) if cl.matched == "delete" else 0)
+        + int(nmbs_rows),
+        "rows_nmbs_deleted": int(nmbs_rows),
+        "rows_inserted": int(max(0, n_inserts)),
+        "files_rewritten": len(touched_rel),
+        "duration_sec": round(time.time() - t0, 3),
+        "phase_sec": pt.summary(),
+    }
+    if "prefix" in delta_box and _has_parquet(delta_box["prefix"]):
+        summary["delta_prefix"] = _rel(table, delta_box["prefix"]) + "/"
+    snap = table.commit("merge", new_man, summary, properties=properties)
+    probe.unpersist()
+    aff.unpersist()
+    return snap
+
+
 def _mor_merge(
     table: Table,
     spark: SparkSession,
@@ -413,7 +742,7 @@ def _mor_merge(
     key: str,
     src_keys: DataFrame,
     probe_preds,
-    when_matched: str,
+    cl: MergeClauses,
     n_src_keys: int,
     properties: Optional[dict],
     pt: PhaseTimer,
@@ -434,7 +763,17 @@ def _mor_merge(
     them, so already-suppressed rows are never re-recorded).
     CDC note: ``changes_cdc`` reads this commit as delta inserts + the
     positional deletes; with ``key_cols`` the matched keys pair into
-    update pre/post images exactly like the copy-on-write path."""
+    update pre/post images exactly like the copy-on-write path.
+
+    Clause generality comes almost free in this write mode: a matched
+    CONDITION just filters which (path, pos) pairs become delete
+    records; WHEN NOT MATCHED BY SOURCE DELETE is a second anti-join
+    probe whose positions land in the same delete-file write —
+    O(deleted rows), no rewrite, the natural physical plan for sync
+    deletes on a clustered 10^12-row table (the copy-on-write path
+    must rewrite every touched file instead). The NMBS probe disables
+    source-key-range pruning (a deletable row is precisely one the
+    source does not cover)."""
     import shutil
 
     import pyarrow.parquet as _pq
@@ -442,6 +781,7 @@ def _mor_merge(
     from ..sources.tableformat import prune_manifest
 
     schema = table._schema(spark)
+    cols = [f.name for f in schema.fields]
     meta = table.metadata()
     man = table.manifest_pdf() if meta.current_snapshot_id is not None else None
     snap = table.snapshot() if meta.current_snapshot_id is not None else None
@@ -449,21 +789,34 @@ def _mor_merge(
     dprefix = table.new_data_prefix()
     new_delete_rel: list = []
     n_del_rows = 0
-    pairs = None
+    n_matched_pos = 0
+    nmbs_rows = 0
+    matched = None
+    aff_keys = None
     if man is not None and len(man):
         statable = transforms.field_names(meta.partition_cols) + list(
             meta.stats_cols
         )
+        # NMBS must see the whole table; otherwise prune to the source
+        # key range as usual
         cand = (
             prune_manifest(
                 man,
                 transforms.extend_predicates(meta.partition_cols, probe_preds),
                 statable,
             )
-            if probe_preds
+            if probe_preds and not cl.nmbs
             else man
         )
         if len(cand):
+            m_src = _cond_src_cols(cl.matched_condition)
+            probe_side = (
+                src.select(
+                    key, *[F.col(c).alias(f"src_{c}") for c in m_src]
+                )
+                if m_src
+                else src_keys
+            )
             with pt.phase("probe"):
                 live = table._apply_mor_deletes(
                     spark,
@@ -477,13 +830,26 @@ def _mor_merge(
                 live = table._apply_eq_deletes(
                     spark, live, snap, path_col="__mor_path"
                 )
-                pairs = (
-                    live.select(F.col(key), "__mor_path", "__mor_pos")
-                    .join(src_keys, key, "inner")
+                m_tgt = _cond_tgt_cols(cl.matched_condition, cols)
+                matched = (
+                    live.select(
+                        F.col(key),
+                        *[F.col(c) for c in m_tgt if c != key],
+                        "__mor_path",
+                        "__mor_pos",
+                    )
+                    .join(probe_side, key, "inner")
                     .persist()
                 )
+                if cl.matched == "ignore":
+                    affpos = matched.limit(0)
+                elif cl.matched_condition:
+                    affpos = matched.filter(F.expr(cl.matched_condition))
+                else:
+                    affpos = matched
+                aff_keys = affpos.select(key).distinct().persist()
                 (
-                    pairs.select(
+                    affpos.select(
                         F.col("__mor_path").alias("path"),
                         F.col("__mor_pos").alias("pos"),
                     )
@@ -492,6 +858,32 @@ def _mor_merge(
                     .write.mode("append")
                     .parquet(dprefix)
                 )
+            n_matched_pos = sum(
+                _pq.ParquetFile(os.path.join(dprefix, f)).metadata.num_rows
+                for f in os.listdir(dprefix)
+                if f.endswith(".parquet")
+            )
+            if cl.nmbs == "delete":
+                nm_tgt = _cond_tgt_cols(cl.nmbs_condition, cols)
+                nm = live.select(
+                    F.col(key),
+                    *[F.col(c) for c in nm_tgt if c != key],
+                    "__mor_path",
+                    "__mor_pos",
+                ).join(src_keys, key, "left_anti")
+                if cl.nmbs_condition:
+                    nm = nm.filter(F.expr(cl.nmbs_condition))
+                with pt.phase("nmbs_probe"):
+                    (
+                        nm.select(
+                            F.col("__mor_path").alias("path"),
+                            F.col("__mor_pos").alias("pos"),
+                        )
+                        .sortWithinPartitions("path", "pos")
+                        .coalesce(4)
+                        .write.mode("append")
+                        .parquet(dprefix)
+                    )
             new_delete_rel = sorted(
                 os.path.relpath(os.path.join(dprefix, f), table.root)
                 for f in os.listdir(dprefix)
@@ -501,24 +893,45 @@ def _mor_merge(
                 _pq.ParquetFile(os.path.join(table.root, p)).metadata.num_rows
                 for p in new_delete_rel
             )
+            nmbs_rows = n_del_rows - n_matched_pos
     if n_del_rows == 0:
         shutil.rmtree(dprefix, ignore_errors=True)
         new_delete_rel = []
 
     with pt.phase("count_matched"):
         n_matched = (
-            pairs.select(key).distinct().count()
-            if pairs is not None and n_del_rows
-            else 0
+            aff_keys.count() if aff_keys is not None and n_matched_pos else 0
         )
 
-    cols = [f.name for f in schema.fields]
     with pt.phase("rewrite"):
-        delta_src = src.select(cols)
-        if when_matched == "delete" and n_matched:
-            delta_src = delta_src.join(
-                pairs.select(key).distinct(), key, "left_anti"
-            )
+        if (
+            cl.matched == "update"
+            and cl.matched_condition is None
+            and cl.not_matched == "insert"
+            and cl.not_matched_condition is None
+        ):
+            # fast shape: every source row survives (matched keys replace,
+            # unmatched insert) — one wholesale delta, no join
+            delta_src = src.select(cols)
+        else:
+            parts = []
+            if cl.matched == "update" and n_matched:
+                parts.append(src.join(aff_keys, key, "left_semi"))
+            if cl.not_matched == "insert":
+                ins = (
+                    src.join(matched.select(key).distinct(), key, "left_anti")
+                    if matched is not None
+                    else src
+                )
+                if cl.not_matched_condition:
+                    ins = ins.filter(F.expr(cl.not_matched_condition))
+                parts.append(ins)
+            if parts:
+                delta_src = parts[0].select(cols)
+                for p in parts[1:]:
+                    delta_src = delta_src.unionByName(p.select(cols))
+            else:
+                delta_src = src.select(cols).limit(0)
         delta_prefix = _modest_write(table, delta_src, key)
     with pt.phase("stats"):
         entries = (
@@ -527,31 +940,45 @@ def _mor_merge(
             else (man.iloc[0:0] if man is not None else pd.DataFrame())
         )
     n_delta = int(entries["record_count"].sum()) if len(entries) else 0
-    n_inserts = n_delta if when_matched == "delete" else n_delta - n_matched
+    n_inserts = n_delta - (n_matched if cl.matched == "update" else 0)
 
+    summary = {
+        "stage": "merge",
+        "mode": "merge-on-read",
+        "when_matched": cl.matched,
+        "rows_updated": int(n_matched) if cl.matched == "update" else 0,
+        "rows_deleted": (int(n_matched) if cl.matched == "delete" else 0)
+        + int(max(0, nmbs_rows)),
+        "rows_inserted": int(max(0, n_inserts)),
+        "rows_suppressed_positions": int(n_del_rows),
+        "files_rewritten": 0,
+        "delete_files_added": len(new_delete_rel),
+        "duration_sec": round(time.time() - t0, 3),
+        "phase_sec": pt.summary(),
+    }
+    if not cl.is_default():
+        summary["rows_nmbs_deleted"] = int(max(0, nmbs_rows))
+        summary["clauses"] = {
+            "matched_condition": cl.matched_condition,
+            "when_not_matched": cl.not_matched,
+            "not_matched_condition": cl.not_matched_condition,
+            "when_not_matched_by_source": cl.nmbs,
+            "not_matched_by_source_condition": cl.nmbs_condition,
+        }
+    if _has_parquet(delta_prefix):
+        summary["delta_prefix"] = _rel(table, delta_prefix) + "/"
     out = table.commit(
         "merge",
         entries,
-        {
-            "stage": "merge",
-            "mode": "merge-on-read",
-            "delta_prefix": _rel(table, delta_prefix) + "/",
-            "when_matched": when_matched,
-            "rows_updated": int(n_matched) if when_matched == "update" else 0,
-            "rows_deleted": int(n_matched) if when_matched == "delete" else 0,
-            "rows_inserted": int(n_inserts),
-            "rows_suppressed_positions": int(n_del_rows),
-            "files_rewritten": 0,
-            "delete_files_added": len(new_delete_rel),
-            "duration_sec": round(time.time() - t0, 3),
-            "phase_sec": pt.summary(),
-        },
+        summary,
         properties=properties,
         delta_manifest=True,
         delete_paths=table.pending_delete_paths() + new_delete_rel,
     )
-    if pairs is not None:
-        pairs.unpersist()
+    if matched is not None:
+        matched.unpersist()
+    if aff_keys is not None:
+        aff_keys.unpersist()
     return out
 
 

@@ -46,9 +46,15 @@ misparses; everything here maps 1:1 onto an operator call):
 - UPDATE/DELETE/MERGE write modes resolve from the table's Iceberg
   ``write.<op>.mode`` properties (copy-on-write default, merge-on-read
   opt-in) — the statement surface never hardcodes a mode.
-- ``MERGE INTO t USING <view> ON <key> [WHEN MATCHED THEN DELETE]``
-  reads the source from ``spark.table(view)`` — any registered view or
-  DataFrame the caller named.
+- ``MERGE INTO t USING <view> ON <key>`` reads the source from
+  ``spark.table(view)`` — any registered view or DataFrame the caller
+  named. Full SQL:2003 clause list supported: ``WHEN MATCHED [AND
+  <cond>] THEN UPDATE SET *|DELETE``, ``WHEN NOT MATCHED [AND <cond>]
+  THEN INSERT *``, ``WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+  DELETE``. With no clauses the classic upsert applies (update+insert);
+  with any clause present, unstated actions default to no-op per the
+  standard. Matched conditions reference target columns plainly and
+  source columns as ``src_<name>`` (``src_ts > ts``).
 - DML/maintenance statements return a one-row metrics DataFrame (the
   snapshot summary), like Spark's own DML commands; ``ANALYZE`` returns
   the column-stats relation; anything else is delegated verbatim to
@@ -326,19 +332,60 @@ class EngineSQL:
 
     def _merge(self, s: str) -> DataFrame:
         m = re.match(
-            rf"MERGE\s+INTO\s+({_ID})\s+USING\s+({_ID})\s+ON\s+({_ID})"
-            rf"(?:\s+WHEN\s+MATCHED\s+THEN\s+(UPDATE|DELETE))?$",
-            s, re.I,
+            rf"MERGE\s+INTO\s+({_ID})\s+USING\s+({_ID})\s+ON\s+({_ID})\s*(.*)$",
+            s, re.I | re.S,
         )
         if not m:
             raise SQLCommandError(
                 "expected: MERGE INTO <table> USING <view> ON <key> "
-                "[WHEN MATCHED THEN UPDATE|DELETE]"
+                "[WHEN MATCHED [AND <cond>] THEN UPDATE SET *|DELETE] "
+                "[WHEN NOT MATCHED [AND <cond>] THEN INSERT *] "
+                "[WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]"
             )
-        name, src_view, key, matched = m.groups()
+        name, src_view, key, rest = m.groups()
+        kwargs: dict = {}
+        rest = rest.strip()
+        if rest:
+            # SQL-standard semantics once any clause appears: unstated
+            # actions are no-ops (the bare statement keeps the classic
+            # upsert default for compatibility)
+            kwargs = {"when_matched": "ignore", "when_not_matched": "ignore"}
+            clause_pat = re.compile(
+                r"(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)"
+                r"\s*(?:\bAND\b\s+(.+?))?\s*\bTHEN\b\s*"
+                r"(UPDATE(?:\s+SET\s+\*)?|DELETE|INSERT(?:\s+\*)?)\s*$",
+                re.I | re.S,
+            )
+            for chunk in re.split(r"(?i)\bWHEN\b", rest):
+                chunk = chunk.strip()
+                if not chunk:
+                    continue
+                cm = clause_pat.match(chunk)
+                if not cm:
+                    raise SQLCommandError(f"cannot parse MERGE clause: WHEN {chunk}")
+                kind = re.sub(r"\s+", " ", cm.group(1).upper())
+                cond = cm.group(2).strip() if cm.group(2) else None
+                action = cm.group(3).split()[0].upper()
+                if kind == "MATCHED":
+                    if action not in ("UPDATE", "DELETE"):
+                        raise SQLCommandError("WHEN MATCHED takes UPDATE or DELETE")
+                    kwargs["when_matched"] = action.lower()
+                    kwargs["matched_condition"] = cond
+                elif kind == "NOT MATCHED":
+                    if action != "INSERT":
+                        raise SQLCommandError("WHEN NOT MATCHED takes INSERT")
+                    kwargs["when_not_matched"] = "insert"
+                    kwargs["not_matched_condition"] = cond
+                else:  # NOT MATCHED BY SOURCE
+                    if action != "DELETE":
+                        raise SQLCommandError(
+                            "WHEN NOT MATCHED BY SOURCE takes DELETE"
+                        )
+                    kwargs["when_not_matched_by_source"] = "delete"
+                    kwargs["not_matched_by_source_condition"] = cond
         snap = merge_into(
             self._table(name), self.spark, self.spark.table(src_view),
-            key=key, when_matched=(matched or "update").lower(),
+            key=key, **kwargs,
         )
         return self._summary_df("MERGE", name, snap)
 
