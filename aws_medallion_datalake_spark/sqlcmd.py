@@ -251,6 +251,26 @@ class EngineSQL:
             return self._alter(s)
         if head == "DROP":
             return self._drop(s)
+        # metadata-only COUNT(*): answered from manifest record counts
+        # (O(manifest), zero data IO) when the WHERE is absent or fully
+        # provable from file stats; any unprovable shape falls through
+        # to the ordinary scan plan below
+        m = re.match(
+            rf"SELECT\s+COUNT\(\*\)(?:\s+AS\s+(\w+))?\s+FROM\s+({_ID})"
+            rf"(?:\s+WHERE\s+(.+))?$",
+            s, re.I | re.S,
+        )
+        if m and m.group(2) in self.tables:
+            from .operators.metascan import fast_count
+
+            try:
+                preds = parse_where(m.group(3)) if m.group(3) else None
+                n = fast_count(self.tables[m.group(2)], self.spark, preds)
+                return self.spark.createDataFrame(
+                    [(n,)], f"`{m.group(1) or 'count(1)'}` long"
+                )
+            except (ValueError, SQLCommandError):
+                pass
         # SELECT / WITH / EXPLAIN …: refresh catalog views, delegate
         s = self._rewrite_time_travel(s)
         for name, t in self.tables.items():
