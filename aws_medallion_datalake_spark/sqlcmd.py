@@ -251,6 +251,8 @@ class EngineSQL:
             return self._alter(s)
         if head == "DROP":
             return self._drop(s)
+        if head == "CALL":
+            return self._call(s)
         # metadata-only COUNT(*): answered from manifest record counts
         # (O(manifest), zero data IO) when the WHERE is absent or fully
         # provable from file stats; any unprovable shape falls through
@@ -517,6 +519,165 @@ class EngineSQL:
             "operation string, table string, snapshot_id long, "
             "restored_to long",
         )
+
+    def _call(self, s: str) -> DataFrame:
+        """Iceberg stored-procedure spelling: ``CALL system.<proc>(…)``
+        with positional or ``name => value`` named arguments — the same
+        maintenance operators the OPTIMIZE/VACUUM/RESTORE statements
+        drive, under the names Iceberg users already type
+        (spark.sql("CALL system.expire_snapshots(table => 'db.t',
+        retain_last => 3)") etc.). ``older_than`` accepts epoch millis
+        or an ISO timestamp."""
+        m = re.match(
+            r"CALL\s+(?:system\.)?([A-Za-z_]\w*)\s*\((.*)\)\s*$",
+            s, re.I | re.S,
+        )
+        if not m:
+            raise SQLCommandError("expected: CALL system.<procedure>(…)")
+        proc = m.group(1).lower()
+        args: list = []
+        kwargs: Dict[str, object] = {}
+        argstr = m.group(2).strip()
+        if argstr:
+            for tok in _split_top_commas(argstr):
+                tok = tok.strip()
+                km = re.match(r"([A-Za-z_]\w*)\s*=>\s*(.+)$", tok, re.S)
+                if km:
+                    kwargs[km.group(1).lower()] = _lit(km.group(2).strip())
+                else:
+                    args.append(_lit(tok))
+
+        def arg(name: str, i: int, default=None):
+            if name in kwargs:
+                return kwargs[name]
+            return args[i] if len(args) > i else default
+
+        def older_than_ms(v):
+            if v is None:
+                return None
+            if isinstance(v, (int, float)):
+                return int(v)
+            import datetime as _dt
+
+            try:
+                return int(_dt.datetime.fromisoformat(str(v)).timestamp() * 1000)
+            except ValueError as e:
+                raise SQLCommandError(f"bad older_than value {v!r}") from e
+
+        name = arg("table", 0)
+        if name is None:
+            raise SQLCommandError(f"CALL {proc}: missing table argument")
+        t = self._table(str(name))
+
+        if proc == "expire_snapshots":
+            res = expire_snapshots(
+                t, spark=self.spark,
+                keep_last=int(arg("retain_last", 2, 1)),
+                older_than_ms=older_than_ms(arg("older_than", 1)),
+            )
+            row = (
+                "CALL expire_snapshots", str(name),
+                len(res.get("expired_snapshots", [])),
+                int(res.get("deleted_files", 0)),
+            )
+            return self.spark.createDataFrame(
+                [row],
+                "operation string, table string, snapshots_expired long, "
+                "data_files_deleted long",
+            )
+        if proc == "remove_orphan_files":
+            ms = older_than_ms(arg("older_than", 1))
+            res = (
+                remove_orphan_files(t, older_than_ms=ms)
+                if ms is not None
+                else remove_orphan_files(t)
+            )
+            return self.spark.createDataFrame(
+                [("CALL remove_orphan_files", str(name),
+                  int(res.get("deleted_files", 0)))],
+                "operation string, table string, orphan_files_deleted long",
+            )
+        if proc == "rewrite_data_files":
+            strategy = str(arg("strategy", 1, "binpack")).lower()
+            where = kwargs.get("where")
+            preds = parse_where(str(where)) if where else None
+            if strategy == "sort":
+                order = kwargs.get("sort_order")
+                cols = (
+                    tuple(c.strip().split()[0] for c in str(order).split(","))
+                    if order
+                    else None
+                )
+                snap = (
+                    cluster(t, self.spark, cols=cols, predicates=preds)
+                    if cols
+                    else cluster(t, self.spark, predicates=preds)
+                )
+            elif strategy == "binpack":
+                snap = compact(t, self.spark, predicates=preds)
+            else:
+                raise SQLCommandError(
+                    f"rewrite_data_files strategy must be binpack|sort, got {strategy!r}"
+                )
+            return self._summary_df(
+                "CALL rewrite_data_files", str(name), snap,
+                {} if snap else {"files_rewritten": 0},
+            )
+        if proc == "rewrite_manifests":
+            snap = t.rewrite_manifests(spark=self.spark)
+            return self._summary_df(
+                "CALL rewrite_manifests", str(name), snap,
+                {} if snap else {"files_rewritten": 0},
+            )
+        if proc == "rewrite_position_delete_files":
+            from .operators import rewrite_delete_files
+
+            snap = rewrite_delete_files(t, self.spark)
+            return self._summary_df(
+                "CALL rewrite_position_delete_files", str(name), snap,
+                {} if snap else {"files_rewritten": 0},
+            )
+        if proc in ("rollback_to_snapshot", "set_current_snapshot"):
+            sid = arg("snapshot_id", 1)
+            if sid is None:
+                raise SQLCommandError(f"CALL {proc}: missing snapshot_id")
+            snap = t.rollback(int(sid))
+            return self.spark.createDataFrame(
+                [(f"CALL {proc}", str(name), snap.snapshot_id, int(sid))],
+                "operation string, table string, snapshot_id long, "
+                "restored_to long",
+            )
+        if proc == "fast_forward":
+            branch = arg("branch", 1)
+            if branch is None:
+                raise SQLCommandError("CALL fast_forward: missing branch")
+            snap = t.fast_forward(str(branch))
+            return self.spark.createDataFrame(
+                [("CALL fast_forward", str(name), str(branch),
+                  snap.snapshot_id)],
+                "operation string, table string, branch string, "
+                "snapshot_id long",
+            )
+        if proc in ("create_tag", "create_branch"):
+            ref = arg("tag" if proc == "create_tag" else "branch", 1)
+            if ref is None:
+                raise SQLCommandError(f"CALL {proc}: missing ref name")
+            sid = arg("snapshot_id", 2)
+            sid = int(sid) if sid is not None else None
+            out = (
+                t.tag(str(ref), snapshot_id=sid)
+                if proc == "create_tag"
+                else t.create_branch(str(ref), snapshot_id=sid)
+            )
+            return self.spark.createDataFrame(
+                [(f"CALL {proc}", str(name), str(ref), int(out))],
+                "operation string, table string, ref string, snapshot_id long",
+            )
+        if proc == "ancestors_of":
+            from .sources.metatables import history_df
+
+            return history_df(t, self.spark)
+        raise SQLCommandError(f"unknown procedure {proc!r}")
 
     def _describe(self, s: str) -> DataFrame:
         m = re.match(rf"DESCRIBE\s+(?:TABLE\s+)?({_ID})$", s, re.I)

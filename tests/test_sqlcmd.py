@@ -280,3 +280,56 @@ def test_sql_ddl_errors(eng, tmp_path):
     ]:
         with pytest.raises(SQLCommandError):
             eng.sql(bad)
+
+
+def test_call_procedures(eng, spark):
+    """Iceberg stored-procedure spelling drives the same operators."""
+    t = eng.tables["images"]
+    # fragment the table so rewrite_data_files has work
+    t.commit("append", t.write_files(generate_images(spark, 50, n_files=5)))
+    res = eng.sql("CALL system.rewrite_data_files(table => 'images')").first()
+    assert res["operation"] == "CALL rewrite_data_files"
+    assert t.scan(spark).count() == N + 50
+
+    res = eng.sql(
+        "CALL system.rewrite_data_files('images', 'sort')"
+    ).first()
+    assert res["operation"] == "CALL rewrite_data_files"
+
+    sid = t.snapshot().snapshot_id
+    eng.sql("CALL system.create_tag('images', 'v1')")
+    assert "v1" in t.tags()
+
+    eng.sql(f"CALL system.create_branch(table => 'images', branch => 'b1', snapshot_id => {sid})")
+    res = eng.sql("CALL system.fast_forward('images', 'b1')").first()
+    assert res["branch"] == "b1"
+
+    res = eng.sql(
+        "CALL system.expire_snapshots(table => 'images', retain_last => 1)"
+    ).first()
+    assert res["operation"] == "CALL expire_snapshots"
+    # tagged snapshot survives expiry; current scan unchanged
+    assert t.scan(spark).count() == N + 50
+
+    res = eng.sql("CALL system.remove_orphan_files('images')").first()
+    assert res["orphan_files_deleted"] == 0
+
+    hist = eng.sql("CALL system.ancestors_of('images')")
+    assert hist.count() >= 1
+
+    with pytest.raises(SQLCommandError):
+        eng.sql("CALL system.no_such_proc('images')")
+    with pytest.raises(SQLCommandError):
+        eng.sql("CALL system.rollback_to_snapshot('images')")
+
+
+def test_call_rollback(eng, spark):
+    t = eng.tables["images"]
+    s0 = t.snapshot().snapshot_id
+    t.commit("append", t.write_files(generate_images(spark, 30, n_files=2)))
+    assert t.scan(spark).count() == N + 30
+    res = eng.sql(
+        f"CALL system.rollback_to_snapshot('images', {s0})"
+    ).first()
+    assert res["restored_to"] == s0
+    assert t.scan(spark).count() == N
