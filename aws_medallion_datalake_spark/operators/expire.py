@@ -123,14 +123,30 @@ def expire_snapshots(
     *,
     spark=None,
     force_spark: bool = False,
-    keep_last: int = 1,
+    keep_last: Optional[int] = None,
     older_than_ms: Optional[int] = None,
     dry_run: bool = False,
 ) -> dict:
-    """Expire old snapshots and GC unreachable files. Returns metrics."""
+    """Expire old snapshots and GC unreachable files. Returns metrics.
+
+    Retention resolves explicit arguments first, then the table's
+    Iceberg retention properties, then the engine defaults —
+    ``history.expire.min-snapshots-to-keep`` → ``keep_last`` (default 1)
+    and ``history.expire.max-snapshot-age-ms`` → ``older_than_ms``
+    (cutoff = now − age), so a table can carry its own policy and every
+    unparameterized ``expire_snapshots(t)`` / ``VACUUM`` honors it.
+    """
     t0 = time.time()
     version = table.current_version()
     meta = table.metadata(version)
+    if keep_last is None:
+        keep_last = int(
+            meta.properties.get("history.expire.min-snapshots-to-keep", 1)
+        )
+    if older_than_ms is None:
+        age = meta.properties.get("history.expire.max-snapshot-age-ms")
+        if age is not None:
+            older_than_ms = int(time.time() * 1000) - int(age)
     snaps = sorted(meta.snapshots, key=lambda s: s.snapshot_id)
     retained = [s for s in snaps[-keep_last:]] if keep_last > 0 else []
     if older_than_ms is not None:

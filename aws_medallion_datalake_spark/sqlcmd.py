@@ -570,9 +570,10 @@ class EngineSQL:
         t = self._table(str(name))
 
         if proc == "expire_snapshots":
+            rl = arg("retain_last", 2)
             res = expire_snapshots(
                 t, spark=self.spark,
-                keep_last=int(arg("retain_last", 2, 1)),
+                keep_last=int(rl) if rl is not None else None,
                 older_than_ms=older_than_ms(arg("older_than", 1)),
             )
             row = (

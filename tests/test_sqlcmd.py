@@ -333,3 +333,19 @@ def test_call_rollback(eng, spark):
     ).first()
     assert res["restored_to"] == s0
     assert t.scan(spark).count() == N
+
+
+def test_expire_honors_retention_properties(eng, spark):
+    """Iceberg history.expire.* table properties drive unparameterized
+    expiry (explicit args still win)."""
+    from aws_medallion_datalake_spark.operators import expire_snapshots
+
+    t = eng.tables["images"]
+    for _ in range(3):
+        t.commit("append", t.write_files(generate_images(spark, 10, n_files=1)))
+    t.set_properties({"history.expire.min-snapshots-to-keep": "3"})
+    res = expire_snapshots(t, spark=spark)
+    assert len(res["retained_snapshots"]) == 3
+    # explicit argument overrides the property
+    res = expire_snapshots(t, spark=spark, keep_last=2)
+    assert len(res["retained_snapshots"]) == 2
