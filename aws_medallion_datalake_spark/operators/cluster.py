@@ -67,7 +67,12 @@ from pyspark.sql.types import IntegerType
 
 from ..functions.udfs import hilbert64_udf, morton64_expr
 from ..sources import transforms
-from ..sources.tableformat import Snapshot, Table, read_split_size
+from ..sources.tableformat import (
+    Snapshot,
+    Table,
+    read_split_size,
+    statable_cols,
+)
 from .checkpoint import RunCheckpoint
 from .timing import PhaseTimer
 
@@ -345,7 +350,7 @@ def cluster(
         scoped = prune_manifest(
             work,
             transforms.extend_predicates(meta.partition_cols, list(predicates)),
-            transforms.field_names(meta.partition_cols) + list(meta.stats_cols),
+            statable_cols(meta),
         )
         keep = man[~man["path"].isin(scoped["path"])]
         work = scoped

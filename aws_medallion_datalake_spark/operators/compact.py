@@ -38,7 +38,7 @@ from ..plans.binpack import (
     plan_compaction_spark,
 )
 from ..sources import transforms
-from ..sources.tableformat import Snapshot, Table
+from ..sources.tableformat import Snapshot, Table, statable_cols
 from .checkpoint import RunCheckpoint
 from .timing import PhaseTimer
 
@@ -203,9 +203,7 @@ def compact(
             if predicates
             else []
         )
-        statable = transforms.field_names(meta.partition_cols) + list(
-            meta.stats_cols
-        )
+        statable = statable_cols(meta)
         n_entries = table.manifest_rows()
         if n_entries > SPARK_MANIFEST_THRESHOLD:
             # distributed planning: the FFD loop runs per-partition on

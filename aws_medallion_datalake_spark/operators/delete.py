@@ -49,6 +49,7 @@ from ..sources.tableformat import (
     read_split_size,
     rel_path_expr,
     resolve_write_mode,
+    statable_cols,
 )
 from .timing import PhaseTimer
 
@@ -96,9 +97,7 @@ def delete_where(
     man = table.manifest_pdf()
 
     with pt.phase("plan"):
-        statable = transforms.field_names(meta.partition_cols) + list(
-            meta.stats_cols
-        )
+        statable = statable_cols(meta)
         # hidden-partitioning transforms add derived predicates for the
         # FILE-level prune; the row-level predicate stays the original
         cand = prune_manifest(
@@ -421,9 +420,7 @@ def apply_deletes(
                 groups[(tuple(e["cols"]), int(e["as_of_snapshot_id"]))].append(
                     e["path"]
                 )
-            statable = transforms.field_names(meta.partition_cols) + list(
-                meta.stats_cols
-            )
+            statable = statable_cols(meta)
             cur = set(man["path"])
             rel = rel_path_expr(table.root)
             for (cols, as_of), dpaths in groups.items():

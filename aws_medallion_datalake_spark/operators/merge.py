@@ -92,7 +92,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import transforms
-from ..sources.tableformat import Snapshot, Table, resolve_write_mode
+from ..sources.tableformat import (
+    Snapshot,
+    Table,
+    resolve_write_mode,
+    statable_cols,
+)
 from ..sources.tableformat import read_split_size as _read_split_size
 from ..sources.tableformat import rel_path_expr as _rel_path_expr
 from .timing import PhaseTimer
@@ -336,7 +341,8 @@ def merge_into(
     meta = table.metadata()
     probe_preds = None
     if n_src_keys and key in (
-        transforms.identity_names(meta.partition_cols) + list(meta.stats_cols)
+        [c for c in transforms.identity_names(meta.partition_cols)
+        + list(meta.stats_cols) if c in statable_cols(meta)]
     ):
         if src_lo is None and src_hi is None:
             # check_duplicate_keys=False skipped the fused job above
@@ -794,9 +800,7 @@ def _mor_merge(
     matched = None
     aff_keys = None
     if man is not None and len(man):
-        statable = transforms.field_names(meta.partition_cols) + list(
-            meta.stats_cols
-        )
+        statable = statable_cols(meta)
         # NMBS must see the whole table; otherwise prune to the source
         # key range as usual
         cand = (

@@ -29,6 +29,7 @@ Soundness rules:
 
 from __future__ import annotations
 
+import json
 import os
 from functools import reduce
 from typing import Optional, Sequence, Tuple
@@ -37,7 +38,13 @@ import pandas as pd
 from pyspark.sql import SparkSession
 
 from ..sources import transforms
-from ..sources.tableformat import Table, _pred_to_column, prune_manifest
+from ..sources.tableformat import (
+    DEFAULTS_PROP,
+    Table,
+    _pred_to_column,
+    prune_manifest,
+    statable_cols,
+)
 
 __all__ = ["fast_count", "fast_min_max"]
 
@@ -46,15 +53,17 @@ def _has_pending_deletes(table: Table) -> bool:
     return bool(table.pending_delete_paths() or table.pending_eq_deletes())
 
 
-def _fully_covered_mask(man: pd.DataFrame, preds) -> pd.Series:
+def _fully_covered_mask(man: pd.DataFrame, preds, unsound_cols=()) -> pd.Series:
     """True for manifest rows whose EVERY data row satisfies every
-    predicate — provable from (min, max, nulls, record_count) alone."""
+    predicate — provable from (min, max, nulls, record_count) alone.
+    ``unsound_cols`` (default-valued columns): their physical stats no
+    longer describe what a scan observes, so nothing is provable."""
     mask = pd.Series(True, index=man.index)
     false = pd.Series(False, index=man.index)
     for col, op, value in preds:
         mn_c, mx_c, nu_c = f"min_{col}", f"max_{col}", f"nulls_{col}"
-        if mn_c not in man.columns:
-            return false  # no stats for this column: nothing is provable
+        if col in unsound_cols or mn_c not in man.columns:
+            return false  # no (trustworthy) stats: nothing is provable
         mn, mx = man[mn_c], man[mx_c]
         nu = man[nu_c] if nu_c in man.columns else None
         known = mn.notna() & mx.notna()
@@ -116,15 +125,16 @@ def fast_count(
     if not preds:
         return int(man["record_count"].sum())
 
-    statable = transforms.field_names(meta.partition_cols) + list(
-        meta.stats_cols
-    )
+    statable = statable_cols(meta)
     cand = prune_manifest(
         man, transforms.extend_predicates(meta.partition_cols, preds), statable
     )
     if not len(cand):
         return 0
-    full = _fully_covered_mask(cand, preds)
+    dfl = set(
+        json.loads(str(meta.properties.get(DEFAULTS_PROP, "{}")))
+    )
+    full = _fully_covered_mask(cand, preds, unsound_cols=dfl)
     n = int(cand.loc[full, "record_count"].sum())
     partial = cand.loc[~full]
     if len(partial):
@@ -151,9 +161,7 @@ def fast_min_max(table: Table, col: str) -> Tuple[object, object]:
     """(min, max) of a stats column from manifest stats — zero data IO,
     no SparkSession. Null rows are skipped (SQL MIN/MAX semantics)."""
     meta = table.metadata()
-    statable = transforms.field_names(meta.partition_cols) + list(
-        meta.stats_cols
-    )
+    statable = statable_cols(meta)
     if col not in statable:
         raise ValueError(
             f"{col!r} carries no manifest stats (stats_cols={meta.stats_cols})"

@@ -63,6 +63,7 @@ from ..sources.tableformat import (
     read_split_size,
     rel_path_expr,
     resolve_write_mode,
+    statable_cols,
 )
 from .timing import PhaseTimer
 
@@ -136,9 +137,7 @@ def update_where(
     set_exprs = _resolve_assignments(schema, assignments)
 
     with pt.phase("plan"):
-        statable = transforms.field_names(meta.partition_cols) + list(
-            meta.stats_cols
-        )
+        statable = statable_cols(meta)
         cand = prune_manifest(
             man, transforms.extend_predicates(meta.partition_cols, preds), statable
         )

@@ -100,6 +100,7 @@ BLOOM_NDV_PROP = "write.parquet.bloom-filter.expected-ndv"  # per row group
 # read would resurrect the wrong values.
 RENAMES_PROP = "schema.name-mapping"  # json: {current: [prior, older, ...]}
 RETIRED_PROP = "schema.retired-names"  # json: [name, ...]
+DEFAULTS_PROP = "schema.column-defaults"  # json: {col: literal}
 
 
 def bloom_write_options(meta: "TableMetadata") -> dict:
@@ -267,13 +268,27 @@ class Table:
             raise KeyError(f"no snapshot at or before {timestamp_ms}")
         return max(candidates, key=lambda s: s.snapshot_id)
 
-    def add_columns(self, ddl: str) -> None:
+    def add_columns(self, ddl: str, defaults: Optional[dict] = None) -> None:
         """Additive schema evolution: append new nullable columns.
 
         Existing data files simply lack the columns; the explicit-schema
         scan surfaces them as NULL (parquet schema merge by name), so no
         rewrite happens — the Iceberg add-column semantics. Dropping or
-        retyping columns is intentionally unsupported (destructive)."""
+        retyping columns is intentionally unsupported (destructive).
+
+        ``defaults`` (Iceberg v3 default-values analogue): ``{col:
+        literal}`` for a subset of the added columns. Semantics: the
+        column's NULL is not observable — every unset value (files
+        written before the column existed, and NULLs written afterwards)
+        READS as the default, applied by the single read chokepoint
+        (:meth:`read_data`) as ``coalesce(col, default)``. Rewrites
+        (compact/cluster/merge) therefore materialize the default
+        physically over time, converging to Iceberg's
+        initial-default-written state. Because physical NULLs read
+        non-null, a defaulted column's manifest stats can no longer
+        prove anything — :func:`statable_cols` excludes it from every
+        pruning/containment decision (sound: prune less, never wrong).
+        """
         from pyspark.sql.types import StructType
 
         version = self.current_version()
@@ -281,19 +296,31 @@ class Table:
         # real DDL parse on both sides — naive ','-splitting mis-tokenizes
         # decimal(10,2) / map<k,v> / struct<...> types
         existing = {f.name for f in StructType.fromDDL(meta.schema_ddl).fields}
-        for f in StructType.fromDDL(ddl).fields:
+        new_fields = StructType.fromDDL(ddl).fields
+        for f in new_fields:
             if f.name in existing:
                 raise ValueError(f"column {f.name!r} already exists")
         retired = set(json.loads(str(meta.properties.get(RETIRED_PROP, "[]"))))
         ren = json.loads(str(meta.properties.get(RENAMES_PROP, "{}")))
         taken = retired | {a for aliases in ren.values() for a in aliases}
-        for f in StructType.fromDDL(ddl).fields:
+        for f in new_fields:
             if f.name in taken:
                 raise ValueError(
                     f"column name {f.name!r} was retired by a rename/drop; "
                     "old data files still carry a physical column by that "
                     "name, so re-adding it would resurrect their values"
                 )
+        if defaults:
+            new_names = {f.name for f in new_fields}
+            bad = sorted(set(defaults) - new_names)
+            if bad:
+                raise ValueError(
+                    f"defaults for columns not being added: {bad} "
+                    "(defaults attach at add-column time only)"
+                )
+            dfl = json.loads(str(meta.properties.get(DEFAULTS_PROP, "{}")))
+            dfl.update({k: v for k, v in defaults.items() if v is not None})
+            meta.properties[DEFAULTS_PROP] = json.dumps(dfl)
         meta.schema_ddl = f"{meta.schema_ddl}, {ddl.strip()}"
         self._write_metadata_version(version + 1, meta)
 
@@ -355,6 +382,10 @@ class Table:
         # chain renames: files may carry ANY prior generation's name
         ren[new] = [old] + ren.pop(old, [])
         meta.properties[RENAMES_PROP] = json.dumps(ren)
+        dfl = json.loads(str(meta.properties.get(DEFAULTS_PROP, "{}")))
+        if old in dfl:
+            dfl[new] = dfl.pop(old)
+            meta.properties[DEFAULTS_PROP] = json.dumps(dfl)
         meta.stats_cols = [new if c == old else c for c in meta.stats_cols]
         bloom = [
             c.strip()
@@ -397,6 +428,10 @@ class Table:
         )
         meta.properties[RENAMES_PROP] = json.dumps(ren)
         meta.properties[RETIRED_PROP] = json.dumps(retired)
+        dfl = json.loads(str(meta.properties.get(DEFAULTS_PROP, "{}")))
+        if name in dfl:
+            del dfl[name]
+            meta.properties[DEFAULTS_PROP] = json.dumps(dfl)
         meta.stats_cols = [c for c in meta.stats_cols if c != name]
         bloom = [
             c.strip()
@@ -424,6 +459,25 @@ class Table:
 
         meta = meta if meta is not None else self.metadata()
         schema = StructType.fromDDL(meta.schema_ddl)
+        dfl = json.loads(str(meta.properties.get(DEFAULTS_PROP, "{}")))
+
+        def _with_defaults(df: DataFrame) -> DataFrame:
+            # column defaults: NULL is unobservable — unset values (files
+            # predating the column, or NULLs written later) read as the
+            # default; `_metadata` stays resolvable through the select
+            if not dfl:
+                return df
+            return df.select(
+                *[
+                    F.coalesce(
+                        F.col(f.name), F.lit(dfl[f.name]).cast(f.dataType)
+                    ).alias(f.name)
+                    if f.name in dfl
+                    else F.col(f.name)
+                    for f in schema.fields
+                ]
+            )
+
         ren = {
             k: v
             for k, v in json.loads(
@@ -432,7 +486,7 @@ class Table:
             if v
         }
         if not ren:
-            return spark.read.schema(schema).parquet(*paths)
+            return _with_defaults(spark.read.schema(schema).parquet(*paths))
         by_name = {f.name: f for f in schema.fields}
         extra = [
             StructField(alias, by_name[cur].dataType, True)
@@ -443,13 +497,15 @@ class Table:
         raw = spark.read.schema(StructType(list(schema.fields) + extra)).parquet(
             *paths
         )
-        return raw.select(
-            *[
-                F.coalesce(f.name, *ren[f.name]).alias(f.name)
-                if f.name in ren
-                else F.col(f.name)
-                for f in schema.fields
-            ]
+        return _with_defaults(
+            raw.select(
+                *[
+                    F.coalesce(f.name, *ren[f.name]).alias(f.name)
+                    if f.name in ren
+                    else F.col(f.name)
+                    for f in schema.fields
+                ]
+            )
         )
 
     def set_partition_spec(self, partition_cols: Sequence[str]) -> None:
@@ -1496,9 +1552,7 @@ class Table:
         # (sound by construction); ROW-level filtering below re-applies
         # only the originals
         prune_preds = transforms.extend_predicates(meta.partition_cols, preds)
-        statable = transforms.field_names(meta.partition_cols) + list(
-            meta.stats_cols
-        )
+        statable = statable_cols(meta)
         # planner path picked by manifest size WITHOUT materializing it: the
         # parquet footer gives the row count. Below the threshold pandas
         # plans driver-side (no job overhead); above it the same pruning
@@ -2173,6 +2227,24 @@ def _pred_to_column(col: str, op: str, value):
     if op == "notnull":
         return c.isNotNull()
     raise ValueError(f"unsupported predicate op {op!r}")
+
+
+def statable_cols(meta) -> list:
+    """Columns whose manifest stats may legitimately prune files:
+    identity partition sources + stats_cols, MINUS default-valued
+    columns. A defaulted column's physical NULLs read as the default
+    (see :meth:`Table.read_data`), so its per-file min/max/null-count
+    no longer describe what a scan observes — pruning or containment
+    proofs on it would be unsound. Excluding it prunes less, never
+    wrong; rewrites materialize the default and new files' stats become
+    truthful again, but the column stays excluded while the default is
+    live (cheap and simple beats tracking per-file schema generations).
+    """
+    cols = transforms.field_names(meta.partition_cols) + list(meta.stats_cols)
+    dfl = json.loads(str(meta.properties.get(DEFAULTS_PROP, "{}")))
+    if not dfl:
+        return cols
+    return [c for c in cols if c not in dfl]
 
 
 def prune_manifest_spark(man_df: DataFrame, preds, stats_cols) -> list:

@@ -829,7 +829,19 @@ class EngineSQL:
             inner, tail = _take_parens(rest[am.end():])
             if tail:
                 raise SQLCommandError(f"trailing input: {tail!r}")
-            t.add_columns(inner)
+            cols, defaults = [], {}
+            for ent in _split_top_commas(inner):
+                dm2 = re.match(
+                    rf"(.+?)\s+DEFAULT\s+({_LIT})\s*$", ent.strip(),
+                    re.I | re.S,
+                )
+                if dm2:
+                    col_ddl = dm2.group(1).strip()
+                    cols.append(col_ddl)
+                    defaults[col_ddl.split()[0]] = _lit(dm2.group(2))
+                else:
+                    cols.append(ent.strip())
+            t.add_columns(", ".join(cols), defaults=defaults or None)
             return self._ddl_df("ALTER TABLE", name, f"added: {inner}")
         rm = re.match(rf"RENAME\s+COLUMN\s+({_ID})\s+TO\s+({_ID})$", rest, re.I)
         if rm:
