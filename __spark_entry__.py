@@ -3295,6 +3295,175 @@ def _sql_order_count_distribution():
     """
 
 
+def q_cheapest_supplier_per_part(spark, sf_dir):
+    """Min-per-group join-back (TPC-H Q2 shape): for every Brand#12
+    part, the minimum line-item price and how many line items hit it.
+
+    Spark-first decorrelation: the correlated `= (SELECT min(…) WHERE
+    same part)` becomes ONE grouped aggregate joined back on the
+    grouping key. The back-join keys on l_partkey, the same column the
+    aggregate just shuffled on, so Catalyst reuses the exchange — one
+    shuffle total; the brand dim broadcasts before any of it, so at
+    100 TB the fact is pre-filtered at the scan. Equality on the min is
+    exact: the join-back compares the double against itself (min
+    returns one of the inputs bit-for-bit, no arithmetic).
+    """
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    flt = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_extendedprice"
+    )
+    mins = flt.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("min_p")
+    )
+    return (
+        flt.join(mins, "l_partkey")
+        .filter(F.col("l_extendedprice") == F.col("min_p"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.min("min_p"), 2).alias("min_price"),
+            F.count("*").alias("n_at_min"),
+        )
+    )
+
+
+def _sql_cheapest_supplier_per_part():
+    return """
+        SELECT l.l_partkey,
+               round(l.l_extendedprice, 2) AS min_price,
+               count(*) AS n_at_min
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#12'
+          AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                   FROM lineitem l2
+                                   WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY l.l_partkey, l.l_extendedprice
+    """
+
+
+def q_sole_returner(spark, sf_dir):
+    """Correlated EXISTS + NOT EXISTS on the same fact (TPC-H Q21
+    shape): suppliers whose line item was RETURNED in a multi-supplier
+    order where no OTHER supplier's item was returned — top 10.
+
+    Spark-first: both correlated quantifiers decorrelate to self-joins
+    on l_orderkey with a residual suppkey-inequality — EXISTS → LEFT
+    SEMI, NOT EXISTS → LEFT ANTI. All three legs shuffle on the SAME
+    key (l_orderkey), so the exchange is planned once and reused; the
+    supplier dim broadcasts for the name lookup; top-10 compiles to
+    TakeOrderedAndProject. At 100 TB the semi/anti build sides are the
+    returned sliver of the fact, not the whole table.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    ret = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    other_ret = ret.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    multi = ret.join(
+        other,
+        (ret.l_orderkey == other.o2) & (ret.l_suppkey != other.s2),
+        "left_semi",
+    )
+    sole = multi.join(
+        other_ret,
+        (multi.l_orderkey == other_ret.o3)
+        & (multi.l_suppkey != other_ret.s3),
+        "left_anti",
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(F.broadcast(sup), sole.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+def _sql_sole_returner():
+    return """
+        SELECT s.s_name, count(*) AS numwait
+        FROM lineitem l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+    """
+
+
+def q_promo_revenue(spark, sf_dir):
+    """Conditional-share aggregate over a broadcast join (TPC-H Q14
+    shape): the percentage of September-1995 revenue from PROMO parts.
+
+    Spark-first: the ship-month filter is a pushed-down timestamp range
+    on the fact scan; the part dim broadcasts (no fact shuffle at all —
+    the whole query is scan → broadcast-hash-join → one partial+final
+    agg); the CASE rides inside the same single-pass aggregate rather
+    than a second scan. round(…, 2) on the percentage absorbs
+    partial-agg-order ulp noise in the double sums.
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1995-09-01")
+            & (F.col("l_shipdate") < "1995-10-01")
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.sum(rev),
+                2,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def _sql_promo_revenue():
+    return """
+        SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS promo_pct,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+          AND l_shipdate < TIMESTAMP '1995-10-01'
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3363,6 +3532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_parts": q_disjunctive_parts,
         "above_avg_balance": q_above_avg_balance,
         "order_count_distribution": q_order_count_distribution,
+        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "sole_returner": q_sole_returner,
+        "promo_revenue": q_promo_revenue,
         "image_features_ann": q_image_features_ann,
         "image_medallion": q_image_medallion,
         "image_maintenance": q_image_maintenance,
@@ -3446,6 +3618,9 @@ def oracle_sql() -> dict[str, str]:
         "disjunctive_parts": _sql_disjunctive_parts(),
         "above_avg_balance": _sql_above_avg_balance(),
         "order_count_distribution": _sql_order_count_distribution(),
+        "cheapest_supplier_per_part": _sql_cheapest_supplier_per_part(),
+        "sole_returner": _sql_sole_returner(),
+        "promo_revenue": _sql_promo_revenue(),
         # image_medallion / image_maintenance / image_gold_star:
         # engine-internal table format + Arrow codec UDFs — not
         # SQL-expressible (rows-only).
