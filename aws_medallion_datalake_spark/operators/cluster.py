@@ -55,6 +55,7 @@ payload bytes never cross the Arrow boundary.
 
 from __future__ import annotations
 
+import re
 import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
@@ -254,14 +255,15 @@ def _plan_tiles(man: pd.DataFrame, target_bytes: int, max_files_per_job: int) ->
 
 _SORTED_PREFIX_PROP = "cluster.sorted_prefixes"
 _SORT_SPEC_PROP = "cluster.sort_spec"
+SORT_ORDER_PROP = "sort.order"
 
 
 def cluster(
     table: Table,
     spark: SparkSession,
     *,
-    curve: str = "morton",
-    cols: tuple = ("phash", "w", "h"),
+    curve: Optional[str] = None,
+    cols: Optional[tuple] = None,
     target_file_size_bytes: int = 128 * 1024 * 1024,
     max_files_per_job: int = 4096,
     tile_parallelism: int = 4,
@@ -302,6 +304,24 @@ def cluster(
 
     Returns None (no commit) when an incremental run finds nothing dirty.
     """
+    # declared sort order (Iceberg write-order analogue): when the caller
+    # names neither curve nor cols, the table's `sort.order` property —
+    # "morton(phash,w,h)" / "hilbert(a,b)" — decides, so `OPTIMIZE`,
+    # `--stages auto` policy runs and bare cluster() calls all honor the
+    # table's own declaration; engine defaults apply last
+    if curve is None and cols is None:
+        prop = str(table.metadata().properties.get(SORT_ORDER_PROP, "") or "")
+        pm = re.match(r"(morton|hilbert|zorder)\(([^)]+)\)$", prop.strip())
+        if prop and not pm:
+            raise ValueError(
+                f"bad {SORT_ORDER_PROP} property {prop!r}: expected "
+                "curve(col, …) with curve in morton|hilbert|zorder"
+            )
+        if pm:
+            curve = pm.group(1)
+            cols = tuple(c.strip() for c in pm.group(2).split(","))
+    curve = curve or "morton"
+    cols = tuple(cols) if cols else ("phash", "w", "h")
     if curve not in ("hilbert", "morton", "zorder"):
         raise ValueError(f"unknown curve {curve!r}")
     if mode not in ("auto", "full", "incremental"):

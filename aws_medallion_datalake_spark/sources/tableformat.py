@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -1259,10 +1260,51 @@ class Table:
         """Write df's current partitioning into a fresh commit dir; return
         manifest entries (with stats) for the files written.
 
-        Respects the DataFrame's existing partitioning — callers
-        ``repartitionByRange(n, *partition_cols, sort_key)`` for
-        partition-homogeneous, size-targeted files.
+        By default respects the DataFrame's existing partitioning —
+        callers ``repartitionByRange(n, *partition_cols, sort_key)`` for
+        partition-homogeneous, size-targeted files. The Iceberg
+        ``write.distribution-mode`` table property overrides that for
+        plain appends: ``hash`` shuffles rows onto their partition tuple
+        (partition-homogeneous files — no writer holds every partition's
+        files open at 10^12-row ingest widths), ``range`` additionally
+        range-orders by the declared ``sort.order`` curve and sorts
+        within files, so fresh ingest lands pre-clustered and the
+        nightly cluster run has less dirty data. ``none`` (default) is
+        the current behavior. Width = ``spark.sql.shuffle.partitions``.
+        Internal rewrite operators (compact/cluster/merge) plan their
+        own distribution and do NOT route through this.
         """
+        mode = str(
+            self.metadata().properties.get("write.distribution-mode", "none")
+        ).lower()
+        if mode not in ("none", "hash", "range"):
+            raise ValueError(
+                f"write.distribution-mode must be none|hash|range, got {mode!r}"
+            )
+        if mode != "none":
+            meta = self.metadata()
+            spark = df.sparkSession
+            n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            pexprs = [
+                t.expr() for t in transforms.parse_spec(meta.partition_cols)
+            ]
+            if mode == "hash":
+                df = df.repartition(n, *pexprs) if pexprs else df
+            else:  # range
+                keys = list(pexprs)
+                prop = str(meta.properties.get("sort.order", "") or "")
+                pm = re.match(
+                    r"(morton|hilbert|zorder)\(([^)]+)\)$", prop.strip()
+                )
+                if pm and pm.group(1) in ("morton", "zorder"):
+                    from ..functions.udfs import morton64_expr
+
+                    cs = [c.strip() for c in pm.group(2).split(",")]
+                    keys.append(morton64_expr(*[F.col(c) for c in cs[:3]]))
+                if keys:
+                    df = df.repartitionByRange(n, *keys).sortWithinPartitions(
+                        *keys
+                    )
         prefix = self.new_data_prefix()
         self.data_writer(df).parquet(prefix)
         return self.collect_stats_for_prefix(df.sparkSession, prefix)
