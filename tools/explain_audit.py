@@ -135,6 +135,45 @@ def _(spark, sf_dir):
     src.unpersist()
 
 
+@check("Q17 decorrelation: brand filter pushed, dim broadcast, one shuffle")
+def _(spark, sf_dir):
+    p = plan_of(entry.q_small_qty_revenue(spark, sf_dir))
+    assert "EqualTo(p_brand,Brand#12)" in p, p
+    assert "BroadcastHashJoin" in p, p
+    # the per-part agg + back-join share l_partkey partitioning: at most
+    # the agg exchange + the final single-row agg exchange; a
+    # ReusedExchange is the sharing we want, not an extra shuffle
+    n_shuffles = sum(
+        1 for ln in p.splitlines()
+        if ln.strip().startswith("(") and "Exchange" in ln
+        and "BroadcastExchange" not in ln and "ReusedExchange" not in ln
+    )
+    assert n_shuffles <= 2, (n_shuffles, p)
+
+
+@check("Q21 EXISTS/NOT EXISTS: semi+anti joins, no nested-loop product")
+def _(spark, sf_dir):
+    p = plan_of(entry.q_sole_returner(spark, sf_dir))
+    assert "LeftSemi" in p and "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+@check("Q14 share agg: timestamp range pushed, fact never shuffles")
+def _(spark, sf_dir):
+    p = plan_of(entry.q_promo_revenue(spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+    # only the single-row final-agg exchange remains
+    n_shuffles = sum(
+        1 for ln in p.splitlines()
+        if ln.strip().startswith("(") and "Exchange" in ln
+        and "BroadcastExchange" not in ln
+    )
+    assert n_shuffles <= 1, (n_shuffles, p)
+
+
 @check("manifest stats pruning lists fewer files (engine scan)")
 def _(spark, sf_dir):
     import tempfile
