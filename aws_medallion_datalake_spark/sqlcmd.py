@@ -72,6 +72,8 @@ import re
 import time
 from typing import Dict, Optional
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
@@ -253,6 +255,8 @@ class EngineSQL:
             return self._drop(s)
         if head == "CALL":
             return self._call(s)
+        if head == "TRUNCATE":
+            return self._truncate(s)
         # metadata-only COUNT(*): answered from manifest record counts
         # (O(manifest), zero data IO) when the WHERE is absent or fully
         # provable from file stats; any unprovable shape falls through
@@ -471,12 +475,27 @@ class EngineSQL:
         """``INSERT INTO <t> <select…>``: the query runs through the
         SELECT passthrough (catalog views + time travel apply), columns
         are matched BY NAME against the table schema and cast to the
-        declared types, and the rows land as one append commit."""
-        m = re.match(rf"INSERT\s+INTO\s+({_ID})\s+(.+)$", s, re.I | re.S)
+        declared types, and the rows land as one append commit.
+        ``INSERT OVERWRITE <t> <select…>`` instead commits the query
+        result as the table's ENTIRE new file set (one atomic replace
+        snapshot — the reference's blind overwrite-refresh semantics,
+        silver_digit_clean.py:127, under snapshot isolation with time
+        travel back to the pre-overwrite state)."""
+        m = re.match(
+            rf"INSERT\s+(INTO|OVERWRITE)\s+({_ID})\s+(.+)$", s, re.I | re.S
+        )
         if not m:
-            raise SQLCommandError("expected: INSERT INTO <table> <select …>")
-        name, query = m.groups()
+            raise SQLCommandError(
+                "expected: INSERT INTO|OVERWRITE <table> <select …>"
+            )
+        overwrite = m.group(1).upper() == "OVERWRITE"
+        name, query = m.group(2), m.group(3)
         t = self._table(name)
+        if overwrite and (t.pending_delete_paths() or t.pending_eq_deletes()):
+            raise SQLCommandError(
+                "table has merge-on-read deletes pending; run apply_deletes() "
+                "before INSERT OVERWRITE"
+            )
         for vname, vt in self.tables.items():
             vt.register(self.spark, vname)
         df = self.spark.sql(self._rewrite_time_travel(query.strip()))
@@ -495,10 +514,42 @@ class EngineSQL:
         )
         entries = t.write_files(out)
         n = int(entries["record_count"].sum()) if len(entries) else 0
+        if overwrite:
+            snap = t.commit(
+                "replace", entries,
+                {"stage": "insert_overwrite", "rows_inserted": n},
+            )
+            return self._summary_df("INSERT OVERWRITE", name, snap)
         snap = t.commit(
             "append", entries, {"stage": "insert", "rows_inserted": n}
         )
         return self._summary_df("INSERT", name, snap)
+
+    def _truncate(self, s: str) -> DataFrame:
+        """``TRUNCATE TABLE <t>`` — one metadata-only delete commit with
+        an empty file set. No data file is touched: history (and time
+        travel back to the pre-truncate snapshot) is preserved, expiry
+        GC reclaims the files once the old snapshots age out — the
+        snapshot-isolation version of the reference's
+        delete-the-prefix-then-rewrite refresh."""
+        m = re.match(rf"TRUNCATE\s+TABLE\s+({_ID})$", s, re.I)
+        if not m:
+            raise SQLCommandError("expected: TRUNCATE TABLE <table>")
+        name = m.group(1)
+        t = self._table(name)
+        if t.pending_delete_paths() or t.pending_eq_deletes():
+            raise SQLCommandError(
+                "table has merge-on-read deletes pending; run apply_deletes() "
+                "before TRUNCATE"
+            )
+        man = t.manifest_pdf() if t.metadata().current_snapshot_id is not None else None
+        n = int(man["record_count"].sum()) if man is not None and len(man) else 0
+        snap = t.commit(
+            "delete",
+            man.iloc[0:0] if man is not None else pd.DataFrame(),
+            {"stage": "truncate", "rows_deleted": n},
+        )
+        return self._summary_df("TRUNCATE", name, snap)
 
     def _restore(self, s: str) -> DataFrame:
         """``RESTORE TABLE <t> TO VERSION AS OF <snapshot_id>`` — Delta's

@@ -349,3 +349,24 @@ def test_expire_honors_retention_properties(eng, spark):
     # explicit argument overrides the property
     res = expire_snapshots(t, spark=spark, keep_last=2)
     assert len(res["retained_snapshots"]) == 2
+
+
+def test_truncate_and_insert_overwrite(eng, spark):
+    t = eng.tables["images"]
+    s0 = t.snapshot().snapshot_id
+    generate_images(spark, 40, n_files=2, start=5000).createOrReplaceTempView(
+        "fresh"
+    )
+    res = eng.sql("INSERT OVERWRITE images SELECT * FROM fresh").first()
+    assert res["operation"] == "INSERT OVERWRITE"
+    assert res["rows_inserted"] == 40
+    assert t.scan(spark).count() == 40
+    # snapshot isolation: the pre-overwrite state is still readable
+    assert t.scan(spark, snapshot_id=s0).count() == N
+
+    res = eng.sql("TRUNCATE TABLE images").first()
+    assert res["rows_deleted"] == 40
+    assert t.scan(spark).count() == 0
+    assert t.scan(spark, snapshot_id=s0).count() == N
+    with pytest.raises(SQLCommandError):
+        eng.sql("TRUNCATE images")
