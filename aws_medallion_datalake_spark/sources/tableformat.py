@@ -1365,6 +1365,73 @@ class Table:
             branch=branch,
         )
 
+    def clone(
+        self,
+        dest_root: str,
+        snapshot_id: Optional[int] = None,
+    ) -> "Table":
+        """Zero-copy SHALLOW CLONE (Delta's ``CREATE TABLE … SHALLOW
+        CLONE`` analogue): a new INDEPENDENT table whose initial snapshot
+        holds this table's file set at ``snapshot_id`` (default:
+        current). Data files are hard-linked (copy fallback across
+        filesystems) and the source's manifest entries are reused
+        verbatim — no Spark job, no stats recollection, no payload read:
+        the whole clone is O(files) driver metadata work. Afterwards the
+        two tables evolve independently: commits, maintenance and expiry
+        on either side never touch the other (hard links keep bytes
+        alive until BOTH sides' GC has dropped them).
+
+        Cloning a snapshot with pending merge-on-read deletes is refused
+        — reusing its data files verbatim would resurrect suppressed
+        rows in the clone; run ``apply_deletes()`` first.
+        """
+        import shutil
+
+        s = self.snapshot(snapshot_id)
+        if s.delete_paths or s.eq_deletes:
+            raise ValueError(
+                "snapshot has pending merge-on-read deletes; run "
+                "apply_deletes() before cloning"
+            )
+        meta = self.metadata()
+        props = {
+            k: v
+            for k, v in meta.properties.items()
+            if not k.startswith(("ref.", "branch.", "stream.txn."))
+        }
+        dest = Table.create(
+            dest_root,
+            meta.schema_ddl,
+            partition_cols=list(meta.partition_cols),
+            stats_cols=list(meta.stats_cols),
+            properties=props or None,
+        )
+        man = self.manifest_pdf(s.snapshot_id)
+        if len(man):
+            prefix = dest.new_data_prefix()
+            new_paths = []
+            for i, rel in enumerate(man["path"]):
+                src = os.path.join(self.root, rel)
+                dst = os.path.join(prefix, f"{i:08d}-{os.path.basename(rel)}")
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+                new_paths.append(os.path.relpath(dst, dest.root))
+            man = man.copy()
+            man["path"] = new_paths
+        dest.commit(
+            "append",
+            man,
+            summary={
+                "stage": "clone",
+                "source_table_uuid": meta.table_uuid,
+                "source_snapshot_id": int(s.snapshot_id),
+                "files_linked": int(len(man)),
+            },
+        )
+        return dest
+
     def collect_stats_for_prefix(
         self, spark: SparkSession, prefix, method: str = "auto"
     ) -> pd.DataFrame:

@@ -797,6 +797,25 @@ class EngineSQL:
         name, rest = m.group(1), s[m.end():].strip()
         if name in self.tables:
             raise SQLCommandError(f"table {name!r} already exists in catalog")
+        cm = re.match(
+            rf"SHALLOW\s+CLONE\s+({_ID})(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
+            rf"\s+LOCATION\s+'([^']+)'$",
+            rest, re.I,
+        )
+        if cm:
+            src, sid, loc = cm.group(1), cm.group(2), cm.group(3)
+            dest = self._table(src).clone(
+                loc, snapshot_id=int(sid) if sid else None
+            )
+            self.tables[name] = dest
+            snap = dest.snapshot()
+            return self.spark.createDataFrame(
+                [("CREATE SHALLOW CLONE", name, src,
+                  int(snap.summary.get("source_snapshot_id", 0)),
+                  int(snap.summary.get("files_linked", 0)))],
+                "operation string, table string, source string, "
+                "source_snapshot_id long, files_linked long",
+            )
         ddl = None
         if rest.startswith("("):
             inner, rest = _take_parens(rest)

@@ -200,6 +200,16 @@ def main() -> None:
         ).agg(F.count("*")).first()
         times["maint_scan_point"] = round(time.time() - t0, 3)
 
+        # metadata-only COUNT(*): zero data IO, no Spark job — the
+        # O(manifest) path a health check should take at 10^12 rows
+        # (compare with maint_scan, the full-scan aggregate above)
+        from aws_medallion_datalake_spark.operators import fast_count
+
+        t0 = time.time()
+        n_meta = fast_count(t, spark=None)
+        times["maint_count_meta"] = round(time.time() - t0, 3)
+        assert n_meta == scanned["n"], (n_meta, scanned["n"])
+
         scan_gbps = (scanned["b"] / 1e9) / scan_sec if scan_sec > 0 else 0.0
         merge_rows_per_sec = n_src / merge_sec if merge_sec > 0 else 0.0
     finally:
