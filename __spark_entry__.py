@@ -3465,6 +3465,212 @@ def _sql_promo_revenue():
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline: decontamination, retrieval scoring, sampling,
+# shard export
+# ---------------------------------------------------------------------------
+
+
+def q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination — the training-data op that keeps eval
+    sets out of the training corpus: flag every training document that
+    shares word n-grams with a held-out benchmark set (here the docs
+    with ``doc_id % 97 == 0``, ~1%% of the corpus, standing in for a
+    small eval suite). 100 TB shape: benchmark n-gram sets are tiny
+    (eval suites are KBs–MBs) so the benchmark side BROADCASTS and the
+    check is one linear semi-join over the training shingles — no
+    shuffle of the big side, no pair explosion."""
+    sh = _doc_shingles(spark, sf_dir)
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    )
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+    totals = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        train.join(F.broadcast(bench), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return hits.join(totals, "doc_id").select(
+        "doc_id",
+        "n_hits",
+        "n_shingles",
+        F.round(F.col("n_hits") / F.col("n_shingles"), 4).alias(
+            "contamination"
+        ),
+    )
+
+
+def _sql_contamination_check():
+    return f"""
+        WITH sh AS ({_SHINGLE_SQL}),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+        totals AS (SELECT doc_id, count(*) AS n_shingles
+                   FROM train GROUP BY 1),
+        hits AS (SELECT doc_id, count(*) AS n_hits FROM train
+                 WHERE shingle IN (SELECT shingle FROM bench) GROUP BY 1)
+        SELECT h.doc_id, n_hits, n_shingles,
+               round(n_hits / CAST(n_shingles AS DOUBLE), 4)
+                   AS contamination
+        FROM hits h JOIN totals t ON h.doc_id = t.doc_id
+    """
+
+
+_BM25_TERMS = ("table", "query", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_rank(spark, sf_dir):
+    """BM25 relevance scoring (Robertson/Sparck-Jones) for a fixed
+    query over the corpus — the retrieval-scoring op a data pipeline
+    runs to mine topical training subsets. tf per (doc, term) from one
+    explode+filter pass; df per term and the corpus stats (N, avgdl)
+    are term-count-sized scalars, BROADCAST into the per-doc score, so
+    the whole query is one linear scan + one hash agg per side at any
+    corpus size. Returns every matching doc (no top-k limit, so no
+    float-boundary tie hazard against the oracle)."""
+    d = _doc_tokens(spark, sf_dir)
+    stats = d.agg(
+        F.count("*").alias("n_docs"), F.avg("n_tokens").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", "n_tokens", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "n_tokens", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    j = tf.join(F.broadcast(df_), "tok").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("n_tokens") / F.col("avgdl")
+    )
+    score = idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom
+    return j.groupBy("doc_id").agg(F.round(F.sum(score), 4).alias("bm25"))
+
+
+def _sql_bm25_rank():
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+        WITH d AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS toks,
+                   len(string_split(trim(text), ' ')) AS n_tokens
+            FROM documents
+        ),
+        stats AS (SELECT count(*) AS n_docs, avg(n_tokens) AS avgdl FROM d),
+        tf AS (
+            SELECT doc_id, n_tokens, tok, count(*) AS tf
+            FROM (SELECT doc_id, n_tokens, unnest(toks) AS tok FROM d)
+            WHERE tok IN ({terms})
+            GROUP BY 1, 2, 3
+        ),
+        df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1)
+        SELECT doc_id,
+               round(sum(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * ({_BM25_K1} + 1.0))
+                   / (tf + {_BM25_K1}
+                      * (1.0 - {_BM25_B} + {_BM25_B} * n_tokens / avgdl))
+               ), 4) AS bm25
+        FROM tf JOIN df USING (tok), stats
+        GROUP BY doc_id
+    """
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling — take 10%% of each language
+    stratum as a pure function of the document id (hash-ordered
+    row_number, never ``rand()``), so the sample is reproducible across
+    runs, machines and engine versions and proportions hold per
+    stratum. 100 TB shape: one shuffle on the stratum key; a window
+    per stratum. A skewed stratum bounds a single task only at the
+    row_number stage — for truly giant strata the same hash order
+    admits a threshold cut (keep md5 < p·2^128) that needs no window
+    at all; the windowed form here is exact-count."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    cw = Window.partitionBy("lang")
+    return (
+        d.select("doc_id", "lang", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(cw))
+        .filter(F.col("rn") <= F.ceil(F.col("n") * 0.1))
+        .select("doc_id", "lang")
+    )
+
+
+def _sql_stratified_sample():
+    return """
+        SELECT doc_id, lang
+        FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM documents
+        )
+        WHERE rn <= ceil(n * 0.1)
+    """
+
+
+_SHARD_TARGET_CHARS = 4096
+
+
+def q_dataset_shards(spark, sf_dir):
+    """Target-size training-shard assignment (the WebDataset/tar-shard
+    export shape): pack documents into ~4 KB shards by running byte
+    offset, deterministically ordered by doc_id WITHIN each source so
+    shard membership is stable. 100 TB shape: the running sum windows
+    per SOURCE (the ingest partition unit), so shard assignment is one
+    shuffle on source and each source packs independently in parallel —
+    never a global single-partition cumsum; a pathologically hot
+    source would be range-split by doc_id first (same two-level
+    pattern the cluster operator uses)."""
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    sh = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.floor(prev / _SHARD_TARGET_CHARS).cast("bigint").alias("shard"),
+    )
+    return sh.groupBy("source", "shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("shard_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def _sql_dataset_shards():
+    return f"""
+        WITH s AS (
+            SELECT source, doc_id, n_chars,
+                   CAST(floor(coalesce(sum(n_chars) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / {_SHARD_TARGET_CHARS}) AS BIGINT) AS shard
+            FROM documents
+        )
+        SELECT source, shard, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM s GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -3494,6 +3700,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
         "train_val_split": q_train_val_split,
+        "contamination_check": q_contamination_check,
+        "bm25_rank": q_bm25_rank,
+        "stratified_sample": q_stratified_sample,
+        "dataset_shards": q_dataset_shards,
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
         "doc_quality": q_doc_quality,
@@ -3580,6 +3790,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _sql_dedup_exact(),
         "doc_fingerprint": _sql_doc_fingerprint(),
         "train_val_split": _sql_train_val_split(),
+        "contamination_check": _sql_contamination_check(),
+        "bm25_rank": _sql_bm25_rank(),
+        "stratified_sample": _sql_stratified_sample(),
+        "dataset_shards": _sql_dataset_shards(),
         "token_stats": _sql_token_stats(),
         "bpe_token_stats": _sql_bpe_token_stats(),
         "doc_quality": _sql_doc_quality(),
