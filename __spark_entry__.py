@@ -2135,6 +2135,63 @@ def q_image_update(spark, sf_dir):
     )
 
 
+def q_image_dyn_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite + REPLACE WHERE
+    (operators/overwrite.py): the snapshot-isolated versions of the
+    reference's daily partition-refresh
+    (scripts/bronze_digit_daily.py:184-190). Refresh one ingest_date
+    with a dynamic overwrite (exact files drop wholesale, other
+    partitions untouched), then replace a phash range atomically with
+    validation. Returns per-stage accounting plus CDC visibility
+    counts. Engine-internal; rows-only check."""
+    import tempfile
+
+    from aws_medallion_datalake_spark.operators import (
+        overwrite_partitions,
+        replace_where,
+    )
+    from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
+    from aws_medallion_datalake_spark.sources.generator import generate_images
+
+    root = tempfile.mkdtemp(prefix="entry_dynov_")
+    t = bronze_ingest(spark, os.path.join(root, "t"), _IMG_ROWS, n_files=4)
+    s0 = t.metadata().current_snapshot_id
+    day = generate_images(spark, 40, n_files=2, start=90000).withColumn(
+        "ingest_date", F.lit("2024-01-02")
+    )
+    ov = overwrite_partitions(t, spark, day)
+    n_day = t.scan(
+        spark, predicates=[("ingest_date", "=", "2024-01-02")]
+    ).count()
+    lo = t.scan(spark).agg(F.min("phash")).first()[0]
+    preds = [("phash", "<=", lo + 10**17)]
+    repl = generate_images(spark, 10, n_files=1, start=95000).withColumn(
+        "phash", F.lit(lo)
+    )
+    rw = replace_where(t, spark, repl, preds)
+    cdc = (
+        t.changes_cdc(spark, s0)
+        .groupBy("_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    kinds = {r["_change_type"]: int(r["n"]) for r in cdc}
+    rows = [
+        ("dyn_overwrite", int(ov.summary["rows_inserted"]),
+         int(ov.summary["rows_deleted"]), int(ov.summary["partitions_replaced"]),
+         int(n_day)),
+        ("replace_where", int(rw.summary["rows_inserted"]),
+         int(rw.summary["rows_deleted"]), int(rw.summary["files_candidate"]),
+         int(t.scan(spark, predicates=preds).count())),
+        ("cdc", kinds.get("insert", 0), kinds.get("delete", 0), 0,
+         int(t.scan(spark).count())),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage string, rows_in long, rows_out long, detail long, check long",
+    )
+
+
 def q_image_bucketed_join(spark, sf_dir):
     """Storage-partitioned (co-located) join: two engine tables bucketed
     ``bucket(8, image_id)`` join WITHOUT shuffling either full side —
@@ -3753,6 +3810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_cdc": q_image_cdc,
         "image_mor_merge": q_image_mor_merge,
         "image_update": q_image_update,
+        "image_dyn_overwrite": q_image_dyn_overwrite,
         "image_sql_dml": q_image_sql_dml,
         "image_bucketed_join": q_image_bucketed_join,
         "image_wap": q_image_wap,

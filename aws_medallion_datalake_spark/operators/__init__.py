@@ -13,5 +13,6 @@ from .delete import (  # noqa: F401
 from .expire import expire_snapshots, remove_orphan_files  # noqa: F401
 from .merge import merge_into  # noqa: F401
 from .metascan import fast_count, fast_min_max  # noqa: F401
+from .overwrite import overwrite_partitions, replace_where  # noqa: F401
 from .run import run_maintenance  # noqa: F401
 from .update import update_where  # noqa: F401

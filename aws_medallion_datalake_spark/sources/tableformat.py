@@ -1848,7 +1848,7 @@ class Table:
             prev_man = self.manifest_df(spark, from_snapshot_id).select("path")
             for s in chain:
                 cur_man = self.manifest_df(spark, s.snapshot_id).select("path")
-                if s.operation in ("append", "merge", "update"):
+                if s.operation in ("append", "merge", "update", "overwrite"):
                     added_df = cur_man.join(prev_man, "path", "left_anti")
                     if s.operation in ("merge", "update"):
                         delta_prefix = s.summary.get("delta_prefix")
@@ -1867,7 +1867,9 @@ class Table:
             for s in chain:
                 cur_paths = set(self.manifest_pdf(s.snapshot_id)["path"])
                 added = cur_paths - prev_paths
-                if s.operation == "append":
+                if s.operation in ("append", "overwrite"):
+                    # overwrite: every added file is logical payload (the
+                    # landed frame); removals surface only in changes_cdc
                     new_paths += sorted(added)
                 elif s.operation in ("merge", "update"):
                     delta_prefix = s.summary.get("delta_prefix")
@@ -2047,7 +2049,9 @@ class Table:
             else None
         )
         for s in chain:
-            logical = s.operation in ("append", "merge", "delete", "update")
+            logical = s.operation in (
+                "append", "merge", "delete", "update", "overwrite"
+            )
             if use_spark:
                 cur_man = self.manifest_df(spark, s.snapshot_id).select("path")
                 added = removed = []
@@ -2074,7 +2078,7 @@ class Table:
             if s.operation == "append":
                 if added:
                     ins_side = _read(added)
-            elif s.operation in ("merge", "delete", "update") and (
+            elif s.operation in ("merge", "delete", "update", "overwrite") and (
                 added or removed
             ):
                 old = _read(removed) if removed else _read(added).limit(0)

@@ -480,16 +480,33 @@ class EngineSQL:
         result as the table's ENTIRE new file set (one atomic replace
         snapshot — the reference's blind overwrite-refresh semantics,
         silver_digit_clean.py:127, under snapshot isolation with time
-        travel back to the pre-overwrite state)."""
+        travel back to the pre-overwrite state) — unless the table
+        declares ``write.overwrite.mode = dynamic`` (Spark's
+        ``partitionOverwriteMode`` as a table property), in which case
+        only the partition tuples present in the query result are
+        replaced (``operators.overwrite_partitions``).
+        ``INSERT INTO <t> REPLACE WHERE <conds> <select…>`` is the
+        Delta ``replaceWhere`` spelling: atomically delete the
+        predicate's rows and land the query result in one snapshot,
+        validating the incoming rows satisfy the predicate."""
         m = re.match(
-            rf"INSERT\s+(INTO|OVERWRITE)\s+({_ID})\s+(.+)$", s, re.I | re.S
+            rf"INSERT\s+(INTO|OVERWRITE)\s+({_ID})"
+            rf"(?:\s+REPLACE\s+WHERE\s+(.+?))?"
+            rf"\s+((?:SELECT|WITH|VALUES|\().+)$",
+            s, re.I | re.S,
         )
         if not m:
             raise SQLCommandError(
-                "expected: INSERT INTO|OVERWRITE <table> <select …>"
+                "expected: INSERT INTO|OVERWRITE <table> "
+                "[REPLACE WHERE <conds>] <select …>"
             )
         overwrite = m.group(1).upper() == "OVERWRITE"
-        name, query = m.group(2), m.group(3)
+        name, where_text, query = m.group(2), m.group(3), m.group(4)
+        if where_text and overwrite:
+            raise SQLCommandError(
+                "REPLACE WHERE is an INSERT INTO clause; "
+                "INSERT OVERWRITE replaces by partition or table"
+            )
         t = self._table(name)
         if overwrite and (t.pending_delete_paths() or t.pending_eq_deletes()):
             raise SQLCommandError(
@@ -512,14 +529,36 @@ class EngineSQL:
         out = df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
-        entries = t.write_files(out)
-        n = int(entries["record_count"].sum()) if len(entries) else 0
+        if where_text:
+            from .operators.overwrite import replace_where
+
+            snap = replace_where(t, self.spark, out, parse_where(where_text))
+            return self._summary_df("INSERT REPLACE WHERE", name, snap)
         if overwrite:
+            mode = str(
+                t.metadata().properties.get("write.overwrite.mode", "static")
+            ).strip().lower()
+            if mode not in ("static", "dynamic"):
+                raise SQLCommandError(
+                    f"write.overwrite.mode must be static|dynamic, got {mode!r}"
+                )
+            if mode == "dynamic" and t.metadata().partition_cols:
+                from .operators.overwrite import overwrite_partitions
+
+                snap = overwrite_partitions(t, self.spark, out)
+                return self._summary_df("INSERT OVERWRITE", name, snap)
+            entries = t.write_files(out)
+            n = int(entries["record_count"].sum()) if len(entries) else 0
+            # operation "overwrite", not "replace": this commit changes
+            # LOGICAL rows, so changes()/changes_cdc() must emit it
+            # ("replace" is reserved for physical-only rewrites)
             snap = t.commit(
-                "replace", entries,
+                "overwrite", entries,
                 {"stage": "insert_overwrite", "rows_inserted": n},
             )
             return self._summary_df("INSERT OVERWRITE", name, snap)
+        entries = t.write_files(out)
+        n = int(entries["record_count"].sum()) if len(entries) else 0
         snap = t.commit(
             "append", entries, {"stage": "insert", "rows_inserted": n}
         )
