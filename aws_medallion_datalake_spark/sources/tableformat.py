@@ -442,6 +442,25 @@ class Table:
         meta.properties[BLOOM_COLS_PROP] = ",".join(bloom)
         self._write_metadata_version(version + 1, meta)
 
+    def empty_relation(self, spark: SparkSession, schema=None) -> DataFrame:
+        """Zero-row relation with the table schema that STILL resolves
+        ``_metadata`` (a parquet read over a guaranteed-empty directory).
+        Every no-files plan (empty scan, fully-pruned scan, empty
+        changes/delta_scan) returns this instead of ``createDataFrame([])``
+        so downstream projections of ``_metadata.file_path`` — the merge/
+        delete probe's rel-path column — analyze identically whether the
+        candidate set is empty or not."""
+        from pyspark.sql.types import StructType
+
+        d = os.path.join(self.root, "metadata", ".empty")
+        os.makedirs(d, exist_ok=True)
+        sch = (
+            schema
+            if schema is not None
+            else StructType.fromDDL(self.metadata().schema_ddl)
+        )
+        return spark.read.schema(sch).parquet(d)
+
     def read_data(
         self, spark: SparkSession, paths: Sequence[str], meta=None
     ) -> DataFrame:
@@ -551,11 +570,184 @@ class Table:
                     f"property {k!r} is a managed ref; use tag()/"
                     "create_branch()/drop_* instead"
                 )
+            if k.startswith("constraint."):
+                raise ValueError(
+                    f"property {k!r} is managed; use add_constraint() / "
+                    "drop_constraint() (existing data must be validated)"
+                )
         for k, v in props.items():
             if v is None:
                 meta.properties.pop(k, None)
             else:
                 meta.properties[k] = str(v)
+        self._write_metadata_version(version + 1, meta)
+
+    # ---------- type widening (Iceberg type promotion) ----------
+
+    _WIDEN_INT_ORDER = ("tinyint", "smallint", "int", "bigint")
+
+    def widen_column(
+        self, name: str, new_type: str, spark: Optional[SparkSession] = None
+    ) -> None:
+        """Iceberg-style type promotion: widen a column to a superset
+        type (int family → any wider int, float → double). For DATA this
+        is metadata-only — the parquet reader upcasts narrow physical
+        files under the widened read schema, so no file is rewritten and
+        later rewrites migrate files physically as a side effect. The
+        MANIFEST STATS columns, however, are normalized to the widened
+        type FIRST in one physical-only replace commit: Spark's
+        mergeSchema manifest read cannot reconcile an int32 ``min_<c>``
+        in an old manifest with the int64 one a post-widen append would
+        write. Crash between the two steps leaves widened stats under
+        the old schema — wider stats describing narrower data prune
+        soundly, so the order is safe. Old snapshots keep their own
+        (homogeneous) manifests; time travel is unaffected.
+
+        ``spark``: required only when the manifest exceeds the planner
+        threshold — the stats cast then runs as a Spark job and the
+        manifest never materializes on the driver."""
+        from pyspark.sql.types import StructType
+
+        new_t = new_type.strip().lower()
+        meta = self.metadata()
+        fields = StructType.fromDDL(meta.schema_ddl).fields
+        cur_map = {f.name: f.dataType.simpleString() for f in fields}
+        if name not in cur_map:
+            raise KeyError(f"unknown column {name!r}")
+        cur_t = cur_map[name]
+        ints = self._WIDEN_INT_ORDER
+        ok = (
+            cur_t in ints
+            and new_t in ints
+            and ints.index(new_t) > ints.index(cur_t)
+        ) or (cur_t == "float" and new_t == "double")
+        if not ok:
+            raise ValueError(
+                f"cannot widen {name!r}: {cur_t} -> {new_t} (allowed: "
+                f"int family -> wider int, float -> double)"
+            )
+        if meta.current_snapshot_id is not None:
+            stat_cols = (f"min_{name}", f"max_{name}")
+            if self.manifest_rows() > SPARK_MANIFEST_THRESHOLD:
+                if spark is None:
+                    raise ValueError(
+                        "manifest exceeds the planner threshold: pass a "
+                        "SparkSession so the stats cast runs distributed"
+                    )
+                mdf = self.manifest_df(spark)
+                present = [c for c in stat_cols if c in mdf.columns]
+                if present:
+                    for c in present:
+                        mdf = mdf.withColumn(c, F.col(c).cast(new_t))
+                    tot = mdf.agg(
+                        F.count("*").alias("files"),
+                        F.sum("record_count").alias("records"),
+                        F.sum("file_size_bytes").alias("bytes"),
+                    ).collect()[0]
+                    n_parts = max(
+                        1, -(-int(tot["files"]) // MANIFEST_PART_ROWS)
+                    )
+                    rel_dir = os.path.join(
+                        "metadata", f"manifest-wd-{uuid.uuid4().hex}"
+                    )
+                    mdf.repartition(n_parts).write.parquet(
+                        os.path.join(self.root, rel_dir)
+                    )
+                    rel_paths = sorted(
+                        os.path.join(rel_dir, f)
+                        for f in os.listdir(os.path.join(self.root, rel_dir))
+                        if f.endswith(".parquet")
+                    )
+                    self._commit_manifest_list(
+                        "replace",
+                        rel_paths,
+                        dict(
+                            added_or_total_files=int(tot["files"]),
+                            total_records=int(tot["records"] or 0),
+                            total_bytes=int(tot["bytes"] or 0),
+                        ),
+                        {"stage": "widen_column_manifests", "column": name,
+                         "to": new_t},
+                    )
+            else:
+                man = self.manifest_pdf()
+                present = [c for c in stat_cols if c in man.columns]
+                if present:
+                    dtype = {
+                        "smallint": "Int16", "int": "Int32",
+                        "bigint": "Int64", "double": "float64",
+                    }[new_t]
+                    man = man.copy()
+                    for c in present:
+                        man[c] = man[c].astype(dtype)
+                    self.commit(
+                        "replace", man,
+                        {"stage": "widen_column_manifests", "column": name,
+                         "to": new_t},
+                    )
+        version = self.current_version()
+        meta = self.metadata(version)
+        new_ddl = ", ".join(
+            f"{f.name} {new_t if f.name == name else f.dataType.simpleString()}"
+            for f in StructType.fromDDL(meta.schema_ddl).fields
+        )
+        meta.schema_ddl = new_ddl
+        self._write_metadata_version(version + 1, meta)
+
+    # ---------- CHECK constraints ----------
+
+    def constraints(self) -> dict:
+        """Active CHECK constraints: {name: condition_sql}."""
+        return {
+            k[len("constraint."):]: v
+            for k, v in self.metadata().properties.items()
+            if k.startswith("constraint.")
+        }
+
+    def add_constraint(
+        self, spark: SparkSession, name: str, condition_sql: str
+    ) -> None:
+        """Delta-style table CHECK constraint (``ALTER TABLE … ADD
+        CONSTRAINT <name> CHECK (<expr>)``): every subsequent data-file
+        write evaluates the condition row-level inside the write job
+        (SQL tri-state — NULL passes, only FALSE violates) and fails the
+        write on a violation. Like Delta, ADDING the constraint first
+        validates the EXISTING table data with one predicate-only scan;
+        a table whose history already violates the condition refuses the
+        constraint rather than leaving enforcement half-true."""
+        if not re.match(r"^[A-Za-z_]\w*$", name):
+            raise ValueError(f"invalid constraint name {name!r}")
+        if name in self.constraints():
+            raise ValueError(f"constraint {name!r} already exists")
+        cond = F.expr(condition_sql)
+        if self.metadata().current_snapshot_id is not None:
+            bad = (
+                self.scan(spark)
+                .filter(~F.coalesce(cond, F.lit(True)))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"existing rows violate CHECK ({condition_sql}); "
+                    f"constraint {name!r} not added"
+                )
+        else:
+            # no data yet: still resolve the expression against the
+            # declared schema so a typo fails now, not at first write
+            self.empty_relation(spark).filter(cond)
+        version = self.current_version()
+        meta = self.metadata(version)
+        meta.properties[f"constraint.{name}"] = condition_sql
+        self._write_metadata_version(version + 1, meta)
+
+    def drop_constraint(self, name: str) -> None:
+        """Remove a CHECK constraint (metadata-only)."""
+        if name not in self.constraints():
+            raise KeyError(f"unknown constraint {name!r}")
+        version = self.current_version()
+        meta = self.metadata(version)
+        meta.properties.pop(f"constraint.{name}", None)
         self._write_metadata_version(version + 1, meta)
 
     # ---------- manifests ----------
@@ -1163,7 +1355,7 @@ class Table:
             )
         pdf = self._own_delta_pdf(s)
         if pdf.empty:
-            empty = spark.createDataFrame([], schema=self.metadata().schema_ddl)
+            empty = self.empty_relation(spark)
             return empty.select(*columns) if columns else empty
         df = self.read_data(
             spark, [os.path.join(self.root, p) for p in pdf["path"]]
@@ -1252,6 +1444,17 @@ class Table:
         keep/delta, delete rewrite — goes through this so rewrites never
         silently drop the blooms; positional/equality DELETE files and
         manifests skip it (their columns aren't table columns)."""
+        cons = self.constraints()
+        for cname in sorted(cons):
+            # row-level enforcement INSIDE the write job (no extra pass):
+            # assert_true inside a filter cannot be pruned away, unlike a
+            # dropped projection column; NULL conditions pass (SQL CHECK)
+            ok = F.coalesce(F.expr(cons[cname]), F.lit(True))
+            df = df.filter(
+                F.assert_true(
+                    ok, f"CHECK constraint {cname} ({cons[cname]}) violated"
+                ).isNull()
+            )
         w = df.write.mode("append")
         opts = bloom_write_options(self.metadata())
         return w.options(**opts) if opts else w
@@ -1651,9 +1854,7 @@ class Table:
         if snapshot_id is None and meta.current_snapshot_id is None:
             # freshly created table (no snapshot yet): a zero-row relation
             # with the declared schema — Iceberg's CREATE-then-SELECT shape
-            from pyspark.sql.types import StructType
-
-            empty = spark.createDataFrame([], StructType.fromDDL(meta.schema_ddl))
+            empty = self.empty_relation(spark, meta.schema_ddl)
             return empty.select(*columns) if columns else empty
         preds = list(predicates or [])
         # hidden partitioning: file-level pruning additionally uses the
@@ -1670,7 +1871,7 @@ class Table:
         s = self.snapshot(snapshot_id)
 
         def _empty():
-            e = spark.createDataFrame([], schema=meta.schema_ddl)
+            e = self.empty_relation(spark, meta.schema_ddl)
             return e.select(*columns) if columns else e
 
         n_entries = self.manifest_rows(s.snapshot_id)
@@ -1880,7 +2081,7 @@ class Table:
                 # replace / expire: physical-only, nothing emitted
                 prev_paths = cur_paths
         if not new_paths:
-            e = spark.createDataFrame([], schema=meta.schema_ddl)
+            e = self.empty_relation(spark, meta.schema_ddl)
             return e.select(*columns) if columns else e
         df = self.read_data(
             spark, [os.path.join(self.root, p) for p in new_paths]
@@ -2124,7 +2325,7 @@ class Table:
                         hit if dels_side is None else dels_side.unionByName(hit)
                     )
             if ins_side is not None or dels_side is not None:
-                empty = spark.createDataFrame([], schema=schema)
+                empty = self.empty_relation(spark, schema)
                 parts.extend(
                     _pair(
                         ins_side if ins_side is not None else empty,
@@ -2135,7 +2336,7 @@ class Table:
             prev = s
         if not parts:
             return _tag(
-                spark.createDataFrame([], schema=schema),
+                self.empty_relation(spark, schema),
                 "insert",
                 chain[-1] if chain else self.snapshot(from_snapshot_id),
             ).limit(0)

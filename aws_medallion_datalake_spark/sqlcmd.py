@@ -962,6 +962,30 @@ class EngineSQL:
         if dm:
             t.drop_column(dm.group(1))
             return self._ddl_df("ALTER TABLE", name, f"dropped {dm.group(1)}")
+        wm = re.match(
+            rf"ALTER\s+COLUMN\s+({_ID})\s+TYPE\s+([A-Za-z0-9_]+)$", rest, re.I
+        )
+        if wm:
+            t.widen_column(wm.group(1), wm.group(2), spark=self.spark)
+            return self._ddl_df(
+                "ALTER TABLE", name,
+                f"widened {wm.group(1)} -> {wm.group(2).lower()}",
+            )
+        acm = re.match(rf"ADD\s+CONSTRAINT\s+({_ID})\s+CHECK\s*", rest, re.I)
+        if acm:
+            inner, tail = _take_parens(rest[acm.end():])
+            if tail:
+                raise SQLCommandError(f"trailing input: {tail!r}")
+            t.add_constraint(self.spark, acm.group(1), inner)
+            return self._ddl_df(
+                "ALTER TABLE", name, f"constraint {acm.group(1)} added"
+            )
+        dcm = re.match(rf"DROP\s+CONSTRAINT\s+({_ID})$", rest, re.I)
+        if dcm:
+            t.drop_constraint(dcm.group(1))
+            return self._ddl_df(
+                "ALTER TABLE", name, f"constraint {dcm.group(1)} dropped"
+            )
         sm = re.match(r"SET\s+TBLPROPERTIES\s*", rest, re.I)
         if sm:
             inner, tail = _take_parens(rest[sm.end():])

@@ -287,3 +287,16 @@ def test_nmbs_then_changes_cdc(tmp_path, spark):
     assert dels == 200
     assert ins == 90
     src.unpersist()
+
+
+def test_merge_fully_disjoint_source_is_pure_insert(tmp_path, spark):
+    """Source keys that overlap NO target file (stats-pruned probe finds
+    zero candidates) must degrade to a pure insert — regression: the
+    fully-pruned scan used to return a createDataFrame([]) relation on
+    which the probe's _metadata.file_path projection failed to analyze."""
+    t = make_table(tmp_path, spark, n=60)
+    src = generate_images(spark, 10, n_files=1, start=500000)
+    snap = merge_into(t, spark, src)
+    assert int(snap.summary["rows_inserted"]) == 10
+    assert int(snap.summary["rows_updated"]) == 0
+    assert t.scan(spark).count() == 70
