@@ -41,6 +41,9 @@ HEADLINE = [
     "minhash_signature",
     "minhash_candidate_pairs",
     "ngram_jaccard_pairs",
+    "contamination_check",
+    "bm25_rank",
+    "dataset_shards",
     "embedding_topk",
     "embedding_neardup_pairs",
     "semdedup",

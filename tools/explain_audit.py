@@ -200,6 +200,24 @@ def _(spark, sf_dir):
     assert n_read < n_full, (n_read, n_full)
 
 
+@check("decontamination: benchmark side broadcasts, big side never shuffles")
+def _(spark, sf_dir):
+    p = plan_of(entry.q_contamination_check(spark, sf_dir))
+    # the benchmark n-gram set is broadcast into a semi-join; the
+    # training-shingle side must not sort-merge against it
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+    assert "EvalPython" not in p, p
+
+
+@check("BM25: df/corpus stats broadcast, no nested-loop product")
+def _(spark, sf_dir):
+    p = plan_of(entry.q_bm25_rank(spark, sf_dir))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+    # the per-(doc,term) tf agg is partial+final hash aggregation
+    assert p.count("HashAggregate") >= 2, p
+    assert "CartesianProduct" not in p, p
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_session("local[8]", shuffle_partitions=8)
