@@ -3676,6 +3676,80 @@ def _sql_stratified_sample():
     """
 
 
+def q_repetition_filter(spark, sf_dir):
+    """Repetition-based quality filtering (the Gopher/MassiveText rule
+    family): per document, the fraction of duplicate 3-grams
+    (1 - distinct/total) and the share of the single most frequent
+    token; documents over either threshold are flagged repetitive.
+    100 TB shape: duplicate-3-gram fraction is computed INSIDE the row
+    (array expressions, no explode), so the only shuffle is the
+    per-(doc, token) hash agg for the top-token share — linear, no
+    joins against anything global."""
+    d = _doc_tokens(spark, sf_dir).filter(F.col("n_tokens") >= 3)
+    tri = F.expr(_SHINGLE_EXPR)
+    d = d.withColumn(
+        "dup3",
+        F.round(
+            1.0 - F.size(F.array_distinct(tri)) / (F.col("n_tokens") - 2), 4
+        ),
+    )
+    top = (
+        d.select("doc_id", "n_tokens", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "n_tokens", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.max("c").alias("top_c"))
+        .select(
+            "doc_id",
+            F.round(F.col("top_c") / F.col("n_tokens"), 4).alias("top_tok"),
+        )
+    )
+    j = d.select("doc_id", "lang", "dup3").join(top, "doc_id")
+    flagged = (F.col("dup3") > 0.5) | (F.col("top_tok") > 0.2)
+    return j.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(flagged.cast("long")).alias("n_repetitive"),
+        F.round(F.avg("dup3"), 4).alias("avg_dup3"),
+        F.round(F.avg("top_tok"), 4).alias("avg_top_tok"),
+    )
+
+
+def _sql_repetition_filter():
+    return """
+        WITH d AS (
+            SELECT doc_id, lang, string_split(trim(text), ' ') AS toks,
+                   len(string_split(trim(text), ' ')) AS n_tokens
+            FROM documents
+            WHERE len(string_split(trim(text), ' ')) >= 3
+        ),
+        tri AS (
+            SELECT doc_id, lang, n_tokens,
+                   round(1.0 - len(list_distinct(
+                       [concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                        for i in range(1, len(toks) - 1)]))
+                       / CAST(n_tokens - 2 AS DOUBLE), 4) AS dup3
+            FROM d
+        ),
+        top AS (
+            SELECT doc_id, round(max(c) / CAST(any_value(n_tokens) AS DOUBLE), 4)
+                       AS top_tok
+            FROM (
+                SELECT doc_id, n_tokens, tok, count(*) AS c
+                FROM (SELECT doc_id, n_tokens, unnest(toks) AS tok FROM d)
+                GROUP BY 1, 2, 3
+            )
+            GROUP BY doc_id
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN dup3 > 0.5 OR top_tok > 0.2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+               round(avg(dup3), 4) AS avg_dup3,
+               round(avg(top_tok), 4) AS avg_top_tok
+        FROM tri JOIN top USING (doc_id)
+        GROUP BY lang
+    """
+
+
 _SHARD_TARGET_CHARS = 4096
 
 
@@ -3761,6 +3835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": q_bm25_rank,
         "stratified_sample": q_stratified_sample,
         "dataset_shards": q_dataset_shards,
+        "repetition_filter": q_repetition_filter,
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
         "doc_quality": q_doc_quality,
@@ -3852,6 +3927,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rank": _sql_bm25_rank(),
         "stratified_sample": _sql_stratified_sample(),
         "dataset_shards": _sql_dataset_shards(),
+        "repetition_filter": _sql_repetition_filter(),
         "token_stats": _sql_token_stats(),
         "bpe_token_stats": _sql_bpe_token_stats(),
         "doc_quality": _sql_doc_quality(),
