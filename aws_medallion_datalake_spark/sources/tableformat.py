@@ -1459,6 +1459,54 @@ class Table:
         opts = bloom_write_options(self.metadata())
         return w.options(**opts) if opts else w
 
+    def append(
+        self,
+        df: DataFrame,
+        *,
+        merge_schema: bool = False,
+        summary: Optional[dict] = None,
+    ) -> Snapshot:
+        """Schema-checked append: columns are matched BY NAME against the
+        declared schema and cast to the declared types; columns the frame
+        lacks land as NULL (they read back as their declared DEFAULT if
+        one is set). A frame carrying UNDECLARED columns raises — unless
+        ``merge_schema=True`` (Delta's ``mergeSchema``/autoMerge), which
+        first ADDS the new columns as a metadata-only schema evolution
+        typed from the frame, then appends. The raw ``write_files`` +
+        ``commit`` path stays available for internal operators that
+        guarantee their own schema."""
+        from pyspark.sql.types import StructType
+
+        declared = StructType.fromDDL(self.metadata().schema_ddl)
+        names = {f.name for f in declared.fields}
+        extra = [f for f in df.schema.fields if f.name not in names]
+        if extra:
+            if not merge_schema:
+                raise ValueError(
+                    f"frame has columns not in the table schema: "
+                    f"{[f.name for f in extra]} (pass merge_schema=True "
+                    f"to evolve the schema)"
+                )
+            self.add_columns(
+                ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in extra
+                )
+            )
+            declared = StructType.fromDDL(self.metadata().schema_ddl)
+        out = df.select(
+            *[
+                (
+                    F.col(f.name) if f.name in df.columns else F.lit(None)
+                ).cast(f.dataType).alias(f.name)
+                for f in declared.fields
+            ]
+        )
+        entries = self.write_files(out)
+        n = int(entries["record_count"].sum()) if len(entries) else 0
+        summ = {"stage": "append", "rows_inserted": n}
+        summ.update(summary or {})
+        return self.commit("append", entries, summ)
+
     def write_files(self, df: DataFrame) -> pd.DataFrame:
         """Write df's current partitioning into a fresh commit dir; return
         manifest entries (with stats) for the files written.

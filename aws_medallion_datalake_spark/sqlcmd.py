@@ -449,19 +449,25 @@ class EngineSQL:
 
     def _vacuum(self, s: str) -> DataFrame:
         m = re.match(
-            rf"VACUUM\s+({_ID})(?:\s+RETAIN\s+(\d+)\s+HOURS)?$", s, re.I
+            rf"VACUUM\s+({_ID})(?:\s+RETAIN\s+(\d+)\s+HOURS)?"
+            rf"(?:\s+(DRY\s+RUN))?$",
+            s, re.I,
         )
         if not m:
-            raise SQLCommandError("expected: VACUUM <table> [RETAIN n HOURS]")
-        name, hours = m.groups()
+            raise SQLCommandError(
+                "expected: VACUUM <table> [RETAIN n HOURS] [DRY RUN]"
+            )
+        name, hours, dry = m.groups()
         t = self._table(name)
         retain_h = float(hours) if hours else 168.0  # Delta's 7-day default
         cutoff = int(time.time() * 1000 - retain_h * 3600 * 1000)
         exp = expire_snapshots(t, spark=self.spark, keep_last=1,
-                               older_than_ms=cutoff)
-        orph = remove_orphan_files(t, older_than_hours=retain_h)
+                               older_than_ms=cutoff, dry_run=bool(dry))
+        orph = remove_orphan_files(t, older_than_hours=retain_h,
+                                   dry_run=bool(dry))
         row = (
-            "VACUUM", name, len(exp.get("expired_snapshots", [])),
+            "VACUUM DRY RUN" if dry else "VACUUM", name,
+            len(exp.get("expired_snapshots", [])),
             int(exp.get("deleted_files", 0)),
             int(orph.get("deleted_files", 0)),
         )
@@ -789,12 +795,48 @@ class EngineSQL:
             props = self._table(m.group(1)).metadata().properties
             rows = [(k, str(v)) for k, v in sorted(props.items())]
             return self.spark.createDataFrame(rows, "key string, value string")
+        m = re.match(rf"SHOW\s+CREATE\s+TABLE\s+({_ID})$", s, re.I)
+        if m:
+            name = m.group(1)
+            t = self._table(name)
+            meta = t.metadata()
+            from pyspark.sql.types import StructType
+
+            cols = ",\n  ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in StructType.fromDDL(meta.schema_ddl).fields
+            )
+            stmt = f"CREATE TABLE {name} (\n  {cols}\n)"
+            if meta.partition_cols:
+                stmt += (
+                    "\nPARTITIONED BY ("
+                    + ", ".join(meta.partition_cols) + ")"
+                )
+            stmt += f"\nLOCATION '{t.root}'"
+            # user-set properties only: managed keys (refs, stream txns,
+            # constraints — re-added via ALTER so history is validated)
+            # are runtime state, not DDL, and the CREATE parser refuses
+            # them; the emitted statement round-trips through eng.sql
+            props = {
+                k: v for k, v in sorted(meta.properties.items())
+                if not k.startswith(
+                    ("ref.", "branch.", "stream.txn.", "constraint.")
+                )
+            }
+            if props:
+                stmt += "\nTBLPROPERTIES (\n  " + ",\n  ".join(
+                    f"'{k}' = '{v}'" for k, v in props.items()
+                ) + "\n)"
+            return self.spark.createDataFrame(
+                [(stmt,)], "createtab_stmt string"
+            )
         if re.match(r"SHOW\s+TABLES$", s, re.I):
             return self.spark.createDataFrame(
                 [(n,) for n in sorted(self.tables)], "table string"
             )
         raise SQLCommandError(
-            "expected: SHOW TABLES | SHOW TBLPROPERTIES <table>"
+            "expected: SHOW TABLES | SHOW CREATE TABLE <table> | "
+            "SHOW TBLPROPERTIES <table>"
         )
 
     def _analyze(self, s: str) -> DataFrame:
