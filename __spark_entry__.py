@@ -2192,6 +2192,53 @@ def q_image_dyn_overwrite(spark, sf_dir):
     )
 
 
+def q_image_schema_ops(spark, sf_dir):
+    """Schema governance surfaces (tableformat.py): CHECK constraints
+    (add validates existing data; writes enforce row-level inside the
+    write job), type widening (int→bigint, manifest stats normalized
+    first), and mergeSchema append evolution (new column added
+    metadata-only, old files read NULL). Engine-internal; rows-only
+    check."""
+    import tempfile
+
+    from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
+
+    root = tempfile.mkdtemp(prefix="entry_schema_")
+    t = bronze_ingest(spark, os.path.join(root, "t"), _IMG_ROWS, n_files=4)
+    from aws_medallion_datalake_spark.sources.generator import generate_images
+
+    t.add_constraint(spark, "pos_dims", "w > 0 AND h > 0")
+    bad_rejected = 0
+    try:
+        t.write_files(
+            generate_images(spark, 8, n_files=1, start=40000).withColumn(
+                "w", F.lit(-1)
+            )
+        )
+    except Exception:
+        bad_rejected = 1
+    n_after_reject = t.scan(spark).count()
+    t.widen_column("w", "bigint")
+    wide = generate_images(spark, 12, n_files=1, start=41000).withColumn(
+        "w", (F.col("w").cast("bigint") + F.lit(2**40)).cast("bigint")
+    )
+    t.append(wide)
+    n_wide = t.scan(spark, predicates=[("w", ">=", 2**40)]).count()
+    lic = generate_images(spark, 6, n_files=1, start=42000).withColumn(
+        "license", F.lit("cc-by")
+    )
+    t.append(lic, merge_schema=True)
+    n_lic = t.scan(spark).filter(F.col("license") == "cc-by").count()
+    n_null_lic = t.scan(spark).filter(F.col("license").isNull()).count()
+    rows = [
+        ("constraint_reject", bad_rejected, int(n_after_reject)),
+        ("widen_append", int(n_wide), int(n_after_reject) + 12),
+        ("merge_schema", int(n_lic), int(n_null_lic)),
+        ("final", len(t.constraints()), int(t.scan(spark).count())),
+    ]
+    return spark.createDataFrame(rows, "stage string, a long, check long")
+
+
 def q_image_bucketed_join(spark, sf_dir):
     """Storage-partitioned (co-located) join: two engine tables bucketed
     ``bucket(8, image_id)`` join WITHOUT shuffling either full side —
@@ -3886,6 +3933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_mor_merge": q_image_mor_merge,
         "image_update": q_image_update,
         "image_dyn_overwrite": q_image_dyn_overwrite,
+        "image_schema_ops": q_image_schema_ops,
         "image_sql_dml": q_image_sql_dml,
         "image_bucketed_join": q_image_bucketed_join,
         "image_wap": q_image_wap,
