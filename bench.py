@@ -226,6 +226,10 @@ def main() -> None:
                 "metric": "headline queries + compaction/cluster/merge maintenance bench",
                 "value": total,
                 "unit": "sec",
+                # `value` sums EVERY stage below — it grows when stages
+                # are ADDED round-over-round; compare per-stage times,
+                # not the total (r1 ran 19 stages, r2 runs 33+)
+                "n_stages": len(times),
                 "queries": times,
                 "sf": sf,
                 "cpus": cpus,
