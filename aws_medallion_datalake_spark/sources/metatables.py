@@ -157,6 +157,40 @@ def manifests_df(
     return spark.createDataFrame(rows, schema=_MANIFESTS_DDL)
 
 
+_DELETE_FILES_DDL = (
+    "path string, kind string, file_size_bytes long, record_count long, "
+    "eq_cols array<string>, as_of_snapshot_id long"
+)
+
+
+def delete_files_df(
+    table: Table, spark: SparkSession, snapshot_id: Optional[int] = None
+) -> DataFrame:
+    """Pending merge-on-read delete files (Iceberg's
+    ``$position_deletes`` inventory, plus the equality flavor): one row
+    per delete file with kind ('position'|'equality'), size, record
+    count (from parquet footers — no data read), the equality key
+    columns, and the as-of snapshot the equality delete is sequenced
+    against. Empty in the common no-pending-deletes case."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for rel in table.pending_delete_paths(snapshot_id):
+        p = os.path.join(table.root, rel)
+        rows.append(
+            (rel, "position", os.path.getsize(p),
+             pq.ParquetFile(p).metadata.num_rows, None, None)
+        )
+    for e in table.pending_eq_deletes(snapshot_id):
+        p = os.path.join(table.root, e["path"])
+        rows.append(
+            (e["path"], "equality", os.path.getsize(p),
+             pq.ParquetFile(p).metadata.num_rows, list(e["cols"]),
+             int(e["as_of_snapshot_id"]))
+        )
+    return spark.createDataFrame(rows, schema=_DELETE_FILES_DDL)
+
+
 def refs_df(table: Table, spark: SparkSession) -> DataFrame:
     """Named references (Iceberg's ``$refs``): the ``main`` head, every
     branch (``Table.create_branch``), and every tag (``Table.tag``)."""
@@ -215,6 +249,7 @@ def register_metadata_views(
         f"{name}_manifests": manifests_df(table, spark),
         f"{name}_refs": refs_df(table, spark),
         f"{name}_column_stats": column_stats_df(table, spark),
+        f"{name}_delete_files": delete_files_df(table, spark),
     }
     for vname, df in views.items():
         df.createOrReplaceTempView(vname)

@@ -1080,3 +1080,55 @@ class EngineSQL:
         return self._ddl_df(
             "DROP TABLE", name, "purged" if purge else "detached"
         )
+
+
+def main(argv=None) -> None:
+    """One-shot SQL runner (the Athena-console analogue for scripts and
+    cron):
+
+        python -m aws_medallion_datalake_spark.sqlcmd \\
+            --table images=/data/images --cpus 8 \\
+            "SELECT fmt, count(*) AS n FROM images GROUP BY fmt" \\
+            "OPTIMIZE images ZORDER BY (phash, w, h)"
+
+    Each statement runs through :class:`EngineSQL`; results print as
+    JSON lines (one object per row) so shell pipelines can consume
+    them. Exits nonzero on the first failing statement."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m aws_medallion_datalake_spark.sqlcmd",
+        description="Run engine SQL against lakehouse tables.",
+    )
+    ap.add_argument(
+        "--table", action="append", default=[], metavar="NAME=PATH",
+        help="register a table root under a name (repeatable)",
+    )
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("sql", nargs="+", help="SQL statements, run in order")
+    a = ap.parse_args(argv)
+
+    from .session import get_session
+    from .sources.tableformat import Table
+
+    tables = {}
+    for spec in a.table:
+        if "=" not in spec:
+            ap.error(f"--table expects NAME=PATH, got {spec!r}")
+        name, path = spec.split("=", 1)
+        tables[name] = Table.load(path)
+    spark = get_session(
+        f"local[{a.cpus}]", shuffle_partitions=max(8, a.cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = EngineSQL(spark, tables)
+    try:
+        for stmt in a.sql:
+            for line in eng.sql(stmt).toJSON().collect():
+                print(line)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

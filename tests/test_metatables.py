@@ -107,3 +107,35 @@ def test_register_metadata_views_sql(table, spark):
         "SELECT snapshot_id FROM img_refs WHERE name = 'main'"
     ).first()[0]
     assert head == table.metadata().current_snapshot_id
+
+
+def test_delete_files_metatable(tmp_path, spark):
+    from aws_medallion_datalake_spark.operators.delete import (
+        delete_where,
+        equality_delete,
+    )
+    from aws_medallion_datalake_spark.sources.generator import (
+        SCHEMA,
+        generate_images,
+    )
+    from aws_medallion_datalake_spark.sources.metatables import delete_files_df
+    from aws_medallion_datalake_spark.sources.tableformat import Table
+
+    t = Table.create(
+        str(tmp_path / "df"), SCHEMA,
+        stats_cols=["phash", "image_id", "w"],
+    )
+    t.commit("append", t.write_files(generate_images(spark, 60, n_files=2)))
+    assert delete_files_df(t, spark).count() == 0
+    import pyspark.sql.functions as F
+
+    lo = t.scan(spark).agg(F.min("phash")).first()[0]
+    delete_where(t, spark, [("phash", "<=", lo)], mode="merge-on-read")
+    ids = [r["image_id"] for r in t.scan(spark).limit(2).collect()]
+    equality_delete(t, spark, ids, cols=["image_id"])
+    inv = delete_files_df(t, spark)
+    kinds = {r["kind"]: r for r in inv.collect()}
+    assert set(kinds) == {"position", "equality"}
+    assert kinds["position"]["record_count"] >= 1
+    assert kinds["equality"]["eq_cols"] == ["image_id"]
+    assert kinds["equality"]["as_of_snapshot_id"] is not None
