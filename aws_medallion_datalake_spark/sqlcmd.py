@@ -194,11 +194,17 @@ def _split_top_commas(text: str) -> list:
 
 
 class EngineSQL:
-    """SQL dispatcher over a catalog of engine tables (name → Table)."""
+    """SQL dispatcher over a catalog of engine tables (name → Table).
+
+    ``tables`` may be a plain dict (session-local registry, copied) or a
+    :class:`~.sources.catalog.Catalog` / any MutableMapping (kept LIVE:
+    CREATE/DROP TABLE persist through it, so a file-backed catalog makes
+    DDL durable and visible to other sessions — the Glue-Data-Catalog
+    behavior of the reference)."""
 
     def __init__(self, spark: SparkSession, tables: Dict[str, Table]):
         self.spark = spark
-        self.tables = dict(tables)
+        self.tables = dict(tables) if isinstance(tables, dict) else tables
 
     def _table(self, name: str) -> Table:
         if name not in self.tables:
@@ -1104,6 +1110,11 @@ def main(argv=None) -> None:
         "--table", action="append", default=[], metavar="NAME=PATH",
         help="register a table root under a name (repeatable)",
     )
+    ap.add_argument(
+        "--catalog", metavar="DIR",
+        help="file-backed catalog directory; CREATE/DROP TABLE persist "
+             "there and --table entries are session-local overlays",
+    )
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("sql", nargs="+", help="SQL statements, run in order")
     a = ap.parse_args(argv)
@@ -1111,7 +1122,12 @@ def main(argv=None) -> None:
     from .session import get_session
     from .sources.tableformat import Table
 
-    tables = {}
+    if a.catalog:
+        from .sources.catalog import Catalog
+
+        tables = Catalog(a.catalog)
+    else:
+        tables = {}
     for spec in a.table:
         if "=" not in spec:
             ap.error(f"--table expects NAME=PATH, got {spec!r}")

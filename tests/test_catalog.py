@@ -1,0 +1,71 @@
+"""File-backed catalog: durable name→root registry, CAS mutations,
+EngineSQL DDL persistence across sessions."""
+
+import threading
+
+import pytest
+
+from aws_medallion_datalake_spark.sources.catalog import Catalog
+from aws_medallion_datalake_spark.sources.generator import SCHEMA, generate_images
+from aws_medallion_datalake_spark.sources.tableformat import Table
+from aws_medallion_datalake_spark.sqlcmd import EngineSQL
+
+
+def _mk_table(tmp_path, spark, name, n=20):
+    t = Table.create(
+        str(tmp_path / name), SCHEMA, stats_cols=["phash", "image_id"]
+    )
+    t.commit("append", t.write_files(generate_images(spark, n, n_files=1)))
+    return t
+
+
+def test_catalog_roundtrip_and_persistence(tmp_path, spark):
+    cat = Catalog(str(tmp_path / "cat"))
+    t = _mk_table(tmp_path, spark, "t1")
+    cat["bronze.images"] = t
+    assert "bronze.images" in cat
+    assert list(cat) == ["bronze.images"]
+    # a FRESH instance (new process analogue) resolves the same entry
+    cat2 = Catalog(str(tmp_path / "cat"))
+    assert cat2["bronze.images"].root == t.root
+    assert cat2["bronze.images"].scan(spark).count() == 20
+    del cat2["bronze.images"]
+    assert len(Catalog(str(tmp_path / "cat"))) == 0
+    with pytest.raises(KeyError):
+        del cat2["bronze.images"]
+
+
+def test_catalog_concurrent_registrations_all_land(tmp_path, spark):
+    cat = Catalog(str(tmp_path / "cat"))
+    tables = [_mk_table(tmp_path, spark, f"t{i}", n=5) for i in range(6)]
+    errs = []
+
+    def put(i):
+        try:
+            Catalog(str(tmp_path / "cat"))[f"tbl{i}"] = tables[i]
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=put, args=(i,)) for i in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert len(Catalog(str(tmp_path / "cat"))) == 6
+
+
+def test_engine_sql_ddl_persists_through_catalog(tmp_path, spark):
+    cat_dir = str(tmp_path / "cat")
+    eng = EngineSQL(spark, Catalog(cat_dir))
+    eng.sql(
+        f"CREATE TABLE gold_t (id string, v double) "
+        f"LOCATION '{tmp_path / 'gold_t'}'"
+    )
+    # a SECOND session over the same catalog sees the table
+    eng2 = EngineSQL(spark, Catalog(cat_dir))
+    assert eng2.sql("SHOW TABLES").first()["table"] == "gold_t"
+    eng2.sql("INSERT INTO gold_t SELECT 'a' AS id, 1.5 AS v")
+    assert eng.sql("SELECT count(*) AS n FROM gold_t").first()["n"] == 1
+    eng2.sql("DROP TABLE gold_t")
+    assert "gold_t" not in Catalog(cat_dir)
