@@ -11,19 +11,24 @@ Plan (everything is file-pruned BEFORE any payload IO):
    per-file min/max stats: only files whose range overlaps the predicate
    can hold a matching row. A delete keyed on the cluster column after a
    cluster run touches a handful of files out of 10^8.
-2. **Probe** — a column-pruned scan of the candidates (predicate columns
-   + ``_metadata.file_path`` only) finds the files that ACTUALLY contain
-   matches; stats-overlap false positives drop out here and are never
-   rewritten.
-3. **Rewrite** — read the touched files, keep rows for which the
+2. **Containment split** — candidates whose stats PROVE every row
+   matches (min/max inside the predicate, zero nulls — the same proof
+   ``fast_count`` uses) are dropped WHOLESALE: a partition-scoped
+   DELETE over partition-homogeneous files is a metadata-only commit
+   with zero payload IO. Only boundary files continue to:
+3. **Probe** — a column-pruned scan of the boundary files (predicate
+   columns + ``_metadata.file_path`` only) finds the files that
+   ACTUALLY contain matches; stats-overlap false positives drop out
+   here and are never rewritten.
+4. **Rewrite** — read the touched files, keep rows for which the
    predicate is NOT true (SQL tri-state: NULL predicate rows survive a
    DELETE), write each read split straight back out — split size is
    aligned with the target file size, so the keep path preserves
    clustering and sizing with zero shuffle, exactly like MERGE's keep
    path.
-4. **Commit** — manifest minus touched files plus rewritten entries as
-   one ``delete`` snapshot; readers never observe a half-delete, and
-   time travel still reads the pre-delete snapshot.
+5. **Commit** — manifest minus dropped/touched files plus rewritten
+   entries as one ``delete`` snapshot; readers never observe a
+   half-delete, and time travel still reads the pre-delete snapshot.
 
 Predicates use the same ``(col, op, value)`` triples as ``Table.scan``
 so the pruning logic is shared, not reimplemented.
@@ -31,6 +36,7 @@ so the pruning logic is shared, not reimplemented.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from functools import reduce
@@ -42,6 +48,7 @@ from pyspark.sql import functions as F
 
 from ..sources import transforms
 from ..sources.tableformat import (
+    DEFAULTS_PROP,
     Snapshot,
     Table,
     _pred_to_column,
@@ -51,6 +58,7 @@ from ..sources.tableformat import (
     resolve_write_mode,
     statable_cols,
 )
+from .metascan import _fully_covered_mask
 from .timing import PhaseTimer
 
 
@@ -118,37 +126,57 @@ def delete_where(
             table, spark, preds, cond, schema, cand_paths, len(cand), t0, pt
         )
 
-    with pt.phase("probe"):
-        touched_pdf = (
-            table.read_data(spark, cand_paths)
-            .filter(cond)
-            .select(rel.alias("path"))
-            .groupBy("path")
-            .agg(F.count(F.lit(1)).alias("n_matched_rows"))
-            .toPandas()
+    # containment split (same proof as metascan.fast_count): files whose
+    # EVERY row provably matches the predicate drop WHOLESALE — a
+    # partition-scoped DELETE over partition-homogeneous files is then a
+    # metadata-only commit (zero payload IO), not a read-and-rewrite-
+    # nothing job. Only boundary files take the probe + keep-rewrite.
+    with pt.phase("plan"):
+        dfl = set(
+            json.loads(str(meta.properties.get(DEFAULTS_PROP, "{}")))
         )
-    touched_rel = set(touched_pdf["path"])
-    if not touched_rel:
+        full_mask = _fully_covered_mask(cand, preds, unsound_cols=dfl)
+        dropped = cand.loc[full_mask]
+        boundary = cand.loc[~full_mask]
+
+    touched_rel: set = set()
+    if len(boundary):
+        with pt.phase("probe"):
+            touched_pdf = (
+                table.read_data(
+                    spark,
+                    [os.path.join(table.root, p) for p in boundary["path"]],
+                )
+                .filter(cond)
+                .select(rel.alias("path"))
+                .groupBy("path")
+                .agg(F.count(F.lit(1)).alias("n_matched_rows"))
+                .toPandas()
+            )
+        touched_rel = set(touched_pdf["path"])
+    if not touched_rel and not len(dropped):
         return None
-    touched_man = man[man["path"].isin(touched_rel)]
 
-    prefix = table.new_data_prefix()
-    with pt.phase("rewrite"), read_split_size(spark, target_file_size_bytes):
-        tgt = table.read_data(
-            spark, [os.path.join(table.root, p) for p in touched_rel]
-        )
-        # keep rows where the predicate is NOT TRUE (false OR null) —
-        # plain ~cond drops predicate-NULL rows, which DELETE must keep
-        keep = tgt.filter(~F.coalesce(cond, F.lit(False)))
-        table.data_writer(keep).parquet(prefix)
+    new_entries = man.iloc[0:0]
+    if touched_rel:
+        prefix = table.new_data_prefix()
+        with pt.phase("rewrite"), read_split_size(
+            spark, target_file_size_bytes
+        ):
+            tgt = table.read_data(
+                spark, [os.path.join(table.root, p) for p in touched_rel]
+            )
+            # keep rows where the predicate is NOT TRUE (false OR null) —
+            # plain ~cond drops predicate-NULL rows, which DELETE must keep
+            keep = tgt.filter(~F.coalesce(cond, F.lit(False)))
+            table.data_writer(keep).parquet(prefix)
+        with pt.phase("stats"):
+            if any(f.endswith(".parquet") for f in os.listdir(prefix)):
+                new_entries = table.collect_stats_for_prefix(spark, prefix)
 
-    with pt.phase("stats"):
-        new_entries = (
-            table.collect_stats_for_prefix(spark, prefix)
-            if any(f.endswith(".parquet") for f in os.listdir(prefix))
-            else man.iloc[0:0]
-        )
-    keep_man = man[~man["path"].isin(touched_rel)]
+    removed_rel = touched_rel | set(dropped["path"])
+    touched_man = man[man["path"].isin(removed_rel)]
+    keep_man = man[~man["path"].isin(removed_rel)]
     new_man = pd.concat([keep_man, new_entries], ignore_index=True)
 
     touched_records = int(touched_man["record_count"].sum())
@@ -161,6 +189,7 @@ def delete_where(
             "predicates": [[str(c), str(op), str(v)] for c, op, v in preds],
             "rows_deleted": touched_records - kept_records,
             "files_rewritten": len(touched_rel),
+            "files_dropped_wholesale": int(len(dropped)),
             "files_candidate": int(len(cand)),
             "duration_sec": round(time.time() - t0, 3),
             "phase_sec": pt.summary(),
