@@ -2239,6 +2239,77 @@ def q_image_schema_ops(spark, sf_dir):
     return spark.createDataFrame(rows, "stage string, a long, check long")
 
 
+def q_image_live_pipeline(spark, sf_dir):
+    """End-to-end LIVE medallion pipeline (the reference's
+    EventBridge→Glue→gold daily loop as one streaming composition):
+    parquet files land → Structured Streaming appends exactly-once
+    (txnAppId contract) → a MERGE applies corrections → the CDC
+    changelog feeds the incremental gold rollup (O(changes) per
+    refresh, never O(table)) — verified EQUAL to a full recompute
+    after every stage. Engine-internal; rows-only check."""
+    import tempfile
+
+    from aws_medallion_datalake_spark.operators.merge import merge_into
+    from aws_medallion_datalake_spark.pipeline.incremental import (
+        create_agg_table,
+        refresh_agg,
+    )
+    from aws_medallion_datalake_spark.sources.generator import generate_images
+    from aws_medallion_datalake_spark.sources.tableformat import Table as _Tbl
+    from aws_medallion_datalake_spark.streaming.ingest import stream_append
+
+    root = tempfile.mkdtemp(prefix="entry_live_")
+    from aws_medallion_datalake_spark.sources.generator import SCHEMA as _S
+
+    t = _Tbl.create(
+        os.path.join(root, "t"), _S, partition_cols=["ingest_date"],
+        stats_cols=["phash", "image_id", "w"],
+    )
+    landing = os.path.join(root, "landing")
+    ckpt = os.path.join(root, "ckpt")
+    groups = ["fmt"]
+    measures = {"n_images": ("image_id", "count"), "total_w": ("w", "sum")}
+
+    def _diff(gold):
+        got = gold.scan(spark).select("fmt", "n_images", "total_w").filter(
+            F.col("n_images") != 0
+        )
+        want = t.scan(spark).groupBy("fmt").agg(
+            F.count("*").cast("bigint").alias("n_images"),
+            F.sum("w").cast("double").alias("total_w"),
+        )
+        return got.exceptAll(want).count() + want.exceptAll(got).count()
+
+    generate_images(spark, 120, n_files=2).write.parquet(landing)
+    stream_append(spark, t, landing, ckpt).awaitTermination()
+    gold = create_agg_table(
+        os.path.join(root, "gold"), t, spark, groups, measures
+    )
+    agg_ckpt = os.path.join(root, "agg.jsonl")
+    r1 = refresh_agg(gold, t, spark, agg_ckpt, groups, measures)
+    d1 = _diff(gold)
+
+    generate_images(spark, 40, n_files=1, start=9000).write.mode(
+        "append"
+    ).parquet(landing)
+    stream_append(spark, t, landing, ckpt).awaitTermination()
+    upd = generate_images(spark, 20, n_files=1, start=50).withColumn(
+        "w", F.col("w") + F.lit(7)
+    )
+    merge_into(t, spark, upd, key="image_id")
+    r2 = refresh_agg(gold, t, spark, agg_ckpt, groups, measures)
+    d2 = _diff(gold)
+
+    rows = [
+        ("stream_batch1", 120, int(r1["result"]), int(d1)),
+        ("stream_batch2_merge", int(t.scan(spark).count()),
+         int(r2["result"]), int(d2)),
+    ]
+    return spark.createDataFrame(
+        rows, "stage string, rows long, groups_adjusted long, agg_diff long"
+    )
+
+
 def q_image_bucketed_join(spark, sf_dir):
     """Storage-partitioned (co-located) join: two engine tables bucketed
     ``bucket(8, image_id)`` join WITHOUT shuffling either full side —
@@ -3934,6 +4005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_update": q_image_update,
         "image_dyn_overwrite": q_image_dyn_overwrite,
         "image_schema_ops": q_image_schema_ops,
+        "image_live_pipeline": q_image_live_pipeline,
         "image_sql_dml": q_image_sql_dml,
         "image_bucketed_join": q_image_bucketed_join,
         "image_wap": q_image_wap,
