@@ -176,6 +176,23 @@ def main() -> None:
         )
         times["maint_delete"] = round(time.time() - t0, 3)
 
+        # daily-refresh shape: dynamically overwrite ONE ingest_date with
+        # fresh rows — homogeneous files drop wholesale, other partitions
+        # untouched (the reference's day-partition rewrite, atomically)
+        t0 = time.time()
+        from aws_medallion_datalake_spark.operators.overwrite import (
+            overwrite_partitions,
+        )
+        from aws_medallion_datalake_spark.sources.generator import (
+            generate_images,
+        )
+
+        day = generate_images(
+            spark, max(200, img_rows // 20), n_files=4, start=10_000_000
+        ).withColumn("ingest_date", F.lit("2024-01-02"))
+        overwrite_partitions(t, spark, day)
+        times["maint_dyn_overwrite"] = round(time.time() - t0, 3)
+
         t0 = time.time()
         expire_snapshots(t, keep_last=2)
         times["maint_expire"] = round(time.time() - t0, 3)
