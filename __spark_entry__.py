@@ -3639,6 +3639,200 @@ def _sql_promo_revenue():
     """
 
 
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between two nations): the
+    bidirectional nation-pair join with per-year revenue. Both nation
+    dims are pre-FILTERED to the two nations of interest and BROADCAST,
+    so the fact scan is pruned by two inner broadcast joins before the
+    pair condition runs — one shuffle for the final (pair, year) agg."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") <= "1996-12-31")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("s_nk"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("c_nk"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    j = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+def _sql_volume_shipping():
+    return """
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+              AND n2.n_name IN ('NATION_1', 'NATION_2')
+              AND n1.n_name <> n2.n_name
+              AND l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate <= TIMESTAMP '1996-12-31'
+        )
+        GROUP BY 1, 2, 3
+    """
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): NATION_1's share of
+    PROMO-part revenue among ASIA customers per year — conditional
+    share aggregation over a 6-way star join, every dim broadcast, the
+    fact never shuffles before the final per-year agg."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") <= "1996-12-31")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    )
+    n = _t(spark, sf_dir, "nation")
+    r = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    nc = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("c_nk"),
+            F.col("n_regionkey").alias("c_rk"),
+        )
+    )
+    ns = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("s_nk"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(ns, F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(nc, F.col("c_nationkey") == F.col("c_nk"))
+        .join(r, F.col("c_rk") == r.r_regionkey)
+    )
+    return j.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0))
+            / F.sum(vol),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+def _sql_market_share():
+    return """
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                              ELSE 0.0 END) / sum(volume), 6) AS mkt_share
+        FROM (
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   n1.n_name AS supp_nation
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region ON n2.n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <= TIMESTAMP '1996-12-31'
+        )
+        GROUP BY o_year
+    """
+
+
+def q_returned_customers(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    lost revenue from returned lineitems in one quarter — fact filtered
+    on both dimensions before the join, nation broadcast, one grouped
+    agg then TopK (TakeOrderedAndProject, never a full sort)."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-10-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def _sql_returned_customers():
+    return """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1995-10-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: decontamination, retrieval scoring, sampling,
 # shard export
@@ -3995,6 +4189,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
         "sole_returner": q_sole_returner,
         "promo_revenue": q_promo_revenue,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "returned_customers": q_returned_customers,
         "image_features_ann": q_image_features_ann,
         "image_medallion": q_image_medallion,
         "image_maintenance": q_image_maintenance,
@@ -4089,6 +4286,9 @@ def oracle_sql() -> dict[str, str]:
         "cheapest_supplier_per_part": _sql_cheapest_supplier_per_part(),
         "sole_returner": _sql_sole_returner(),
         "promo_revenue": _sql_promo_revenue(),
+        "volume_shipping": _sql_volume_shipping(),
+        "market_share": _sql_market_share(),
+        "returned_customers": _sql_returned_customers(),
         # image_medallion / image_maintenance / image_gold_star:
         # engine-internal table format + Arrow codec UDFs — not
         # SQL-expressible (rows-only).
