@@ -287,7 +287,39 @@ class EngineSQL:
         s = self._rewrite_time_travel(s)
         for name, t in self.tables.items():
             t.register(self.spark, name)
+        self._register_meta_views(s)
         return self.spark.sql(s)
+
+    _META_SUFFIXES = (
+        "snapshots", "history", "files", "partitions", "manifests",
+        "refs", "column_stats", "delete_files",
+    )
+
+    def _register_meta_views(self, s: str) -> None:
+        """Metadata relations straight from SQL (Iceberg's ``t$files``
+        spelled ``t_files``): any ``<table>_<meta>`` name appearing in
+        the statement registers ON DEMAND — never eagerly, because
+        ``manifests``/``delete_files`` read parquet footers and paying
+        that for every unrelated SELECT would tax the common path."""
+        from .sources import metatables as _mt
+
+        builders = {
+            "snapshots": _mt.snapshots_df,
+            "history": _mt.history_df,
+            "files": _mt.files_df,
+            "partitions": _mt.partitions_df,
+            "manifests": _mt.manifests_df,
+            "refs": _mt.refs_df,
+            "column_stats": _mt.column_stats_df,
+            "delete_files": _mt.delete_files_df,
+        }
+        for name, t in self.tables.items():
+            for suffix in self._META_SUFFIXES:
+                view = f"{name}_{suffix}"
+                if re.search(rf"\b{re.escape(view)}\b", s):
+                    builders[suffix](t, self.spark).createOrReplaceTempView(
+                        view
+                    )
 
     def _rewrite_time_travel(self, s: str) -> str:
         """Iceberg/Delta time-travel syntax in SELECTs:

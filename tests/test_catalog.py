@@ -69,3 +69,21 @@ def test_engine_sql_ddl_persists_through_catalog(tmp_path, spark):
     assert eng.sql("SELECT count(*) AS n FROM gold_t").first()["n"] == 1
     eng2.sql("DROP TABLE gold_t")
     assert "gold_t" not in Catalog(cat_dir)
+
+
+def test_sql_metadata_views_on_demand(tmp_path, spark):
+    t = _mk_table(tmp_path, spark, "mv", n=30)
+    eng = EngineSQL(spark, {"images": t})
+    row = eng.sql(
+        "SELECT count(*) AS files, sum(record_count) AS recs "
+        "FROM images_files"
+    ).first()
+    assert row["recs"] == 30
+    snaps = eng.sql(
+        "SELECT count(*) AS n FROM images_snapshots"
+    ).first()["n"]
+    assert snaps == 1
+    parts = eng.sql(
+        "SELECT * FROM images_partitions"
+    ).collect()
+    assert sum(r["record_count"] for r in parts) == 30
