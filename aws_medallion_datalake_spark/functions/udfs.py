@@ -187,3 +187,26 @@ def morton64_expr(phash: Column, w: Column, h: Column) -> Column:
         .bitwiseOR(_spread3_expr(h.cast("long")))
         .cast("long")
     )
+
+
+def register_sql_functions(spark) -> list:
+    """Expose the engine's multimodal/clustering functions to SQL
+    (`SELECT phash64(bytes), morton64(phash, w, h) FROM images`) — the
+    function surface a SQL-first user of the reference gets from
+    Athena's builtins, here backed by the same vectorized pandas UDFs
+    the Python API uses. Idempotent; returns the registered names.
+    ``morton64``/``hilbert64`` registered this way are the UDF forms —
+    inside engine operators the pure-Catalyst ``morton64_expr`` remains
+    the hot path (SQL usage is interactive, not the clustering inner
+    loop)."""
+    fns = {
+        "phash64": _phash64(),
+        "hilbert64": _hilbert64(),
+        "morton64": _morton64(),
+        "psnr": _psnr(),
+        "decode_stats": _decode_stats(),
+        "decode_ok": _decode_ok(),
+    }
+    for name, fn in fns.items():
+        spark.udf.register(name, fn)
+    return sorted(fns)

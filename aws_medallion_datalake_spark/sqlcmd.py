@@ -205,6 +205,9 @@ class EngineSQL:
     def __init__(self, spark: SparkSession, tables: Dict[str, Table]):
         self.spark = spark
         self.tables = dict(tables) if isinstance(tables, dict) else tables
+        from .functions.udfs import register_sql_functions
+
+        register_sql_functions(spark)  # phash64/morton64/psnr/… in SQL
 
     def _table(self, name: str) -> Table:
         if name not in self.tables:

@@ -87,3 +87,18 @@ def test_sql_metadata_views_on_demand(tmp_path, spark):
         "SELECT * FROM images_partitions"
     ).collect()
     assert sum(r["record_count"] for r in parts) == 30
+
+
+def test_sql_engine_functions_registered(tmp_path, spark):
+    t = _mk_table(tmp_path, spark, "fx", n=10)
+    eng = EngineSQL(spark, {"images": t})
+    rows = eng.sql(
+        "SELECT image_id, phash64(bytes) AS ph, morton64(phash, w, h) AS mk, "
+        "decode_ok(bytes, w, h) AS ok FROM images LIMIT 5"
+    ).collect()
+    assert len(rows) == 5
+    assert all(r["ok"] for r in rows)
+    assert all(r["ph"] == next(
+        x["phash"] for x in t.scan(spark).collect()
+        if x["image_id"] == r["image_id"]
+    ) for r in rows)
