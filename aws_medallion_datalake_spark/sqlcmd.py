@@ -266,6 +266,8 @@ class EngineSQL:
             return self._call(s)
         if head == "TRUNCATE":
             return self._truncate(s)
+        if head == "COPY":
+            return self._copy(s)
         # metadata-only COUNT(*): answered from manifest record counts
         # (O(manifest), zero data IO) when the WHERE is absent or fully
         # provable from file stats; any unprovable shape falls through
@@ -636,6 +638,27 @@ class EngineSQL:
             {"stage": "truncate", "rows_deleted": n},
         )
         return self._summary_df("TRUNCATE", name, snap)
+
+    def _copy(self, s: str) -> DataFrame:
+        """``COPY INTO <t> FROM '<dir-or-file>' [FILEFORMAT = PARQUET]``
+        — Delta's bulk-file load, mapped to ``Table.add_files``: the
+        parquet files are ADOPTED (hard-linked + one stats job), never
+        rewritten, and land as one append commit. Schema is validated
+        from footers before anything is linked."""
+        m = re.match(
+            rf"COPY\s+INTO\s+({_ID})\s+FROM\s+'([^']+)'"
+            rf"(?:\s+FILEFORMAT\s*=\s*PARQUET)?$",
+            s, re.I,
+        )
+        if not m:
+            raise SQLCommandError(
+                "expected: COPY INTO <table> FROM '<path>' "
+                "[FILEFORMAT = PARQUET]"
+            )
+        name, src = m.groups()
+        t = self._table(name)
+        snap = t.add_files(self.spark, src)
+        return self._summary_df("COPY INTO", name, snap)
 
     def _restore(self, s: str) -> DataFrame:
         """``RESTORE TABLE <t> TO VERSION AS OF <snapshot_id>`` — Delta's

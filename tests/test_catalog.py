@@ -102,3 +102,17 @@ def test_sql_engine_functions_registered(tmp_path, spark):
         x["phash"] for x in t.scan(spark).collect()
         if x["image_id"] == r["image_id"]
     ) for r in rows)
+
+
+def test_sql_copy_into_adopts_files(tmp_path, spark):
+    t = _mk_table(tmp_path, spark, "ci", n=20)
+    ext = str(tmp_path / "external")
+    generate_images(spark, 15, n_files=2, start=7000).write.parquet(ext)
+    eng = EngineSQL(spark, {"images": t})
+    res = eng.sql(f"COPY INTO images FROM '{ext}' FILEFORMAT = PARQUET").first()
+    assert res["operation"] == "COPY INTO"
+    assert t.scan(spark).count() == 35
+    # adopted, not rewritten: the external files still exist untouched
+    import glob as _g
+
+    assert len(_g.glob(ext + "/*.parquet")) == 2
