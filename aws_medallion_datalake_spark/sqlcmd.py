@@ -661,18 +661,41 @@ class EngineSQL:
         return self._summary_df("COPY INTO", name, snap)
 
     def _restore(self, s: str) -> DataFrame:
-        """``RESTORE TABLE <t> TO VERSION AS OF <snapshot_id>`` — Delta's
-        RESTORE, mapped to ``Table.rollback`` (a new head commit pointing
-        at the old file set; history is preserved, not rewritten)."""
+        """``RESTORE TABLE <t> TO VERSION AS OF <snapshot_id>`` /
+        ``… TO TIMESTAMP AS OF '<ts>'`` — Delta's RESTORE (both forms),
+        mapped to ``Table.rollback`` (a new head commit pointing at the
+        old file set; history is preserved, not rewritten)."""
         m = re.match(
             rf"RESTORE\s+TABLE\s+({_ID})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)$",
             s, re.I,
         )
-        if not m:
+        tm = (
+            None
+            if m
+            else re.match(
+                rf"RESTORE\s+TABLE\s+({_ID})\s+TO\s+TIMESTAMP\s+AS\s+OF"
+                rf"\s+'([^']+)'$",
+                s, re.I,
+            )
+        )
+        if not m and not tm:
             raise SQLCommandError(
                 "expected: RESTORE TABLE <t> TO VERSION AS OF <snapshot_id>"
+                " | TO TIMESTAMP AS OF '<ts>'"
             )
-        name, sid = m.group(1), int(m.group(2))
+        if m:
+            name, sid = m.group(1), int(m.group(2))
+        else:
+            import datetime as _dt
+
+            name, ts = tm.group(1), tm.group(2)
+            try:
+                ms = int(float(ts) * 1000) if re.fullmatch(
+                    r"\d+(?:\.\d+)?", ts
+                ) else int(_dt.datetime.fromisoformat(ts).timestamp() * 1000)
+            except ValueError as e:
+                raise SQLCommandError(f"bad TIMESTAMP AS OF value {ts!r}") from e
+            sid = self._table(name).snapshot_as_of(ms).snapshot_id
         snap = self._table(name).rollback(sid)
         return self.spark.createDataFrame(
             [("RESTORE", name, snap.snapshot_id, sid)],
@@ -841,9 +864,41 @@ class EngineSQL:
         raise SQLCommandError(f"unknown procedure {proc!r}")
 
     def _describe(self, s: str) -> DataFrame:
+        dm = re.match(rf"DESCRIBE\s+DETAIL\s+({_ID})$", s, re.I)
+        if dm:
+            # Delta DESCRIBE DETAIL: one operational-summary row, all
+            # from metadata (manifest sums; zero data IO)
+            name = dm.group(1)
+            t = self._table(name)
+            meta = t.metadata()
+            if meta.current_snapshot_id is not None:
+                man = t.manifest_pdf()
+                n_files = int(len(man))
+                size_b = int(man["file_size_bytes"].sum()) if len(man) else 0
+                n_rec = int(man["record_count"].sum()) if len(man) else 0
+                ts = t.snapshot().timestamp_ms
+            else:
+                n_files = size_b = n_rec = 0
+                ts = None
+            row = (
+                "engine-parquet", name, t.root,
+                meta.current_snapshot_id, ts,
+                ", ".join(meta.partition_cols), n_files, size_b, n_rec,
+                len(meta.properties), len(meta.snapshots),
+            )
+            return self.spark.createDataFrame(
+                [row],
+                "format string, name string, location string, "
+                "snapshot_id long, last_modified_ms long, "
+                "partition_columns string, num_files long, "
+                "size_in_bytes long, num_records long, num_properties long, "
+                "num_snapshots long",
+            )
         m = re.match(rf"DESCRIBE\s+(?:TABLE\s+)?({_ID})$", s, re.I)
         if not m:
-            raise SQLCommandError("expected: DESCRIBE [TABLE] <table>")
+            raise SQLCommandError(
+                "expected: DESCRIBE [TABLE] <table> | DESCRIBE DETAIL <table>"
+            )
         t = self._table(m.group(1))
         from pyspark.sql.types import StructType
 
@@ -1068,6 +1123,34 @@ class EngineSQL:
         if dm:
             t.drop_column(dm.group(1))
             return self._ddl_df("ALTER TABLE", name, f"dropped {dm.group(1)}")
+        # Iceberg SQL-extension write-order/distribution DDL → the same
+        # table properties write_files/cluster already honor
+        wob = re.match(r"WRITE\s+ORDERED\s+BY\s*", rest, re.I)
+        if wob:
+            inner, tail = _take_parens(rest[wob.end():])
+            if tail:
+                raise SQLCommandError(f"trailing input: {tail!r}")
+            t.set_properties(
+                {"write.distribution-mode": "range", "sort.order": inner}
+            )
+            return self._ddl_df("ALTER TABLE", name, f"write ordered by {inner}")
+        wlb = re.match(r"WRITE\s+LOCALLY\s+ORDERED\s+BY\s*", rest, re.I)
+        if wlb:
+            inner, tail = _take_parens(rest[wlb.end():])
+            if tail:
+                raise SQLCommandError(f"trailing input: {tail!r}")
+            t.set_properties({"sort.order": inner})
+            return self._ddl_df(
+                "ALTER TABLE", name, f"write locally ordered by {inner}"
+            )
+        if re.match(r"WRITE\s+DISTRIBUTED\s+BY\s+PARTITION$", rest, re.I):
+            t.set_properties({"write.distribution-mode": "hash"})
+            return self._ddl_df("ALTER TABLE", name, "write distributed by partition")
+        if re.match(r"WRITE\s+UNORDERED$", rest, re.I):
+            t.set_properties(
+                {"write.distribution-mode": "none", "sort.order": None}
+            )
+            return self._ddl_df("ALTER TABLE", name, "write unordered")
         wm = re.match(
             rf"ALTER\s+COLUMN\s+({_ID})\s+TYPE\s+([A-Za-z0-9_]+)$", rest, re.I
         )

@@ -116,3 +116,33 @@ def test_sql_copy_into_adopts_files(tmp_path, spark):
     import glob as _g
 
     assert len(_g.glob(ext + "/*.parquet")) == 2
+
+
+def test_sql_describe_detail_restore_ts_write_order(tmp_path, spark):
+    import time as _time
+
+    t = _mk_table(tmp_path, spark, "dd", n=25)
+    eng = EngineSQL(spark, {"images": t})
+    d = eng.sql("DESCRIBE DETAIL images").first()
+    assert d["num_records"] == 25 and d["num_files"] >= 1
+    assert d["location"] == t.root
+
+    eng.sql("ALTER TABLE images WRITE ORDERED BY (morton(phash, w, h))")
+    props = t.metadata().properties
+    assert props["write.distribution-mode"] == "range"
+    assert props["sort.order"] == "morton(phash, w, h)"
+    eng.sql("ALTER TABLE images WRITE UNORDERED")
+    assert "sort.order" not in t.metadata().properties
+
+    s0 = t.snapshot().snapshot_id
+    ts_after_s0 = t.snapshot().timestamp_ms / 1000.0 + 0.001
+    _time.sleep(0.01)
+    t.commit(
+        "append", t.write_files(generate_images(spark, 5, n_files=1, start=900))
+    )
+    assert t.scan(spark).count() == 30
+    res = eng.sql(
+        f"RESTORE TABLE images TO TIMESTAMP AS OF '{ts_after_s0}'"
+    ).first()
+    assert res["restored_to"] == s0
+    assert t.scan(spark).count() == 25
