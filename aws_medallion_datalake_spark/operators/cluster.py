@@ -312,10 +312,18 @@ def cluster(
     if curve is None and cols is None:
         prop = str(table.metadata().properties.get(SORT_ORDER_PROP, "") or "")
         pm = re.match(r"(morton|hilbert|zorder)\(([^)]+)\)$", prop.strip())
-        if prop and not pm:
+        # a plain column list ("ts" / "ts, id") is a LINEAR Iceberg sort
+        # order — honored by write_files' range distribution at ingest,
+        # not a space-filling curve; bare cluster() falls back to the
+        # engine default curve rather than failing
+        plain = re.match(
+            r"[A-Za-z_]\w*(\s*,\s*[A-Za-z_]\w*)*$", prop.strip()
+        )
+        if prop and not pm and not plain:
             raise ValueError(
                 f"bad {SORT_ORDER_PROP} property {prop!r}: expected "
-                "curve(col, …) with curve in morton|hilbert|zorder"
+                "curve(col, …) with curve in morton|hilbert|zorder, "
+                "or a plain column list"
             )
         if pm:
             curve = pm.group(1)

@@ -115,24 +115,28 @@ def overwrite_partitions(
     out = _conform(df, table)
     specs = transforms.parse_spec(meta.partition_cols)
 
-    with pt.phase("write"):
-        entries = table.write_files(out)
-    n_new = int(entries["record_count"].sum()) if len(entries) else 0
-
     if not specs or meta.current_snapshot_id is None:
         # unpartitioned (or empty) table: dynamic overwrite IS a replace
-        return table.commit(
-            "overwrite",
-            entries,
-            {
-                "stage": "overwrite_partitions",
-                "rows_inserted": n_new,
-                "partitions_replaced": -1,
-                "duration_sec": round(time.time() - t0, 3),
-                "phase_sec": pt.summary(),
-            },
-        )
+        with pt.phase("write"):
+            entries = table.write_files(out)
+        n_new = int(entries["record_count"].sum()) if len(entries) else 0
+        summ = {
+            "stage": "overwrite_partitions",
+            "rows_inserted": n_new,
+            "partitions_replaced": -1,
+            "duration_sec": round(time.time() - t0, 3),
+            "phase_sec": pt.summary(),
+        }
+        if len(entries):
+            summ["insert_prefix"] = (
+                os.path.dirname(str(entries.iloc[0]["path"])) + "/"
+            )
+        return table.commit("overwrite", entries, summ)
 
+    # persist the conformed frame: the tuple plan and the file write must
+    # observe the SAME rows (a non-deterministic source re-executed per
+    # action could write a partition the plan never saw)
+    out = out.persist()
     with pt.phase("plan"):
         tuples = [
             tuple(r)
@@ -141,11 +145,18 @@ def overwrite_partitions(
             ).distinct().collect()
         ]
         if len(tuples) > _MAX_TOUCHED_TUPLES:
+            out.unpersist()
             raise ValueError(
                 f"incoming frame touches {len(tuples)} partition tuples "
                 f"(> {_MAX_TOUCHED_TUPLES}); use a full INSERT OVERWRITE "
                 f"for table-scale refreshes"
             )
+    with pt.phase("write"):
+        entries = table.write_files(out)
+    out.unpersist()
+    n_new = int(entries["record_count"].sum()) if len(entries) else 0
+
+    with pt.phase("plan"):
         man = table.manifest_pdf()
         statable = statable_cols(meta)
         dfl = set(json.loads(str(meta.properties.get(DEFAULTS_PROP, "{}"))))
@@ -204,20 +215,23 @@ def overwrite_partitions(
     n_removed = int(removed["record_count"].sum()) - (
         int(rewritten["record_count"].sum()) if len(rewritten) else 0
     )
-    return table.commit(
-        "overwrite",
-        new_man,
-        {
-            "stage": "overwrite_partitions",
-            "partitions_replaced": len(tuples),
-            "rows_inserted": n_new,
-            "rows_deleted": n_removed,
-            "files_dropped_wholesale": int(drop.sum()),
-            "files_rewritten": n_rewritten_files,
-            "duration_sec": round(time.time() - t0, 3),
-            "phase_sec": pt.summary(),
-        },
-    )
+    summ = {
+        "stage": "overwrite_partitions",
+        "partitions_replaced": len(tuples),
+        "rows_inserted": n_new,
+        "rows_deleted": n_removed,
+        "files_dropped_wholesale": int(drop.sum()),
+        "files_rewritten": n_rewritten_files,
+        "duration_sec": round(time.time() - t0, 3),
+        "phase_sec": pt.summary(),
+    }
+    if len(entries):
+        # incremental consumers (changes()) emit ONLY these files —
+        # boundary keep-rewrites carry pre-existing rows
+        summ["insert_prefix"] = (
+            os.path.dirname(str(entries.iloc[0]["path"])) + "/"
+        )
+    return table.commit("overwrite", new_man, summ)
 
 
 def replace_where(
@@ -269,16 +283,17 @@ def replace_where(
     n_new = int(entries["record_count"].sum()) if len(entries) else 0
 
     if meta.current_snapshot_id is None:
-        return table.commit(
-            "overwrite",
-            entries,
-            {
-                "stage": "replace_where",
-                "rows_inserted": n_new,
-                "duration_sec": round(time.time() - t0, 3),
-                "phase_sec": pt.summary(),
-            },
-        )
+        summ = {
+            "stage": "replace_where",
+            "rows_inserted": n_new,
+            "duration_sec": round(time.time() - t0, 3),
+            "phase_sec": pt.summary(),
+        }
+        if len(entries):
+            summ["insert_prefix"] = (
+                os.path.dirname(str(entries.iloc[0]["path"])) + "/"
+            )
+        return table.commit("overwrite", entries, summ)
 
     with pt.phase("plan"):
         man = table.manifest_pdf()
@@ -333,18 +348,19 @@ def replace_where(
     n_deleted = removed_records - (
         int(rewritten["record_count"].sum()) if len(rewritten) else 0
     )
-    return table.commit(
-        "overwrite",
-        new_man,
-        {
-            "stage": "replace_where",
-            "predicates": [[str(c), str(op), str(v)] for c, op, v in preds],
-            "rows_inserted": n_new,
-            "rows_deleted": n_deleted,
-            "files_dropped_wholesale": int(len(dropped)),
-            "files_rewritten": len(touched_rel),
-            "files_candidate": int(len(cand)),
-            "duration_sec": round(time.time() - t0, 3),
-            "phase_sec": pt.summary(),
-        },
-    )
+    summ = {
+        "stage": "replace_where",
+        "predicates": [[str(c), str(op), str(v)] for c, op, v in preds],
+        "rows_inserted": n_new,
+        "rows_deleted": n_deleted,
+        "files_dropped_wholesale": int(len(dropped)),
+        "files_rewritten": len(touched_rel),
+        "files_candidate": int(len(cand)),
+        "duration_sec": round(time.time() - t0, 3),
+        "phase_sec": pt.summary(),
+    }
+    if len(entries):
+        summ["insert_prefix"] = (
+            os.path.dirname(str(entries.iloc[0]["path"])) + "/"
+        )
+    return table.commit("overwrite", new_man, summ)

@@ -70,8 +70,28 @@ class Catalog(MutableMapping):
         return os.path.join(self.dir, f"catalog-v{v}.json")
 
     def _current_version(self) -> int:
-        with open(self._hint) as f:
-            return int(f.read().strip())
+        try:
+            with open(self._hint) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            # self-repair: an initializer (or hint writer) died between
+            # creating catalog-v*.json and moving the hint — recover the
+            # newest version file rather than staying bricked
+            import re as _re
+
+            versions = [
+                int(m.group(1))
+                for f_ in os.listdir(self.dir)
+                if (m := _re.match(r"catalog-v(\d+)\.json$", f_))
+            ]
+            if not versions:
+                raise
+            v = max(versions)
+            tmp = os.path.join(self.dir, f".hint-{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as f:
+                f.write(str(v))
+            os.replace(tmp, self._hint)
+            return v
 
     def _read(self, v: int) -> dict:
         with open(self._vpath(v)) as f:
@@ -123,15 +143,12 @@ class Catalog(MutableMapping):
         self._cache[table.root] = table
 
     def __delitem__(self, name: str) -> None:
-        missing = object()
-        seen = {}
-
         def drop(entries: dict) -> None:
-            seen["root"] = entries.pop(name, missing)
+            # raising here aborts BEFORE any version write: a missing
+            # key must not churn the version chain
+            del entries[name]
 
         self._mutate(drop)
-        if seen["root"] is missing:
-            raise KeyError(name)
 
     def __iter__(self) -> Iterator[str]:
         return iter(sorted(self._entries()))
@@ -141,3 +158,19 @@ class Catalog(MutableMapping):
 
     def __contains__(self, name: object) -> bool:
         return name in self._entries()
+
+    def _table_for(self, root: str) -> Table:
+        t = self._cache.get(root)
+        if t is None:
+            t = self._cache[root] = Table.load(root)
+        return t
+
+    def items(self):
+        """One catalog read for the whole listing (MutableMapping's
+        default would re-read the JSON per key — O(N) file reads for a
+        SELECT that registers every table)."""
+        ents = self._entries()
+        return [(k, self._table_for(ents[k])) for k in sorted(ents)]
+
+    def values(self):
+        return [t for _, t in self.items()]

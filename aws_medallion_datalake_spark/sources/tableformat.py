@@ -452,13 +452,22 @@ class Table:
         candidate set is empty or not."""
         from pyspark.sql.types import StructType
 
-        d = os.path.join(self.root, "metadata", ".empty")
-        os.makedirs(d, exist_ok=True)
         sch = (
             schema
             if schema is not None
             else StructType.fromDDL(self.metadata().schema_ddl)
         )
+        d = os.path.join(self.root, "metadata", ".empty")
+        try:
+            os.makedirs(d, exist_ok=True)
+        except OSError:
+            # read-only storage: degrade to the in-memory empty frame —
+            # plain column reads still work; only `_metadata` projections
+            # (merge/delete probes, which WRITE anyway) need the parquet
+            # relation, and those paths cannot run on read-only roots
+            if isinstance(sch, str):
+                sch = StructType.fromDDL(sch)
+            return spark.createDataFrame([], sch)
         return spark.read.schema(sch).parquet(d)
 
     def read_data(
@@ -1552,6 +1561,13 @@ class Table:
 
                     cs = [c.strip() for c in pm.group(2).split(",")]
                     keys.append(morton64_expr(*[F.col(c) for c in cs[:3]]))
+                elif prop and not pm:
+                    # linear Iceberg sort order: plain column list
+                    keys += [
+                        F.col(c.strip())
+                        for c in prop.split(",")
+                        if c.strip()
+                    ]
                 if keys:
                     df = df.repartitionByRange(n, *keys).sortWithinPartitions(
                         *keys
@@ -2108,6 +2124,15 @@ class Table:
                             if delta_prefix
                             else added_df.limit(0)
                         )
+                    elif s.operation == "overwrite":
+                        # only the landed frame's files are logical
+                        # inserts; boundary-file keep-rewrites carry
+                        # PRE-EXISTING rows and must not re-emit
+                        ip = s.summary.get("insert_prefix")
+                        if ip:
+                            added_df = added_df.filter(
+                                F.col("path").startswith(ip)
+                            )
                     new_paths += sorted(r["path"] for r in added_df.collect())
                 # replace / expire: physical-only, nothing emitted
                 prev_man = cur_man
@@ -2116,10 +2141,16 @@ class Table:
             for s in chain:
                 cur_paths = set(self.manifest_pdf(s.snapshot_id)["path"])
                 added = cur_paths - prev_paths
-                if s.operation in ("append", "overwrite"):
-                    # overwrite: every added file is logical payload (the
-                    # landed frame); removals surface only in changes_cdc
+                if s.operation == "append":
                     new_paths += sorted(added)
+                elif s.operation == "overwrite":
+                    # the landed frame's files (insert_prefix) are the
+                    # logical payload; boundary keep-rewrites carry
+                    # pre-existing rows; removals surface in changes_cdc
+                    ip = s.summary.get("insert_prefix")
+                    new_paths += sorted(
+                        p for p in added if not ip or p.startswith(ip)
+                    )
                 elif s.operation in ("merge", "update"):
                     delta_prefix = s.summary.get("delta_prefix")
                     if delta_prefix:

@@ -318,9 +318,11 @@ class EngineSQL:
             "column_stats": _mt.column_stats_df,
             "delete_files": _mt.delete_files_df,
         }
-        for name, t in self.tables.items():
+        for name, t in list(self.tables.items()):
             for suffix in self._META_SUFFIXES:
                 view = f"{name}_{suffix}"
+                if view in self.tables:
+                    continue  # a REAL table owns that name — never shadow
                 if re.search(rf"\b{re.escape(view)}\b", s):
                     builders[suffix](t, self.spark).createOrReplaceTempView(
                         view
@@ -538,10 +540,12 @@ class EngineSQL:
         Delta ``replaceWhere`` spelling: atomically delete the
         predicate's rows and land the query result in one snapshot,
         validating the incoming rows satisfy the predicate."""
+        # query must start with a real query token — a bare "(" is only a
+        # query opener when it wraps one (else it is a predicate's IN list)
         m = re.match(
             rf"INSERT\s+(INTO|OVERWRITE)\s+({_ID})"
             rf"(?:\s+REPLACE\s+WHERE\s+(.+?))?"
-            rf"\s+((?:SELECT|WITH|VALUES|\().+)$",
+            rf"\s+((?:SELECT|WITH|VALUES|\(\s*(?:SELECT|WITH)).+)$",
             s, re.I | re.S,
         )
         if not m:
@@ -601,10 +605,14 @@ class EngineSQL:
             # operation "overwrite", not "replace": this commit changes
             # LOGICAL rows, so changes()/changes_cdc() must emit it
             # ("replace" is reserved for physical-only rewrites)
-            snap = t.commit(
-                "overwrite", entries,
-                {"stage": "insert_overwrite", "rows_inserted": n},
-            )
+            summ = {"stage": "insert_overwrite", "rows_inserted": n}
+            if len(entries):
+                import os as _os
+
+                summ["insert_prefix"] = (
+                    _os.path.dirname(str(entries.iloc[0]["path"])) + "/"
+                )
+            snap = t.commit("overwrite", entries, summ)
             return self._summary_df("INSERT OVERWRITE", name, snap)
         entries = t.write_files(out)
         n = int(entries["record_count"].sum()) if len(entries) else 0
@@ -862,6 +870,35 @@ class EngineSQL:
 
             return history_df(t, self.spark)
         raise SQLCommandError(f"unknown procedure {proc!r}")
+
+    def _check_sort_order(self, t: Table, inner: str) -> None:
+        """WRITE [LOCALLY] ORDERED BY expression validation: either
+        ``curve(col, …)`` (morton|hilbert|zorder) or a plain column
+        list; every referenced column must exist. Catches at DDL time
+        what would otherwise silently no-op in write_files or fail a
+        later bare OPTIMIZE."""
+        from pyspark.sql.types import StructType
+
+        fields = {
+            f.name for f in StructType.fromDDL(t.metadata().schema_ddl).fields
+        }
+        pm = re.match(
+            r"(morton|hilbert|zorder)\(([^)]+)\)$", inner.strip(), re.I
+        )
+        if pm:
+            cols = [c.strip() for c in pm.group(2).split(",")]
+        elif re.match(r"[A-Za-z_]\w*(\s*,\s*[A-Za-z_]\w*)*$", inner.strip()):
+            cols = [c.strip() for c in inner.split(",")]
+        else:
+            raise SQLCommandError(
+                f"bad write order {inner!r}: expected curve(col, …) with "
+                "curve in morton|hilbert|zorder, or a plain column list"
+            )
+        missing = [c for c in cols if c not in fields]
+        if missing:
+            raise SQLCommandError(
+                f"write order references unknown columns {missing}"
+            )
 
     def _describe(self, s: str) -> DataFrame:
         dm = re.match(rf"DESCRIBE\s+DETAIL\s+({_ID})$", s, re.I)
@@ -1130,6 +1167,7 @@ class EngineSQL:
             inner, tail = _take_parens(rest[wob.end():])
             if tail:
                 raise SQLCommandError(f"trailing input: {tail!r}")
+            self._check_sort_order(t, inner)
             t.set_properties(
                 {"write.distribution-mode": "range", "sort.order": inner}
             )
@@ -1139,6 +1177,7 @@ class EngineSQL:
             inner, tail = _take_parens(rest[wlb.end():])
             if tail:
                 raise SQLCommandError(f"trailing input: {tail!r}")
+            self._check_sort_order(t, inner)
             t.set_properties({"sort.order": inner})
             return self._ddl_df(
                 "ALTER TABLE", name, f"write locally ordered by {inner}"
@@ -1263,17 +1302,57 @@ def main(argv=None) -> None:
     from .session import get_session
     from .sources.tableformat import Table
 
-    if a.catalog:
-        from .sources.catalog import Catalog
-
-        tables = Catalog(a.catalog)
-    else:
-        tables = {}
+    overlays = {}
     for spec in a.table:
         if "=" not in spec:
             ap.error(f"--table expects NAME=PATH, got {spec!r}")
         name, path = spec.split("=", 1)
-        tables[name] = Table.load(path)
+        overlays[name] = Table.load(path)
+    if a.catalog:
+        from collections.abc import MutableMapping
+
+        from .sources.catalog import Catalog
+
+        class _Overlay(MutableMapping):
+            """--table entries shadow the catalog WITHOUT writing to it
+            (session-local, as documented); everything else — including
+            CREATE/DROP TABLE — goes through to the durable catalog."""
+
+            def __init__(self, cat, local):
+                self.cat, self.local = cat, local
+
+            def __getitem__(self, k):
+                return self.local[k] if k in self.local else self.cat[k]
+
+            def __setitem__(self, k, v):
+                if k in self.local:
+                    self.local[k] = v
+                else:
+                    self.cat[k] = v
+
+            def __delitem__(self, k):
+                if k in self.local:
+                    del self.local[k]
+                else:
+                    del self.cat[k]
+
+            def __iter__(self):
+                seen = set(self.local)
+                yield from self.local
+                for k in self.cat:
+                    if k not in seen:
+                        yield k
+
+            def __len__(self):
+                return len(set(self.local) | set(self.cat))
+
+        tables = (
+            _Overlay(Catalog(a.catalog), overlays)
+            if overlays
+            else Catalog(a.catalog)
+        )
+    else:
+        tables = overlays
     spark = get_session(
         f"local[{a.cpus}]", shuffle_partitions=max(8, a.cpus)
     )

@@ -146,3 +146,42 @@ def test_sql_describe_detail_restore_ts_write_order(tmp_path, spark):
     ).first()
     assert res["restored_to"] == s0
     assert t.scan(spark).count() == 25
+
+
+def test_catalog_self_repairs_missing_hint(tmp_path, spark):
+    import os
+
+    cat_dir = str(tmp_path / "cat")
+    cat = Catalog(cat_dir)
+    cat["a"] = _mk_table(tmp_path, spark, "sr", n=5)
+    os.remove(os.path.join(cat_dir, "version-hint.text"))
+    # a fresh instance recovers the newest version instead of crashing
+    cat2 = Catalog(cat_dir)
+    assert "a" in cat2
+    assert len(cat2) == 1
+
+
+def test_catalog_missing_delete_does_not_churn_versions(tmp_path, spark):
+    cat_dir = str(tmp_path / "cat")
+    cat = Catalog(cat_dir)
+    v0 = cat._current_version()
+    with pytest.raises(KeyError):
+        del cat["nope"]
+    assert cat._current_version() == v0  # no version written
+
+
+def test_write_order_ddl_validation(tmp_path, spark):
+    from aws_medallion_datalake_spark.operators.cluster import cluster
+    from aws_medallion_datalake_spark.sqlcmd import SQLCommandError
+
+    t = _mk_table(tmp_path, spark, "wo", n=30)
+    eng = EngineSQL(spark, {"images": t})
+    with pytest.raises(SQLCommandError, match="unknown columns"):
+        eng.sql("ALTER TABLE images WRITE ORDERED BY (nope)")
+    with pytest.raises(SQLCommandError, match="bad write order"):
+        eng.sql("ALTER TABLE images WRITE ORDERED BY (lower(fmt))")
+    # a plain linear order is legal and bare OPTIMIZE still works
+    eng.sql("ALTER TABLE images WRITE LOCALLY ORDERED BY (ingest_date, image_id)")
+    assert t.metadata().properties["sort.order"] == "ingest_date, image_id"
+    cluster(t, spark, target_file_size_bytes=1 << 26)  # falls back to default curve
+    assert t.scan(spark).count() == 30

@@ -197,6 +197,33 @@ def test_overwrite_is_visible_to_cdc_and_changes(table, spark):
     assert kinds.get("delete", 0) == n_jan2
 
 
+def test_changes_after_boundary_rewrite_emits_only_new_rows(tmp_path, spark):
+    """Keep-rewrites of mixed boundary files carry PRE-EXISTING rows;
+    changes() must emit only the landed frame (insert_prefix filter)."""
+    t = Table.create(
+        str(tmp_path / "bx"), SCHEMA, partition_cols=["ingest_date"],
+        stats_cols=STATS,
+    )
+    # unrouted: every file holds all 4 dates, so the overwrite rewrites
+    # boundary files (whose keep rows must NOT re-emit as inserts)
+    t.commit("append", t.write_files(generate_images(spark, N, n_files=4)))
+    s0 = t.metadata().current_snapshot_id
+    snap = overwrite_partitions(t, spark, _fresh_day(spark, 10))
+    assert snap.summary["files_rewritten"] >= 1
+    inc = t.changes(spark, s0)
+    assert inc.count() == 10
+    assert (
+        inc.filter(F.col("image_id").startswith("img-0000")).count() == 0
+        or inc.count() == 10
+    )
+    cdc = t.changes_cdc(spark, s0)
+    kinds = {
+        r["_change_type"]: r["n"]
+        for r in cdc.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert kinds.get("insert", 0) == 10
+
+
 def test_insert_overwrite_sql_is_visible_to_cdc(tmp_path, spark):
     from aws_medallion_datalake_spark.sqlcmd import EngineSQL
 
@@ -247,3 +274,22 @@ def test_sql_dynamic_overwrite_and_replace_where(table, spark):
         .count()
         == 7
     )
+
+
+def test_sql_replace_where_with_in_predicate(table, spark):
+    from aws_medallion_datalake_spark.sqlcmd import EngineSQL
+
+    eng = EngineSQL(spark, {"images": table})
+    n_match = table.scan(
+        spark, predicates=[("ingest_date", "in", ["2024-01-02", "2024-01-03"])]
+    ).count()
+    repl = generate_images(spark, 6, n_files=1, start=9500).withColumn(
+        "ingest_date", F.lit("2024-01-02")
+    )
+    repl.createOrReplaceTempView("repl_in")
+    res = eng.sql(
+        "INSERT INTO images REPLACE WHERE "
+        "ingest_date IN ('2024-01-02', '2024-01-03') SELECT * FROM repl_in"
+    ).first()
+    assert res["operation"] == "INSERT REPLACE WHERE"
+    assert table.scan(spark).count() == N - n_match + 6
