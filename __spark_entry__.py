@@ -788,6 +788,167 @@ def _sql_lang_id():
     """
 
 
+# PII patterns (identical semantics in Java regex and DuckDB RE2: no
+# lookaround, no backrefs). Applied with replace-ALL on both sides
+# (DuckDB needs the explicit 'g' flag; Spark regexp_replace is global).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b555-[0-9]{3,4}\b"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction — the scrub stage every pretraining pipeline runs
+    before export: emails / phone numbers / IPv4s replaced with typed
+    placeholder tokens via pure ``regexp_replace`` (JVM whole-stage
+    codegen, one linear pass, no UDF — at 100 TB this is a map-only
+    stage with zero shuffle until the tiny final agg). The corpus is
+    synthetic word soup, so deterministic PII is injected from doc_id
+    first — BOTH sides inject identically, keeping the oracle exact.
+    Redaction order matters (emails before IPs, so 'user@10.0.0.1'
+    domains never half-match); counts come from regexp_extract_all on
+    the pre-scrub text. Verified content-level via a 60-bit md5
+    fingerprint of the scrubbed text summed mod 1e6+3."""
+    d = _t(spark, sf_dir, "documents")
+    pii = F.concat_ws(
+        "",
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com call 555-0"),
+        F.format_string("%03d", (F.col("doc_id") % 900).cast("int")),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 3) % 250).cast("string"),
+    )
+    d = d.withColumn("txt", pii)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("txt"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    # F.lit patterns (not F.expr/SQL literals): Spark SQL string literals
+    # eat backslashes, so '\b' would become a backspace char there
+    def _n(pat):
+        return F.size(
+            F.regexp_extract_all(F.col("txt"), F.lit(pat), F.lit(0))
+        )
+
+    n_email, n_phone, n_ip = _n(_PII_EMAIL), _n(_PII_PHONE), _n(_PII_IP)
+    return (
+        d.select(
+            "source",
+            clean.alias("clean"),
+            n_email.alias("e"),
+            n_phone.alias("p"),
+            n_ip.alias("i"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("e").alias("emails"),
+            F.sum("p").alias("phones"),
+            F.sum("i").alias("ips"),
+            F.sum(F.length("clean")).alias("clean_chars"),
+            F.sum(_hex15_to_long(F.md5(F.col("clean"))) % 1000003).alias(
+                "content_fp"
+            ),
+        )
+    )
+
+
+def _sql_pii_scrub():
+    email, phone, ip = _PII_EMAIL, _PII_PHONE, _PII_IP
+    return f"""
+        WITH t AS (
+            SELECT source,
+                   text || ' contact user' || doc_id || '@mail'
+                        || (doc_id % 7) || '.example.com call 555-0'
+                        || lpad((doc_id % 900)::VARCHAR, 3, '0')
+                        || ' ip 10.0.' || (doc_id % 250) || '.'
+                        || ((doc_id * 3) % 250) AS txt
+            FROM documents
+        ), s AS (
+            SELECT source,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       txt, '{email}', '<EMAIL>', 'g'),
+                       '{phone}', '<PHONE>', 'g'),
+                       '{ip}', '<IP>', 'g') AS clean,
+                   len(regexp_extract_all(txt, '{email}')) AS e,
+                   len(regexp_extract_all(txt, '{phone}')) AS p,
+                   len(regexp_extract_all(txt, '{ip}')) AS i
+            FROM t
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(e) AS BIGINT) AS emails,
+               CAST(sum(p) AS BIGINT) AS phones,
+               CAST(sum(i) AS BIGINT) AS ips,
+               CAST(sum(len(clean)) AS BIGINT) AS clean_chars,
+               CAST(sum(CAST('0x' || substr(md5(clean), 1, 15) AS BIGINT)
+                        % 1000003) AS BIGINT) AS content_fp
+        FROM s GROUP BY source
+    """
+
+
+def q_url_blocklist(spark, sf_dir):
+    """Domain-blocklist filtering — the URL-level quality gate of a crawl
+    pipeline: derive each doc's host (deterministic from source/doc_id,
+    both sides identical), keep docs whose host is NOT on the blocklist,
+    and profile the survivors per TLD. The blocklist is a tiny in-memory
+    dim BROADCAST to every executor (left_anti) — the corpus side never
+    shuffles; at 100 TB this is a map-side anti-join, the same plan as
+    the decontamination entry."""
+    blocked = ["src1.example.com", "src4.example.net", "src7.example.org"]
+    d = _t(spark, sf_dir, "documents")
+    tld = (
+        F.when(F.col("doc_id") % 3 == 0, "com")
+        .when(F.col("doc_id") % 3 == 1, "net")
+        .otherwise("org")
+    )
+    d = d.withColumn(
+        "host", F.concat_ws("", F.col("source"), F.lit(".example."), tld)
+    )
+    bl = spark.createDataFrame([(h,) for h in blocked], "host string")
+    kept = d.join(F.broadcast(bl), "host", "left_anti")
+    return (
+        kept.withColumn("tld", F.substring_index("host", ".", -1))
+        .groupBy("tld")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+
+
+def _sql_url_blocklist():
+    return """
+        WITH t AS (
+            SELECT *,
+                   source || '.example.' ||
+                   CASE WHEN doc_id % 3 = 0 THEN 'com'
+                        WHEN doc_id % 3 = 1 THEN 'net'
+                        ELSE 'org' END AS host
+            FROM documents
+        )
+        SELECT split_part(host, '.', 3) AS tld,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM t
+        WHERE host NOT IN ('src1.example.com', 'src4.example.net',
+                           'src7.example.org')
+        GROUP BY 1
+    """
+
+
 _MIN_LONG = -9223372036854775808  # bit 63's signed-int64 weight
 
 
@@ -4113,6 +4274,87 @@ def _sql_dataset_shards():
     """
 
 
+def q_image_datasource(spark, sf_dir):
+    """Python Data Source connector (sources/datasource.py): engine tables
+    through the STANDARD Spark entry points — ``spark.read.format(
+    "medallion")`` (manifest-planned batch read, one InputPartition per
+    data file, pushed filters prune files before listing),
+    ``readStream``/``writeStream`` (snapshot-diff micro-batches into an
+    exactly-once txnAppId sink), and ``df.write`` (per-task Arrow→parquet
+    + one atomic append commit from footer stats). Demonstrates
+    table-to-table incremental replication, then verifies the replica
+    matches the source byte-for-byte on ids. Engine-internal; rows-only
+    check."""
+    import tempfile
+
+    from aws_medallion_datalake_spark.sources.datasource import register
+    from aws_medallion_datalake_spark.sources.generator import (
+        SCHEMA as IMG_SCHEMA,
+        generate_images,
+    )
+    from aws_medallion_datalake_spark.sources.tableformat import Table
+
+    register(spark)
+    root = tempfile.mkdtemp(prefix="entry_pyds_")
+    stats = ["phash", "w", "h", "image_id", "ingest_date"]
+    src = Table.create(
+        os.path.join(root, "src"), IMG_SCHEMA,
+        partition_cols=["ingest_date"], stats_cols=stats,
+    )
+    dst = Table.create(
+        os.path.join(root, "dst"), IMG_SCHEMA,
+        partition_cols=["ingest_date"], stats_cols=stats,
+    )
+    # batch write through the connector: atomic append commit
+    generate_images(spark, _IMG_ROWS, n_files=4).write.format(
+        "medallion"
+    ).mode("append").save(src.root)
+
+    def pump():
+        q = (
+            spark.readStream.format("medallion")
+            .option("startingOffsets", "earliest")
+            .load(src.root)
+            .writeStream.format("medallion")
+            .option("path", dst.root)
+            .option("txnAppId", "entry-repl")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    pump()
+    n1 = dst.scan(spark).count()
+    # incremental: a second append flows through the SAME checkpoint
+    generate_images(spark, _IMG_ROWS // 4, n_files=1, start=10_000).write.format(
+        "medallion"
+    ).mode("append").save(src.root)
+    pump()
+    got = spark.read.format("medallion").load(dst.root)
+    matched = (
+        got.select("image_id", "phash")
+        .join(src.scan(spark).select("image_id", "phash"), ["image_id", "phash"])
+        .count()
+    )
+    d0 = src.manifest_pdf()["min_ingest_date"].min()
+    pruned = (
+        spark.read.format("medallion")
+        .load(src.root)
+        .filter(F.col("ingest_date") == d0)
+        .count()
+    )
+    rows = [
+        ("batch_write_rows", int(src.scan(spark).count())),
+        ("replicated_rows_first", int(n1)),
+        ("replicated_rows_total", int(got.count())),
+        ("id_phash_matched", int(matched)),
+        ("pruned_day_rows", int(pruned)),
+        ("dst_snapshots", int(len(dst.metadata().snapshots))),
+    ]
+    return spark.createDataFrame(rows, "metric string, value long")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4152,6 +4394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
+        "pii_scrub": q_pii_scrub,
+        "url_blocklist": q_url_blocklist,
         "simhash": q_simhash,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "minhash_signature": q_minhash_signature,
@@ -4212,6 +4456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_eq_delete": q_image_eq_delete,
         "image_evolution": q_image_evolution,
         "image_rename": q_image_rename,
+        "image_datasource": q_image_datasource,
     }
 
 
@@ -4249,6 +4494,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_stats": _sql_bpe_token_stats(),
         "doc_quality": _sql_doc_quality(),
         "lang_id": _sql_lang_id(),
+        "pii_scrub": _sql_pii_scrub(),
+        "url_blocklist": _sql_url_blocklist(),
         "simhash": _sql_simhash(),
         "simhash_hamming_pairs": _sql_simhash_hamming_pairs(),
         "minhash_signature": _sql_minhash_signature(),

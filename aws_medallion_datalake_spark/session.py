@@ -78,6 +78,9 @@ def get_session(
         # serialized sorter). Route everything wider than 64 through the
         # serialized sort writer: one spill file per map task.
         .config("spark.shuffle.sort.bypassMergeThreshold", "64")
+        # the format("medallion") connector implements pushFilters; Spark
+        # refuses such readers unless pushdown is explicitly enabled
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         # local-mode driver == all executors; the 1g default heap OOMs on
         # binary image shuffles (irrelevant on a real cluster where
@@ -86,6 +89,21 @@ def get_session(
     )
     if shuffle_partitions is not None:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # startup-time self-ship: addPyFile (below) reaches executor Python
+    # workers, but the DRIVER-SIDE Python runners Spark forks for the
+    # Python Data Source API (the streaming source runner in particular)
+    # build their PYTHONPATH from the JVM's inherited env, not from
+    # late addPyFile includes — without this, readStream.format(
+    # "medallion") dies with ModuleNotFoundError when the driver script
+    # lives outside the repo. `spark-submit --py-files` does exactly
+    # this for real drivers; we mirror it for ad-hoc ones. Must happen
+    # BEFORE the JVM launches (a reused session keeps its env).
+    if ship_package and os.path.isdir(_PKG_DIR):
+        z = build_pyfiles_zip()
+        b = b.config("spark.submit.pyFiles", z)
+        pp = os.environ.get("PYTHONPATH", "")
+        if z not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = z + (os.pathsep + pp if pp else "")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

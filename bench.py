@@ -42,6 +42,8 @@ HEADLINE = [
     "minhash_candidate_pairs",
     "ngram_jaccard_pairs",
     "contamination_check",
+    "pii_scrub",
+    "url_blocklist",
     "bm25_rank",
     "dataset_shards",
     "embedding_topk",

@@ -218,6 +218,25 @@ def _(spark, sf_dir):
     assert "CartesianProduct" not in p, p
 
 
+@check("PII scrub: JVM regexp codegen, map-only until the final agg")
+def _(spark, sf_dir):
+    p = plan_of(entry.q_pii_scrub(spark, sf_dir))
+    # redaction + counting is whole-stage-codegen'd regexp work — no
+    # Python eval, no join; the only exchange feeds the final group-by
+    assert "EvalPython" not in p, p
+    assert "Join" not in p and "CartesianProduct" not in p, p
+    # exactly one shuffle in the TREE section ("Exchange (n)"); the
+    # formatted detail section repeats the node name as "(n) Exchange"
+    assert p.count("Exchange (") == 1, p
+
+
+@check("URL blocklist: broadcast anti-join, corpus side never shuffles")
+def _(spark, sf_dir):
+    p = plan_of(entry.q_url_blocklist(spark, sf_dir))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    assert "SortMergeJoin" not in p and "EvalPython" not in p, p
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_session("local[8]", shuffle_partitions=8)
