@@ -4355,6 +4355,71 @@ def q_image_datasource(spark, sf_dir):
     return spark.createDataFrame(rows, "metric string, value long")
 
 
+def q_image_matview(spark, sf_dir):
+    """Materialized view with incremental refresh (operators/matview.py):
+    a per-fmt aggregate MV over the image table, kept fresh by the
+    cheapest sound path — append-only base advance folds just the DELTA
+    through the defining query (O(new rows), self-mergeable combiners),
+    a MERGE in the chain falls back to full recompute, physical-only
+    snapshots bump the bookmark with zero IO. Every state is verified
+    against a from-scratch recompute. Engine-internal; rows-only check."""
+    import tempfile
+
+    from aws_medallion_datalake_spark.operators.matview import (
+        create_matview,
+        refresh_matview,
+    )
+    from aws_medallion_datalake_spark.operators.compact import compact
+    from aws_medallion_datalake_spark.operators.merge import merge_into
+    from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
+    from aws_medallion_datalake_spark.sources.generator import (
+        generate_images,
+        generate_updates,
+    )
+
+    root = tempfile.mkdtemp(prefix="entry_mv_")
+    base = bronze_ingest(spark, os.path.join(root, "base"), _IMG_ROWS, n_files=4)
+    q = (
+        "SELECT fmt, count(*) AS n, sum(w) AS total_w, max(phash) AS max_ph "
+        "FROM imgs GROUP BY fmt"
+    )
+    mv = create_matview(
+        spark, "imgs_by_fmt", q, os.path.join(root, "mv"), {"imgs": base}
+    )
+
+    def ok():
+        ref = (
+            base.scan(spark)
+            .groupBy("fmt")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("w").alias("total_w"),
+                F.max("phash").alias("max_ph"),
+            )
+        )
+        return sorted(map(tuple, mv.scan(spark).collect())) == sorted(
+            map(tuple, ref.collect())
+        )
+
+    rows = [("create", "full", int(ok()))]
+    base.append(generate_images(spark, _IMG_ROWS // 4, n_files=1, start=50_000))
+    s = refresh_matview(spark, mv, {"imgs": base})
+    rows.append(("append_refresh", s.summary["refresh"], int(ok())))
+    compact(base, spark)
+    s2 = refresh_matview(spark, mv, {"imgs": base})
+    rows.append(
+        ("compact_refresh", "bookmark" if s2 is None else "unexpected", int(ok()))
+    )
+    merge_into(
+        base, spark, generate_updates(spark, _IMG_ROWS, _IMG_ROWS // 8, 16, n_files=1)
+    )
+    s3 = refresh_matview(spark, mv, {"imgs": base})
+    rows.append(("merge_refresh", s3.summary["refresh"], int(ok())))
+    return spark.createDataFrame(
+        rows, "phase string, refresh_mode string, matches_recompute int"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4457,6 +4522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_evolution": q_image_evolution,
         "image_rename": q_image_rename,
         "image_datasource": q_image_datasource,
+        "image_matview": q_image_matview,
     }
 
 

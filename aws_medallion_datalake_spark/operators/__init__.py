@@ -11,6 +11,7 @@ from .delete import (  # noqa: F401
     rewrite_delete_files,
 )
 from .expire import expire_snapshots, remove_orphan_files  # noqa: F401
+from .matview import create_matview, refresh_matview  # noqa: F401
 from .merge import merge_into  # noqa: F401
 from .metascan import fast_count, fast_min_max  # noqa: F401
 from .overwrite import overwrite_partitions, replace_where  # noqa: F401

@@ -268,6 +268,8 @@ class EngineSQL:
             return self._truncate(s)
         if head == "COPY":
             return self._copy(s)
+        if head == "REFRESH":
+            return self._refresh_mv(s)
         # metadata-only COUNT(*): answered from manifest record counts
         # (O(manifest), zero data IO) when the WHERE is absent or fully
         # provable from file stats; any unprovable shape falls through
@@ -1021,6 +1023,36 @@ class EngineSQL:
             [(op, tbl, detail)], "operation string, table string, detail string"
         )
 
+    def _refresh_mv(self, s: str) -> DataFrame:
+        """``REFRESH MATERIALIZED VIEW <name> [FULL]`` — brings the MV to
+        the base's current snapshot via the cheapest sound path (no-op /
+        bookmark bump / incremental delta fold / full recompute — see
+        operators/matview.py); FULL forces the recompute."""
+        m = re.match(
+            rf"REFRESH\s+MATERIALIZED\s+VIEW\s+({_ID})(\s+FULL)?$", s, re.I
+        )
+        if not m:
+            raise SQLCommandError(
+                "expected: REFRESH MATERIALIZED VIEW <name> [FULL]"
+            )
+        from .operators.matview import refresh_matview
+
+        name, force_full = m.group(1), bool(m.group(2))
+        try:
+            snap = refresh_matview(
+                self.spark, self._table(name), self.tables, full=force_full
+            )
+        except ValueError as e:
+            raise SQLCommandError(str(e)) from e
+        if snap is None:
+            return self._ddl_df("REFRESH MATERIALIZED VIEW", name, "fresh")
+        mode = snap.summary.get("refresh", "bookmark")
+        return self._ddl_df(
+            "REFRESH MATERIALIZED VIEW", name,
+            f"{mode} @ base snapshot "
+            f"{int(snap.summary.get('base_snapshot_id', 0))}",
+        )
+
     def _create(self, s: str) -> DataFrame:
         """``CREATE TABLE <t> [(col type, …)] [PARTITIONED BY (spec, …)]
         [STATS BY (col, …)] LOCATION '<path>' [TBLPROPERTIES ('k'='v', …)]
@@ -1028,6 +1060,32 @@ class EngineSQL:
         required. CTAS derives the schema from the query; partition
         items accept hidden-partitioning transforms (``bucket(8, id)``,
         ``days(ts)``) exactly like ``Table.create``."""
+        mv = re.match(
+            rf"CREATE\s+MATERIALIZED\s+VIEW\s+({_ID})\s+LOCATION\s+"
+            rf"'([^']+)'\s+AS\s+(.+)$",
+            s, re.I | re.S,
+        )
+        if mv:
+            from .operators.matview import create_matview
+
+            name, loc, query = mv.group(1), mv.group(2), mv.group(3)
+            if name in self.tables:
+                raise SQLCommandError(
+                    f"table {name!r} already exists in catalog"
+                )
+            for vname, vt in self.tables.items():
+                vt.register(self.spark, vname)
+            try:
+                t = create_matview(self.spark, name, query, loc, self.tables)
+            except ValueError as e:
+                raise SQLCommandError(str(e)) from e
+            self.tables[name] = t
+            snap = t.snapshot()
+            return self._ddl_df(
+                "CREATE MATERIALIZED VIEW", name,
+                f"created, {int(snap.summary.get('rows', 0))} rows @ base "
+                f"snapshot {int(snap.summary.get('base_snapshot_id', 0))}",
+            )
         m = re.match(rf"CREATE\s+TABLE\s+({_ID})\s*", s, re.I)
         if not m:
             raise SQLCommandError("expected: CREATE TABLE <name> …")
@@ -1249,9 +1307,14 @@ class EngineSQL:
         catalog (and its temp view); PURGE also deletes the table
         directory from storage. Without PURGE the table data is
         untouched and re-attachable via ``Table.load``."""
-        m = re.match(rf"DROP\s+TABLE\s+({_ID})(\s+PURGE)?$", s, re.I)
+        m = re.match(
+            rf"DROP\s+(?:TABLE|MATERIALIZED\s+VIEW)\s+({_ID})(\s+PURGE)?$",
+            s, re.I,
+        )
         if not m:
-            raise SQLCommandError("expected: DROP TABLE <table> [PURGE]")
+            raise SQLCommandError(
+                "expected: DROP TABLE|MATERIALIZED VIEW <name> [PURGE]"
+            )
         name, purge = m.group(1), bool(m.group(2))
         t = self._table(name)
         del self.tables[name]

@@ -1,0 +1,170 @@
+"""Materialized views: create, incremental refresh (append-only chains),
+full-recompute fallback, bookmark bump for physical-only chains, SQL
+surface."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_medallion_datalake_spark.operators.matview import (
+    MV_BASE_SNAPSHOT_PROP,
+    create_matview,
+    parse_mv_query,
+    refresh_matview,
+)
+from aws_medallion_datalake_spark.sources.generator import (
+    SCHEMA,
+    generate_images,
+    generate_updates,
+)
+from aws_medallion_datalake_spark.sources.tableformat import Table
+
+QUERY = (
+    "SELECT fmt, count(*) AS n, sum(w) AS total_w, "
+    "min(phash) AS min_ph, max(phash) AS max_ph "
+    "FROM imgs GROUP BY fmt"
+)
+
+
+def _mk_base(tmp_path, spark, rows=60):
+    t = Table.create(
+        str(tmp_path / "base"), SCHEMA,
+        partition_cols=["ingest_date"],
+        stats_cols=["phash", "w", "h", "image_id"],
+    )
+    t.append(generate_images(spark, rows, n_files=3))
+    return t
+
+
+def _recompute(spark, base):
+    return (
+        base.scan(spark)
+        .groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("w").alias("total_w"),
+            F.min("phash").alias("min_ph"),
+            F.max("phash").alias("max_ph"),
+        )
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_parse_mv_query():
+    base, groups, comb = parse_mv_query(QUERY)
+    assert base == "imgs" and groups == ["fmt"]
+    assert comb == {
+        "fmt": "group", "n": "sum", "total_w": "sum",
+        "min_ph": "min", "max_ph": "max",
+    }
+    with pytest.raises(ValueError, match="self-mergeable"):
+        parse_mv_query("SELECT fmt, avg(w) AS aw FROM imgs GROUP BY fmt")
+    with pytest.raises(ValueError, match="aggregate"):
+        parse_mv_query("SELECT fmt FROM imgs GROUP BY fmt")
+    with pytest.raises(ValueError, match="GROUP BY"):
+        parse_mv_query("SELECT fmt, w, count(*) AS n FROM imgs GROUP BY fmt")
+
+
+def test_create_and_incremental_refresh(tmp_path, spark):
+    base = _mk_base(tmp_path, spark)
+    mv = create_matview(
+        spark, "imgs_by_fmt", QUERY, str(tmp_path / "mv"), {"imgs": base}
+    )
+    assert _rows(mv.scan(spark)) == _rows(_recompute(spark, base))
+    # fresh: no-op
+    assert refresh_matview(spark, mv, {"imgs": base}) is None
+    # append-only advance: incremental fold
+    base.append(generate_images(spark, 25, n_files=1, start=1000))
+    base.append(generate_images(spark, 10, n_files=1, start=2000))
+    snap = refresh_matview(spark, mv, {"imgs": base})
+    assert snap.summary["refresh"] == "incremental"
+    assert int(snap.summary["base_snapshots_folded"]) == 2
+    assert _rows(mv.scan(spark)) == _rows(_recompute(spark, base))
+    assert int(mv.metadata().properties[MV_BASE_SNAPSHOT_PROP]) == int(
+        base.snapshot().snapshot_id
+    )
+
+
+def test_physical_only_chain_bumps_bookmark(tmp_path, spark):
+    from aws_medallion_datalake_spark.operators.compact import compact
+
+    base = _mk_base(tmp_path, spark)
+    mv = create_matview(
+        spark, "imgs_by_fmt", QUERY, str(tmp_path / "mv"), {"imgs": base}
+    )
+    n_snaps = len(mv.metadata().snapshots)
+    compact(base, spark, target_file_size_bytes=1 << 30)
+    assert refresh_matview(spark, mv, {"imgs": base}) is None
+    # bookmark advanced with NO new MV snapshot and no data IO
+    assert len(mv.metadata().snapshots) == n_snaps
+    assert int(mv.metadata().properties[MV_BASE_SNAPSHOT_PROP]) == int(
+        base.snapshot().snapshot_id
+    )
+    assert _rows(mv.scan(spark)) == _rows(_recompute(spark, base))
+
+
+def test_non_append_chain_falls_back_to_full(tmp_path, spark):
+    from aws_medallion_datalake_spark.operators.merge import merge_into
+
+    base = _mk_base(tmp_path, spark)
+    mv = create_matview(
+        spark, "imgs_by_fmt", QUERY, str(tmp_path / "mv"), {"imgs": base}
+    )
+    src = generate_updates(spark, 60, 10, 5, n_files=1)
+    merge_into(base, spark, src)
+    snap = refresh_matview(spark, mv, {"imgs": base})
+    assert snap.summary["refresh"] == "full"
+    assert _rows(mv.scan(spark)) == _rows(_recompute(spark, base))
+
+
+def test_where_and_global_agg(tmp_path, spark):
+    base = _mk_base(tmp_path, spark)
+    q = "SELECT count(*) AS n, sum(h) AS total_h FROM imgs WHERE w >= 64"
+    mv = create_matview(
+        spark, "img_totals", q, str(tmp_path / "mv2"), {"imgs": base}
+    )
+    ref = base.scan(spark).filter("w >= 64").agg(
+        F.count("*").alias("n"), F.sum("h").alias("total_h")
+    )
+    assert _rows(mv.scan(spark)) == _rows(ref)
+    base.append(generate_images(spark, 30, n_files=1, start=5000))
+    snap = refresh_matview(spark, mv, {"imgs": base})
+    assert snap.summary["refresh"] == "incremental"
+    ref2 = base.scan(spark).filter("w >= 64").agg(
+        F.count("*").alias("n"), F.sum("h").alias("total_h")
+    )
+    assert _rows(mv.scan(spark)) == _rows(ref2)
+
+
+def test_sql_surface(tmp_path, spark):
+    from aws_medallion_datalake_spark.sqlcmd import EngineSQL, SQLCommandError
+
+    base = _mk_base(tmp_path, spark)
+    eng = EngineSQL(spark, {"imgs": base})
+    r = eng.sql(
+        f"CREATE MATERIALIZED VIEW imgs_by_fmt LOCATION "
+        f"'{tmp_path / 'mv3'}' AS {QUERY}"
+    ).first()
+    assert r["operation"] == "CREATE MATERIALIZED VIEW"
+    # MV is a first-class catalog table: SELECT passthrough reads it
+    got = eng.sql("SELECT sum(n) AS rows FROM imgs_by_fmt").first()
+    assert got["rows"] == 60
+    assert (
+        eng.sql("REFRESH MATERIALIZED VIEW imgs_by_fmt").first()["detail"]
+        == "fresh"
+    )
+    base.append(generate_images(spark, 12, n_files=1, start=7000))
+    det = eng.sql("REFRESH MATERIALIZED VIEW imgs_by_fmt").first()["detail"]
+    assert det.startswith("incremental")
+    assert eng.sql("SELECT sum(n) AS rows FROM imgs_by_fmt").first()["rows"] == 72
+    det = eng.sql("REFRESH MATERIALIZED VIEW imgs_by_fmt FULL").first()["detail"]
+    assert det.startswith("full")
+    with pytest.raises(SQLCommandError, match="self-mergeable"):
+        eng.sql(
+            f"CREATE MATERIALIZED VIEW bad LOCATION '{tmp_path / 'mv4'}' "
+            f"AS SELECT fmt, avg(w) AS aw FROM imgs GROUP BY fmt"
+        )
+    eng.sql("DROP MATERIALIZED VIEW imgs_by_fmt")
+    assert "imgs_by_fmt" not in eng.tables
