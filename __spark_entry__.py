@@ -4274,6 +4274,182 @@ def _sql_dataset_shards():
     """
 
 
+def q_nation_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year, minus the
+    partsupp cost term this dataset lacks): the fact table joins the
+    name-filtered part dim and the supplier→nation chain — all three
+    dims BROADCAST (part pre-filtered to the product family, nation is
+    tiny), so the lineitem scan is never shuffled before the final
+    (nation, year) agg. One fact pass, one exchange."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("gear"))
+        .select("p_partkey")
+    )
+    s = F.broadcast(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    j = (
+        l.join(p, l.l_partkey == F.col("p_partkey"))
+        .join(s, l.l_suppkey == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("l_shipdate").cast("int").alias("o_year"),
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("profit")
+    )
+
+
+def _sql_nation_profit():
+    return """
+        SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY 1, 2
+    """
+
+
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (important stock, HAVING over a scalar subquery):
+    parts whose revenue exceeds a FRACTION of total revenue. The scalar
+    subquery decorrelates to one global agg over the SAME per-part
+    aggregate (reused, not a second fact scan) broadcast into the
+    HAVING filter — at 100 TB the fact is read once, the threshold is
+    one row."""
+    l = _t(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev"
+        )
+    )
+    total = per_part.agg(F.sum("rev").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("rev") > 0.0008 * F.col("total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("rev", 2).alias("part_value"),
+        )
+    )
+
+
+def _sql_important_parts():
+    return """
+        SELECT l_partkey AS p_partkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING sum(l_extendedprice * (1 - l_discount)) >
+               (SELECT 0.0008 * sum(l_extendedprice * (1 - l_discount))
+                FROM lineitem)
+    """
+
+
+def q_top_ship_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier view + scalar max): the supplier(s)
+    whose shipped QUANTITY over one quarter equals the maximum. Quantity
+    sums are whole numbers (exact in double), so the max-equality join
+    is deterministic across engines — the revenue flavor of Q15 has a
+    float-tie hazard this sidesteps. The max is a 1-row broadcast onto
+    the same aggregate (no second fact scan); ties all return."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    per_supp = l.groupBy("l_suppkey").agg(
+        F.sum("l_quantity").alias("total_qty")
+    )
+    mx = per_supp.agg(F.max("total_qty").alias("mx"))
+    s = _t(spark, sf_dir, "supplier")
+    best = per_supp.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_qty") == F.col("mx")
+    )
+    return (
+        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_qty").cast("long").alias("total_qty"),
+        )
+    )
+
+
+def _sql_top_ship_supplier():
+    return """
+        WITH q AS (
+            SELECT l_suppkey, sum(l_quantity) AS total_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(total_qty AS BIGINT) AS total_qty
+        FROM q JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_qty = (SELECT max(total_qty) FROM q)
+    """
+
+
+def q_dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (excess-stock suppliers, adapted to shipped
+    quantities): suppliers who shipped MORE THAN 15% of some filtered
+    part's total quantity. Two nested aggregates over ONE filtered fact
+    pass — per (part, supplier) and per part (a re-agg of the first,
+    not a rescan) — joined part-locally, then a semi-join-shaped
+    DISTINCT onto the supplier dim. Quantity sums are exact integers,
+    so the ratio cut is engine-stable."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    lp = l.join(p, l.l_partkey == F.col("p_partkey"))
+    per_ps = lp.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(
+        F.sum("qty").alias("part_qty")
+    )
+    dom = (
+        per_ps.join(per_part, "l_partkey")
+        .filter(F.col("qty") > 0.15 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return dom.join(F.broadcast(s), dom.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name"
+    )
+
+
+def _sql_dominant_suppliers():
+    return """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'small%'
+            GROUP BY l_partkey, l_suppkey
+        ), pt AS (
+            SELECT l_partkey, sum(qty) AS part_qty FROM ps GROUP BY l_partkey
+        )
+        SELECT DISTINCT s_suppkey, s_name
+        FROM ps
+        JOIN pt USING (l_partkey)
+        JOIN supplier ON ps.l_suppkey = s_suppkey
+        WHERE qty > 0.15 * part_qty
+    """
+
+
 def q_image_datasource(spark, sf_dir):
     """Python Data Source connector (sources/datasource.py): engine tables
     through the STANDARD Spark entry points — ``spark.read.format(
@@ -4501,6 +4677,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shipping": q_volume_shipping,
         "market_share": q_market_share,
         "returned_customers": q_returned_customers,
+        "nation_profit": q_nation_profit,
+        "important_parts": q_important_parts,
+        "top_ship_supplier": q_top_ship_supplier,
+        "dominant_suppliers": q_dominant_suppliers,
         "image_features_ann": q_image_features_ann,
         "image_medallion": q_image_medallion,
         "image_maintenance": q_image_maintenance,
@@ -4602,6 +4782,10 @@ def oracle_sql() -> dict[str, str]:
         "volume_shipping": _sql_volume_shipping(),
         "market_share": _sql_market_share(),
         "returned_customers": _sql_returned_customers(),
+        "nation_profit": _sql_nation_profit(),
+        "important_parts": _sql_important_parts(),
+        "top_ship_supplier": _sql_top_ship_supplier(),
+        "dominant_suppliers": _sql_dominant_suppliers(),
         # image_medallion / image_maintenance / image_gold_star:
         # engine-internal table format + Arrow codec UDFs — not
         # SQL-expressible (rows-only).
