@@ -232,6 +232,37 @@ def main() -> None:
         times["maint_count_meta"] = round(time.time() - t0, 3)
         assert n_meta == scanned["n"], (n_meta, scanned["n"])
 
+        # materialized-view stages LAST so every stage above keeps its
+        # round-over-round comparability (the MV delta-append would
+        # otherwise change the compact/cluster/merge/scan inputs):
+        # create = full compute of the gold aggregate; incr = fold ONE
+        # small append through the same query (O(delta) — compare the
+        # two times to see the incremental win)
+        from aws_medallion_datalake_spark.operators.matview import (
+            create_matview,
+            refresh_matview,
+        )
+
+        t0 = time.time()
+        mv = create_matview(
+            spark,
+            "bench_mv",
+            "SELECT fmt, count(*) AS n, sum(w) AS total_w, "
+            "max(phash) AS max_ph FROM imgs GROUP BY fmt",
+            os.path.join(root, "mv"),
+            {"imgs": t},
+        )
+        times["maint_mv_create"] = round(time.time() - t0, 3)
+        t.append(
+            generate_images(
+                spark, max(200, img_rows // 20), n_files=2, start=20_000_000
+            )
+        )
+        t0 = time.time()
+        snap_mv = refresh_matview(spark, mv, {"imgs": t})
+        times["maint_mv_incr"] = round(time.time() - t0, 3)
+        assert snap_mv is not None and snap_mv.summary["refresh"] == "incremental"
+
         scan_gbps = (scanned["b"] / 1e9) / scan_sec if scan_sec > 0 else 0.0
         merge_rows_per_sec = n_src / merge_sec if merge_sec > 0 else 0.0
     finally:
