@@ -949,6 +949,76 @@ def _sql_url_blocklist():
     """
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document TF-IDF top-k keywords — the topical-mining stage of a
+    training-data pipeline. One explode pass builds (doc, token) term
+    frequencies (partial+final hash agg); document frequencies are a
+    vocabulary-sized aggregate joined back (vocab ≪ corpus, broadcast at
+    scale); smoothed idf = ln((N+1)/(df+1)). Top-3 per doc via one
+    row_number window partitioned by doc — no global sort. The ordering
+    is engine-deterministic: tf and df are integers, so equal (tf, df)
+    means bit-equal scores, and the (score DESC, token ASC) tie-break is
+    total."""
+    d = _doc_tokens(spark, sf_dir)
+    n_docs = _t(spark, sf_dir, "documents").count()
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(F.broadcast(dfreq), "token").withColumn(
+        "score",
+        F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            F.col("rk").cast("int").alias("rk"),
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round("score", 4).alias("score"),
+        )
+    )
+
+
+def _sql_tfidf_keywords():
+    return """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM tok GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+        ), scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                   tf.tf * ln(((SELECT count(*) FROM documents) + 1.0)
+                              / (dfreq.df + 1.0)) AS score
+            FROM tf JOIN dfreq USING (token)
+        )
+        SELECT doc_id, CAST(rk AS INT) AS rk, token,
+               CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+               round(score, 4) AS score
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, token ASC
+            ) AS rk
+            FROM scored
+        )
+        WHERE rk <= 3
+    """
+
+
 _MIN_LONG = -9223372036854775808  # bit 63's signed-int64 weight
 
 
@@ -4637,6 +4707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "pii_scrub": q_pii_scrub,
         "url_blocklist": q_url_blocklist,
+        "tfidf_keywords": q_tfidf_keywords,
         "simhash": q_simhash,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "minhash_signature": q_minhash_signature,
@@ -4742,6 +4813,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_lang_id(),
         "pii_scrub": _sql_pii_scrub(),
         "url_blocklist": _sql_url_blocklist(),
+        "tfidf_keywords": _sql_tfidf_keywords(),
         "simhash": _sql_simhash(),
         "simhash_hamming_pairs": _sql_simhash_hamming_pairs(),
         "minhash_signature": _sql_minhash_signature(),

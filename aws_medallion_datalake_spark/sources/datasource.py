@@ -480,27 +480,29 @@ class _WroteFiles(WriterCommitMessage):
     n_files: int
 
 
+_TARGET_FILE_BYTES = 128 * 1024 * 1024  # roll to a new file past this
+
+
 def _task_write(
     iterator: Iterator[pa.RecordBatch], root: str, schema_ddl: str
 ) -> _WroteFiles:
-    """Executor side: stream this task's Arrow batches into one parquet
-    file under an isolated per-task directory inside the table's data dir
+    """Executor side: stream this task's Arrow batches into parquet files
+    under an isolated per-task directory inside the table's data dir
     (uncommitted files are invisible to readers and swept on abort).
     Columns are aligned BY NAME and cast to the declared types — the
-    pyarrow twin of ``Table.append``'s projection."""
+    pyarrow twin of ``Table.append``'s projection. Rolls to a new file
+    once the in-memory bytes fed to the current one pass the 128 MB
+    target: a wide input partition must not become one multi-GB file
+    (post-compression files land under target, never absurdly over)."""
     arrow_schema = _arrow_schema_from_ddl(schema_ddl)
     prefix = os.path.join(root, "data", "pyds-" + uuid.uuid4().hex[:16])
     writer = None
-    n = 0
+    n_files = 0
+    fed = 0
     try:
         for batch in iterator:
             if batch.num_rows == 0:
                 continue
-            if writer is None:
-                os.makedirs(prefix, exist_ok=True)
-                writer = pq.ParquetWriter(
-                    os.path.join(prefix, "part-0.parquet"), arrow_schema
-                )
             if batch.schema != arrow_schema:
                 names = set(batch.schema.names)
                 cols = []
@@ -515,12 +517,22 @@ def _task_write(
                     else:
                         cols.append(pa.nulls(batch.num_rows, f.type))
                 batch = pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+            if writer is not None and fed >= _TARGET_FILE_BYTES:
+                writer.close()
+                writer, fed = None, 0
+            if writer is None:
+                os.makedirs(prefix, exist_ok=True)
+                writer = pq.ParquetWriter(
+                    os.path.join(prefix, f"part-{n_files}.parquet"),
+                    arrow_schema,
+                )
+                n_files += 1
             writer.write_batch(batch)
-            n += 1
+            fed += batch.nbytes
     finally:
         if writer is not None:
             writer.close()
-    return _WroteFiles(prefix=prefix, n_files=1 if n else 0)
+    return _WroteFiles(prefix=prefix, n_files=n_files)
 
 
 class _WriterBase:

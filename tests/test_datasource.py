@@ -357,3 +357,28 @@ def test_row_group_skipping(tmp_path):
     assert rows([["k", "notnull", None]]) == 100
     assert rows([["k", "isnull", None]]) == 0
     assert rows([["s", "=", "v050"]]) == 10     # string stats prune too
+
+
+def test_task_write_rolls_files(tmp_path, monkeypatch):
+    """A wide task rolls to a new parquet file at the size target instead
+    of producing one unbounded file."""
+    import aws_medallion_datalake_spark.sources.datasource as ds
+
+    monkeypatch.setattr(ds, "_TARGET_FILE_BYTES", 4096)
+    batches = [
+        pa.RecordBatch.from_pydict(
+            {"k": list(range(i * 100, (i + 1) * 100)),
+             "s": ["x" * 64] * 100}
+        )
+        for i in range(10)
+    ]
+    msg = ds._task_write(iter(batches), str(tmp_path), "k bigint, s string")
+    assert msg.n_files > 1
+    files = sorted(os.listdir(msg.prefix))
+    assert len(files) == msg.n_files
+    import pyarrow.parquet as pq
+
+    total = sum(
+        pq.read_table(os.path.join(msg.prefix, f)).num_rows for f in files
+    )
+    assert total == 1000
