@@ -2915,6 +2915,82 @@ def q_image_phash_neardup(spark, sf_dir):
     )
 
 
+def q_image_quality_filter(spark, sf_dir):
+    """Decoded-pixel quality gating — the image-side twin of doc_quality:
+    Laplacian-variance blur score + brightness/contrast per image
+    (functions/multimodal.image_quality_udf, Arrow-batched numpy — no
+    per-row Python), thresholds classify keep / too_blurry / low_contrast, profiled per
+    fmt (cuts sit inside the synthetic corpus's score range so every
+    class is populated).
+    At 10^12 images this is one map-only decode pass feeding a tiny
+    agg — the standard pretraining quality-filter stage. Non-SQL
+    (engine codec decodes); rows-only check."""
+    from aws_medallion_datalake_spark.functions.multimodal import (
+        image_quality_udf,
+    )
+    from aws_medallion_datalake_spark.sources.generator import generate_images
+
+    df = generate_images(spark, 600, n_files=4)
+    q = df.select("image_id", "fmt", image_quality_udf(F.col("bytes")).alias("q"))
+    q = q.select("image_id", "fmt", "q.blur", "q.brightness", "q.contrast")
+    status = (
+        F.when(F.col("blur").isNull(), "undecodable")
+        .when(F.col("blur") < 2000.0, "too_blurry")
+        .when(F.col("contrast") < 30.0, "low_contrast")
+        .otherwise("keep")
+    )
+    return (
+        q.select("fmt", status.alias("status"), "blur", "contrast")
+        .groupBy("fmt", "status")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("blur"), 2).alias("avg_blur"),
+            F.round(F.avg("contrast"), 2).alias("avg_contrast"),
+        )
+        .orderBy("fmt", "status")
+    )
+
+
+def q_image_dedup_verified(spark, sf_dir):
+    """Candidate→verify image dedup — the two-stage shape a 10^12-image
+    pipeline actually runs: banded Hamming join over the 64-bit phash
+    emits CANDIDATE pairs (bucketed, never all-pairs), then only those
+    pairs decode their payloads for pixel-level PSNR verification
+    (psnr_udf; >= 40 dB = duplicate, the north_rule threshold). The
+    expensive decode runs on O(candidates), not O(n²) — the same
+    economics as MinHash→Jaccard for text. Returns the (hamming,
+    verdict, n_pairs) histogram. Non-SQL (engine codec); rows-only."""
+    from aws_medallion_datalake_spark.functions.hamming import hamming_pairs
+    from aws_medallion_datalake_spark.functions.udfs import psnr_udf
+    from aws_medallion_datalake_spark.sources.generator import generate_images
+
+    df = generate_images(spark, 600, n_files=4).select(
+        "image_id", "phash", "bytes"
+    )
+    pairs = hamming_pairs(
+        df.select("image_id", "phash"), "image_id", "phash", max_distance=8
+    )
+    a = df.select(
+        F.col("image_id").alias("image_id_a"),
+        F.col("bytes").alias("bytes_a"),
+    )
+    b = df.select(
+        F.col("image_id").alias("image_id_b"),
+        F.col("bytes").alias("bytes_b"),
+    )
+    j = pairs.join(a, "image_id_a").join(b, "image_id_b")
+    scored = j.select(
+        "hamming", psnr_udf(F.col("bytes_a"), F.col("bytes_b")).alias("psnr")
+    )
+    verdict = F.when(F.col("psnr") >= 40.0, "duplicate").otherwise("distinct")
+    return (
+        scored.select("hamming", verdict.alias("verdict"))
+        .groupBy("hamming", "verdict")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming", "verdict")
+    )
+
+
 def q_image_dup_caption_audit(spark, sf_dir):
     """Cross-modal dedup audit: pixel-duplicate groups (exact phash
     match) whose CAPTIONS diverge — the training-data contamination case
@@ -4769,6 +4845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_mor_delete": q_image_mor_delete,
         "image_phash_neardup": q_image_phash_neardup,
         "image_dup_caption_audit": q_image_dup_caption_audit,
+        "image_quality_filter": q_image_quality_filter,
+        "image_dedup_verified": q_image_dedup_verified,
         "image_eq_delete": q_image_eq_delete,
         "image_evolution": q_image_evolution,
         "image_rename": q_image_rename,

@@ -89,6 +89,52 @@ def image_features_udf(payload: Column, grid: int = 4) -> Column:
     return _features_udf(grid)(payload)
 
 
+@lru_cache(maxsize=None)
+def _quality_udf():
+    from .codec import decode_image
+
+    @F.pandas_udf("blur double, brightness double, contrast double")
+    def quality(payload: pd.Series) -> pd.DataFrame:
+        rows = []
+        for p in payload:
+            if p is None:
+                rows.append((None, None, None))
+                continue
+            try:
+                img = decode_image(bytes(p)).astype(np.float64)
+            except Exception:
+                rows.append((None, None, None))  # undecodable: filtered on
+                continue
+            g = img.mean(axis=2) if img.ndim == 3 else img
+            # 4-neighbor Laplacian response; its VARIANCE is the classic
+            # blur score (sharp edges → high variance, blur → low)
+            lap = (
+                -4.0 * g[1:-1, 1:-1]
+                + g[:-2, 1:-1]
+                + g[2:, 1:-1]
+                + g[1:-1, :-2]
+                + g[1:-1, 2:]
+            )
+            rows.append(
+                (float(lap.var()), float(g.mean()), float(g.std()))
+            )
+        return pd.DataFrame(
+            rows, columns=["blur", "brightness", "contrast"]
+        )
+
+    return quality
+
+
+def image_quality_udf(payload: Column) -> Column:
+    """Decoded-pixel quality scores for image filtering: Laplacian-
+    variance blur score, mean brightness, std-dev contrast — the
+    image-side analogue of the text quality heuristics. Arrow-batched
+    (numpy slicing per image, no per-row Spark UDF); NULL for
+    undecodable payloads so a quality gate can filter rather than
+    crash."""
+    return _quality_udf()(payload)
+
+
 # ---------------------------------------------------------------------------
 # audio / video plumbing (decode stubbed per brief)
 # ---------------------------------------------------------------------------

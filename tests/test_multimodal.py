@@ -89,3 +89,29 @@ def test_video_frame_sample_fake_decode(spark):
         assert r["w"] == 8 and r["h"] == 8
         img = decode_image(bytes(r["frame_png"]))
         assert img.shape == (8, 8, 3)
+
+
+def test_image_quality_udf(spark):
+    from pyspark.sql import functions as F
+
+    from aws_medallion_datalake_spark.functions.multimodal import (
+        image_quality_udf,
+    )
+    from aws_medallion_datalake_spark.sources.generator import generate_images
+
+    df = generate_images(spark, 40, n_files=2)
+    q = df.select(
+        "image_id", image_quality_udf(F.col("bytes")).alias("q")
+    ).select("image_id", "q.*")
+    rows = q.collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert r["blur"] is not None and r["blur"] > 0
+        assert 0.0 <= r["brightness"] <= 255.0
+        assert r["contrast"] >= 0.0
+    # undecodable payloads yield NULLs, not a crash
+    bad = spark.createDataFrame(
+        [("x", bytearray(b"nope"))], "id string, b binary"
+    )
+    r = bad.select(image_quality_udf(F.col("b")).alias("q")).first()["q"]
+    assert r["blur"] is None
