@@ -312,9 +312,11 @@ def report(best, levels, img_rows, reps):
         for (a, b), st in sorted(pair_stats.items()):
             se = st["stage_efficiency"]
             head = "**" if (a, b) == primary else ""
+            # annotate every pair that meets the bar (not only the
+            # primary) — with clean windows both 1→4 and 2→8 pass
             verdict = (
                 f" (target ≥ 0.8 → {'PASS' if st['efficiency'] >= 0.8 else 'FAIL'})"
-                if (a, b) == primary
+                if (a, b) == primary or st["efficiency"] >= 0.8
                 else ""
             )
             pair_lines.append(
