@@ -32,6 +32,10 @@ DDL completes the surface (each maps to a Table metadata commit):
     eng.sql("ALTER TABLE images SET TBLPROPERTIES ('k' = 'v')")
     eng.sql("ALTER TABLE images SET PARTITION SPEC (fmt, days(ts))")
     eng.sql("DROP TABLE t2 PURGE")
+    eng.sql("CREATE MATERIALIZED VIEW by_fmt LOCATION '/data/mv' AS "
+            "SELECT fmt, count(*) AS n FROM images GROUP BY fmt")
+    eng.sql("REFRESH MATERIALIZED VIEW by_fmt")      # cheapest sound path
+    eng.sql("REFRESH MATERIALIZED VIEW by_fmt FULL")  # forced recompute
 
 Grammar, deliberately small and strict (clear errors beat silent
 misparses; everything here maps 1:1 onto an operator call):
