@@ -652,7 +652,7 @@ def q_token_stats(spark, sf_dir):
     return d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("n_tokens"), 2).cast("decimal(18,2)").alias("avg_tokens"),
+        F.round(F.avg("n_tokens"), 2).cast("double").alias("avg_tokens"),
         F.max("n_tokens").cast("bigint").alias("max_tokens"),
     )
 
@@ -663,7 +663,7 @@ def _sql_token_stats():
                CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
                  AS total_tokens,
                CAST(round(avg(len(string_split(trim(text), ' '))), 2)
-                    AS DECIMAL(18,2)) AS avg_tokens,
+                    AS DOUBLE) AS avg_tokens,
                max(len(string_split(trim(text), ' '))) AS max_tokens
         FROM documents GROUP BY source
     """

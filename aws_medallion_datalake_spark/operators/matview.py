@@ -101,8 +101,12 @@ def parse_mv_query(query: str) -> Tuple[str, list, dict]:
         am = _AGG_RE.match(item)
         if am:
             fn, arg, alias = am.group(1).lower(), am.group(2), am.group(3)
-            if re.match(r"^\s*(avg|mean)\s*\(", item, re.I):
-                raise ValueError("unreachable")  # _AGG_RE excludes avg
+            if re.match(r"\s*distinct\b", arg, re.I):
+                raise ValueError(
+                    f"{item!r} is not self-mergeable: {fn}(DISTINCT …) "
+                    f"partials cannot be combined across refreshes — "
+                    f"define a distinct-key MV instead"
+                )
             combiners[alias] = "sum" if fn == "count" else fn
             continue
         if re.match(r"^\s*(avg|mean|count\s*\(\s*distinct)", item, re.I):
@@ -230,7 +234,14 @@ def refresh_matview(
     cur = int(base.snapshot().snapshot_id)
     if cur == last and not full:
         return None  # explicit FULL still recomputes (repair semantics)
-    chain = base._ancestry_chain(last, cur)
+    # a rolled-back / rewritten base has no last→cur ancestry chain; a
+    # forced FULL refresh must still be able to repair it, so fall back
+    # to a full recompute instead of propagating the chain error
+    try:
+        chain = base._ancestry_chain(last, cur)
+    except (ValueError, KeyError):
+        chain = []
+        full = True
     ops = {s.operation for s in chain}
     mode = "full"
     if not full:

@@ -91,6 +91,7 @@ from .tableformat import (
     FOOTER_SPARK_THRESHOLD,
     RENAMES_PROP,
     Table,
+    TxnAlreadyCommittedError,
     prune_manifest,
     statable_cols,
 )
@@ -353,13 +354,21 @@ def _added_rel_paths(table: Table, from_sid: int, to_sid: int) -> list:
     while sid != from_sid:
         s = by_id.get(sid)
         if s is None:
+            if from_sid == 0:
+                # earliest-mode on a table whose history was expired:
+                # the previously-appended snapshot is the chain root —
+                # expire_snapshots prunes meta.snapshots but leaves the
+                # oldest survivor's parent id dangling
+                break
             raise KeyError(
                 f"snapshot {sid} expired — streaming consumers must keep up "
                 f"with the expiry retention window"
             )
         chain.append(s)
-        if s.parent_snapshot_id is None:
-            if from_sid != 0:
+        if s.parent_snapshot_id is None or (
+            from_sid == 0 and by_id.get(s.parent_snapshot_id) is None
+        ):
+            if from_sid != 0 and s.parent_snapshot_id is None:
                 raise KeyError(
                     f"snapshot {from_sid} is not a live ancestor of {to_sid}"
                 )
@@ -604,10 +613,13 @@ class MedallionArrowWriter(_WriterBase, DataSourceArrowWriter):
 
     def commit(self, messages) -> None:
         table, entries = self._entries(messages)
-        if not len(entries):
-            return  # nothing written: no snapshot (use TRUNCATE to empty)
-        n = int(entries["record_count"].sum())
+        if not len(entries) and not self.overwrite:
+            return  # empty append: no snapshot
+        n = int(entries["record_count"].sum()) if len(entries) else 0
         if self.overwrite:
+            # Spark/Delta semantics: overwriting with an empty frame
+            # truncates the table — an empty "overwrite" snapshot, not a
+            # silent no-op that leaves the old contents visible
             _refuse_mor(table, None, "INSERT OVERWRITE via the Python writer")
             summ = {
                 "stage": "insert_overwrite",
@@ -656,12 +668,20 @@ class MedallionStreamWriter(_WriterBase, DataSourceStreamArrowWriter):
                 self._cleanup(messages)  # replayed batch: exactly-once skip
                 return
         n = int(entries["record_count"].sum())
-        table.commit(
-            "append",
-            entries,
-            {"stage": "stream_append", "rows_inserted": n, "batch_id": batchId},
-            properties={prop: int(batchId)} if prop else None,
-        )
+        try:
+            table.commit(
+                "append",
+                entries,
+                {"stage": "stream_append", "rows_inserted": n,
+                 "batch_id": batchId},
+                properties={prop: int(batchId)} if prop else None,
+                # validated inside the metadata CAS: a concurrent writer
+                # sharing this appId/batchId cannot double-commit even if
+                # both passed the cheap pre-check above
+                txn=(prop, int(batchId)) if prop else None,
+            )
+        except TxnAlreadyCommittedError:
+            self._cleanup(messages)
 
     def abort(self, messages, batchId: int) -> None:
         self._cleanup(messages)

@@ -72,6 +72,13 @@ class CommitConflictError(RuntimeError):
     Iceberg's optimistic-concurrency validation failure."""
 
 
+class TxnAlreadyCommittedError(RuntimeError):
+    """An idempotent (txnAppId, txnVersion) commit found its version
+    already durable at commit time — the Delta transaction-version
+    validation, checked INSIDE the metadata CAS so two concurrent
+    writers replaying the same micro-batch cannot both land it."""
+
+
 SPARK_MANIFEST_THRESHOLD = 2_000_000  # manifest rows before planning moves to Spark
 
 FOOTER_SPARK_THRESHOLD = 512  # files per stats harvest before footer reads fan out
@@ -861,6 +868,7 @@ class Table:
         delta_manifest: bool = False,
         branch: Optional[str] = None,
         max_retries: int = 5,
+        txn: Optional[tuple] = None,
     ) -> Snapshot:
         """Commit with optimistic concurrency (Iceberg's commit protocol):
         the metadata-version CAS (``open(…, "x")``) detects a concurrent
@@ -871,7 +879,15 @@ class Table:
         expire / merge-on-read deletes) encode assumptions about the
         parent's exact file set, so a lost race raises
         :class:`CommitConflictError` and the caller re-plans against the
-        new head (exactly Iceberg's validation failure)."""
+        new head (exactly Iceberg's validation failure).
+
+        ``txn=(property_name, version)``: idempotent-sink validation —
+        the commit aborts with :class:`TxnAlreadyCommittedError` if the
+        named table property is already ≥ ``version`` AT COMMIT TIME.
+        Because the check re-runs inside every CAS attempt against the
+        freshly-read metadata, two concurrent writers replaying the same
+        (txnAppId, batchId) cannot both commit: the loser's CAS fails,
+        its retry re-reads the winner's property, and it aborts."""
         additive = operation == "append" or delta_manifest
         attempts = max(1, max_retries + 1) if additive else 1
         last: Optional[BaseException] = None
@@ -889,6 +905,7 @@ class Table:
                     reuse_manifests=reuse_manifests,
                     delta_manifest=delta_manifest,
                     branch=branch,
+                    txn=txn,
                 )
             except FileExistsError as e:
                 last = e
@@ -915,6 +932,7 @@ class Table:
         reuse_manifests: bool = False,
         delta_manifest: bool = False,
         branch: Optional[str] = None,
+        txn: Optional[tuple] = None,
     ) -> Snapshot:
         """Commit the next snapshot (atomic).
 
@@ -960,6 +978,13 @@ class Table:
         """
         version = self.current_version()
         meta = self.metadata(version)
+        if txn is not None:
+            txn_prop, txn_version = txn
+            if int(meta.properties.get(str(txn_prop), -1)) >= int(txn_version):
+                raise TxnAlreadyCommittedError(
+                    f"{txn_prop}={txn_version} already committed "
+                    f"(duplicate idempotent-sink replay)"
+                )
         if branch is not None:
             if stage_only:
                 raise ValueError("branch commits and stage_only are exclusive")

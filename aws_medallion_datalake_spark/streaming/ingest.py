@@ -29,7 +29,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tableformat import Table
+from ..sources.tableformat import Table, TxnAlreadyCommittedError
 
 
 def _txn_prop(app_id: str) -> str:
@@ -64,16 +64,22 @@ def exactly_once_append(
     if batch_id <= last_committed_batch(table, app_id):
         return False  # replayed after failure → already durable
     entries = table.write_files(batch_df)
-    table.commit(
-        "append",
-        entries,
-        {
-            "stage": "stream-append",
-            "stream_app_id": app_id,
-            "stream_batch_id": int(batch_id),
-        },
-        properties={_txn_prop(app_id): int(batch_id)},
-    )
+    try:
+        table.commit(
+            "append",
+            entries,
+            {
+                "stage": "stream-append",
+                "stream_app_id": app_id,
+                "stream_batch_id": int(batch_id),
+            },
+            properties={_txn_prop(app_id): int(batch_id)},
+            # re-validated inside the metadata CAS: concurrent replays of
+            # the same (appId, batchId) cannot both land
+            txn=(_txn_prop(app_id), int(batch_id)),
+        )
+    except TxnAlreadyCommittedError:
+        return False
     return True
 
 

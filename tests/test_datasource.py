@@ -217,6 +217,28 @@ def test_added_rel_paths_semantics(tmp_path, spark):
     ) == _ids(t.scan(spark))
 
 
+def test_earliest_stream_after_expiry(tmp_path, spark):
+    """startingOffsets=earliest on a table whose history was expired:
+    expire_snapshots prunes meta.snapshots but leaves the oldest
+    survivor's parent id dangling — the walk must treat the oldest LIVE
+    snapshot as the chain root, not raise KeyError."""
+    from aws_medallion_datalake_spark.operators.expire import (
+        expire_snapshots,
+    )
+
+    t = _mk_table(tmp_path, spark, rows=20, n_files=2)
+    t.append(generate_images(spark, 10, n_files=1, start=2000))
+    t.append(generate_images(spark, 10, n_files=1, start=3000))
+    expire_snapshots(t, keep_last=2)
+    meta = t.metadata()
+    oldest = min(s.snapshot_id for s in meta.snapshots)
+    assert t.snapshot(oldest).parent_snapshot_id is not None  # dangling
+    cur = t.snapshot().snapshot_id
+    paths = _added_rel_paths(t, 0, cur)
+    got = _ids(t.read_data(spark, [os.path.join(t.root, p) for p in paths]))
+    assert got == _ids(t.scan(spark))
+
+
 def test_stream_reader_offsets(tmp_path, spark):
     t = _mk_table(tmp_path, spark, rows=20, n_files=1)
     r = MedallionStreamReader({"path": t.root})
@@ -258,6 +280,62 @@ def test_batch_write_validates(tmp_path, spark):
     ok = generate_images(spark, 5, n_files=1, start=100)
     with pytest.raises(Exception, match="CHECK"):
         ok.write.format("medallion").mode("append").save(t.root)
+
+
+def test_empty_overwrite_truncates(tmp_path, spark):
+    """Spark/Delta semantics: overwrite with an empty frame empties the
+    table instead of silently leaving the old contents visible."""
+    register(spark)
+    t = _mk_table(tmp_path, spark, rows=10, n_files=1)
+    empty = spark.createDataFrame([], t.scan(spark).schema)
+    empty.write.format("medallion").mode("overwrite").save(t.root)
+    assert t.scan(spark).count() == 0
+    assert t.snapshot().operation == "overwrite"
+    # empty append stays a no-op (no snapshot)
+    n_snaps = len(t.metadata().snapshots)
+    empty.write.format("medallion").mode("append").save(t.root)
+    assert len(t.metadata().snapshots) == n_snaps
+
+
+def test_txn_validated_inside_commit(tmp_path, spark):
+    """The (txnAppId, batchId) check is atomic with the metadata CAS: a
+    writer that passed the cheap pre-check but finds the version already
+    durable at commit time aborts instead of double-committing."""
+    from aws_medallion_datalake_spark.sources.tableformat import (
+        TxnAlreadyCommittedError,
+    )
+
+    t = _mk_table(tmp_path, spark, rows=0)
+    pdf = generate_images(spark, 6, n_files=1).toPandas()
+    batch = pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+    w = MedallionStreamWriter(
+        {"path": t.root, "txnappid": "race"},
+        spark.createDataFrame([], SCHEMA).schema,
+        False,
+    )
+    msg = _task_write(iter([batch]), t.root, t.metadata().schema_ddl)
+    w.commit([msg], batchId=0)
+    assert t.scan(spark).count() == 6
+    # simulate the loser of a concurrent replay: its pre-check raced and
+    # passed, but the atomic commit-time validation must reject
+    entries = t.collect_stats_for_prefix(
+        None,
+        [_task_write(iter([batch]), t.root, t.metadata().schema_ddl).prefix],
+        method="footer",
+    )
+    with pytest.raises(TxnAlreadyCommittedError):
+        t.commit(
+            "append",
+            entries,
+            {"stage": "stream_append"},
+            properties={"stream.txn.race": 0},
+            txn=("stream.txn.race", 0),
+        )
+    assert t.scan(spark).count() == 6
+    # writer.commit wraps the same race: replay drops its files quietly
+    msg3 = _task_write(iter([batch]), t.root, t.metadata().schema_ddl)
+    w.commit([msg3], batchId=0)
+    assert t.scan(spark).count() == 6 and not os.path.exists(msg3.prefix)
 
 
 def test_stream_writer_exactly_once(tmp_path, spark):

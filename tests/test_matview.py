@@ -65,6 +65,39 @@ def test_parse_mv_query():
         parse_mv_query("SELECT fmt FROM imgs GROUP BY fmt")
     with pytest.raises(ValueError, match="GROUP BY"):
         parse_mv_query("SELECT fmt, w, count(*) AS n FROM imgs GROUP BY fmt")
+    # DISTINCT partials are not self-mergeable: summing distinct counts
+    # across old state + delta would be silently wrong
+    with pytest.raises(ValueError, match="self-mergeable"):
+        parse_mv_query(
+            "SELECT fmt, count(DISTINCT w) AS dw FROM imgs GROUP BY fmt"
+        )
+    with pytest.raises(ValueError, match="self-mergeable"):
+        parse_mv_query(
+            "SELECT fmt, sum( distinct w ) AS sw FROM imgs GROUP BY fmt"
+        )
+
+
+def test_full_refresh_repairs_rolled_back_base(tmp_path, spark):
+    """After a base rollback the last→cur ancestry chain does not exist;
+    refresh must fall back to a full recompute (repair), not raise."""
+    base = _mk_base(tmp_path, spark)
+    keep = int(base.snapshot().snapshot_id)
+    mv = create_matview(
+        spark, "imgs_by_fmt", QUERY, str(tmp_path / "mv"), {"imgs": base}
+    )
+    base.append(generate_images(spark, 25, n_files=1, start=1000))
+    refresh_matview(spark, mv, {"imgs": base})
+    base.rollback(keep)  # MV bookmark now points off the live chain
+    snap = refresh_matview(spark, mv, {"imgs": base}, full=True)
+    assert snap.summary["refresh"] == "full"
+    assert _rows(mv.scan(spark)) == _rows(_recompute(spark, base))
+    # non-forced refresh on a rolled-back base also repairs via full
+    base.append(generate_images(spark, 5, n_files=1, start=9000))
+    base.rollback(keep)
+    mv.set_properties({MV_BASE_SNAPSHOT_PROP: keep + 999})  # off-chain
+    snap = refresh_matview(spark, mv, {"imgs": base})
+    assert snap.summary["refresh"] == "full"
+    assert _rows(mv.scan(spark)) == _rows(_recompute(spark, base))
 
 
 def test_create_and_incremental_refresh(tmp_path, spark):
