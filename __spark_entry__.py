@@ -1613,93 +1613,27 @@ _SEMDEDUP_TAU = 0.35  # prune threshold (margin to nearest pair cos: 8e-6 at sf0
 
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): cluster embeddings, prune
-    within-cluster semantic near-duplicates; report per-cluster
-    kept/pruned counts.
+    within-cluster semantic near-duplicates (cosine ≥ τ vs a lower-id
+    vector); report per-cluster kept/pruned counts.
 
-    Pipeline: (1) k=|labels| centroids (deterministic codebook — the
-    k-means of the published method, seeded from label means);
-    (2) every vector ASSIGNED to its nearest centroid by cosine
-    (rounded to 6 dp; ties → greatest cluster id — deterministic across
-    engines); (3) within each cluster, a vector is PRUNED when a
-    lower-id vector sits at cosine ≥ τ (the published keep-one-per-
-    near-dup-set rule with an id tie-break instead of
-    distance-to-centroid).
-
-    Scale: the centroid table is k×64 rows (broadcast); assignment and
-    pairwise products are dim-exploded joins whose shuffle keys are
-    (i) and (cluster, i) — never an unbucketed all-pairs. At 10^12
-    vectors k grows ~√n so within-cluster pair counts stay bounded
-    (SemDeDup's own regime); the per-cluster all-pairs would then run as
-    a numpy ``applyInPandas`` per cluster, same plan shape.
+    Runs ``operators.semdedup``: broadcast-centroid assignment (one
+    shuffle on vec_id), then a per-cluster numpy ``M @ M.T`` kernel
+    under ``applyInPandas`` (one shuffle on cluster) — the dim-exploded
+    (cluster, i) quadratic self-join is gone. Clusters above
+    ``max_cluster_size`` are deterministically refined in-memory so no
+    task ever holds more than max_cluster_size² pair products; at 10^12
+    vectors total pairwise work is O(n · max_cluster_size), linear in n.
     """
+    from aws_medallion_datalake_spark.operators.semdedup import (
+        assign_clusters,
+        semdedup_flags,
+        semdedup_stats,
+    )
+
     e = _t(spark, sf_dir, "embeddings")
-    dims = e.select(
-        "vec_id", "label", F.posexplode("embedding").alias("i", "v")
-    ).withColumn("v", F.col("v").cast("double"))
-    cent = dims.groupBy(F.col("label").alias("c"), "i").agg(
-        F.avg("v").alias("cv")
-    )
-    percos = (
-        dims.join(F.broadcast(cent), "i")
-        .groupBy("vec_id", "c")
-        .agg(
-            F.sum(F.col("v") * F.col("cv")).alias("dot"),
-            F.sum(F.col("v") * F.col("v")).alias("nv"),
-            F.sum(F.col("cv") * F.col("cv")).alias("nc"),
-        )
-        .select(
-            "vec_id",
-            "c",
-            F.round(
-                F.col("dot") / (F.sqrt("nv") * F.sqrt("nc")), 6
-            ).alias("cos"),
-        )
-    )
-    assign = (
-        percos.groupBy("vec_id")
-        .agg(F.max(F.struct("cos", "c")).alias("m"))
-        .select("vec_id", F.col("m.c").alias("cluster"))
-    )
-    ad = dims.join(assign, "vec_id").select("cluster", "vec_id", "i", "v")
-    x = ad.select(
-        "cluster", F.col("vec_id").alias("u"), "i", F.col("v").alias("vx")
-    )
-    y = ad.select(
-        F.col("cluster").alias("cl2"),
-        F.col("vec_id").alias("w"),
-        F.col("i").alias("i2"),
-        F.col("v").alias("vy"),
-    )
-    pairs = (
-        x.join(
-            y,
-            (F.col("cluster") == F.col("cl2"))
-            & (F.col("i") == F.col("i2"))
-            & (F.col("u") < F.col("w")),
-        )
-        .groupBy("u", "w")
-        .agg(
-            F.sum(F.col("vx") * F.col("vy")).alias("dot"),
-            F.sum(F.col("vx") * F.col("vx")).alias("nx"),
-            F.sum(F.col("vy") * F.col("vy")).alias("ny"),
-        )
-        .select(
-            "w",
-            F.round(
-                F.col("dot") / (F.sqrt("nx") * F.sqrt("ny")), 6
-            ).alias("cos"),
-        )
-    )
-    pruned = pairs.filter(F.col("cos") >= _SEMDEDUP_TAU).select("w").distinct()
-    return (
-        assign.join(pruned, assign.vec_id == pruned.w, "left")
-        .groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.count("w").alias("n_pruned"),
-            F.count(F.when(F.col("w").isNull(), 1)).alias("n_kept"),
-        )
-    )
+    assign = assign_clusters(e)
+    flags = semdedup_flags(e, assign, tau=_SEMDEDUP_TAU)
+    return semdedup_stats(flags)
 
 
 def _sql_semdedup():
