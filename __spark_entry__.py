@@ -1521,77 +1521,149 @@ def _sql_event_sessions():
     """
 
 
-_IVF_K = 8  # coarse centroids (IVF lists); deterministic: vectors 0..K-1
+_IVF_K = 8  # coarse centroids (IVF lists); seeds: vectors 0..K-1
 _IVF_NPROBE = 2
+_IVF_ROUNDS = 2  # Lloyd refinement rounds on the codebook
 
 
-def q_ivf_topk(spark, sf_dir):
-    """IVF approximate nearest neighbor (the inverted-file scale path
-    next to sign-LSH): vectors are assigned to their nearest of K fixed
-    coarse centroids (deterministic — the first K vectors; no training
-    loop), the query probes only its NPROBE nearest lists, and exact
-    cosine runs within those lists. At 10^12 scale the assignment is one
-    broadcast crossJoin + windowed argmin and the probe reads ~NPROBE/K
-    of the data."""
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = e.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
-    )
-    d2 = F.aggregate(
-        F.zip_with(
-            "embedding", "cemb", lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+def _ivf_assign(e, cent):
+    """(vec_id, list_id): nearest centroid by squared L2, distances
+    rounded to 6 dp, ties to the lowest cid — deterministic across
+    engines. cent is K rows → broadcast crossJoin, one windowed argmin."""
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                "embedding", "cemb", lambda x, y: (x.cast("double") - y) ** 2
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        6,
     )
-    pairs = e.crossJoin(F.broadcast(cent)).select("vec_id", "cid", d2.alias("d2"))
+    pairs = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", d2.alias("d2")
+    )
     w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    assign = (
+    return (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("cid").alias("list_id"))
     )
-    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
-    q_lit = F.array(*[F.lit(x) for x in qv])
-    qd2 = F.aggregate(
-        F.zip_with(F.col("cemb"), q_lit, lambda x, y: (x.cast("double") - y) ** 2),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbor with a TRAINED codebook: seeds
+    (vectors 0..K-1) are refined by ``_IVF_ROUNDS`` Lloyd iterations —
+    assign every vector to its nearest centroid (broadcast crossJoin +
+    windowed argmin), recompute centroids as per-list elementwise means
+    (rounded to 6 dp so the DuckDB oracle's unrolled CTEs stay in
+    lockstep) — then the query probes its NPROBE nearest lists and runs
+    exact cosine within them.
+
+    Scale: each Lloyd round is one broadcast join + two hash aggregates
+    over (list_id, i) — k×d rows of centroid state, never collected to
+    the driver; at 10^12 vectors the probe phase reads ~NPROBE/K of the
+    data. The query vector is a broadcast 1-row frame (no ``.head()``
+    driver job mid-pipeline)."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cemb"),
+    )
+    for _ in range(_IVF_ROUNDS):
+        assign = _ivf_assign(e, cent)
+        cent = (
+            e.join(assign, "vec_id")
+            .select("list_id", F.posexplode("embedding").alias("i", "v"))
+            .groupBy("list_id", "i")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+            .groupBy("list_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("i", "cv"))).alias("s")
+            )
+            .select(
+                F.col("list_id").alias("cid"),
+                F.transform("s", lambda st: st["cv"]).alias("cemb"),
+            )
+        )
+    assign = _ivf_assign(e, cent)
+    qrow = e.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qemb")
+    )
+    qd2 = F.round(
+        F.aggregate(
+            F.zip_with("cemb", "qemb", lambda x, y: (x - y) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
     )
     probe = (
-        cent.select("cid", qd2.alias("d2")).orderBy("d2", "cid").limit(_IVF_NPROBE)
+        cent.crossJoin(F.broadcast(qrow))
+        .select("cid", qd2.alias("d2"))
+        .orderBy("d2", "cid")
+        .limit(_IVF_NPROBE)
     )
     cand = assign.join(
         F.broadcast(probe.select(F.col("cid").alias("list_id"))), "list_id"
     )
     return (
         e.join(cand, "vec_id")
-        .select("vec_id", F.round(_cosine(F.col("embedding"), q_lit), 4).alias("cos_sim"))
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            F.round(_cosine(F.col("embedding"), F.col("qemb")), 4).alias(
+                "cos_sim"
+            ),
+        )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
 
 
 def _sql_ivf_topk():
+    # the Lloyd rounds of q_ivf_topk, unrolled as CTE pairs (assign_r,
+    # cent_{r+1}); distances and centroid means rounded to 6 dp on both
+    # engines so the trained codebooks are bit-identical
+    assign_tpl = """
+        {a} AS (
+            SELECT vec_id, cid AS list_id FROM (
+                SELECT d.vec_id, d.cid,
+                       row_number() OVER (PARTITION BY d.vec_id
+                                          ORDER BY d.d2, d.cid) AS rn
+                FROM (
+                    SELECT e.vec_id, c.cid,
+                           round(sum((e.v - c.cv) * (e.v - c.cv)), 6) AS d2
+                    FROM e JOIN {c} c USING (i) GROUP BY 1, 2
+                ) d
+            ) WHERE rn = 1
+        )"""
+    cent_tpl = """
+        {cnext} AS (
+            SELECT a.list_id AS cid, e.i, round(avg(e.v), 6) AS cv
+            FROM e JOIN {a} a USING (vec_id) GROUP BY 1, 2
+        )"""
+    ctes = []
+    c = "c0"
+    for r in range(_IVF_ROUNDS):
+        a = f"a{r}"
+        ctes.append(assign_tpl.format(a=a, c=c))
+        c_next = f"c{r + 1}"
+        ctes.append(cent_tpl.format(cnext=c_next, a=a))
+        c = c_next
+    ctes.append(assign_tpl.format(a="assign", c=c))
     return f"""
         WITH e AS (
             SELECT vec_id, i, embedding[i]::DOUBLE AS v
             FROM embeddings, generate_series(1, 64) g(i)
-        ), cent AS (
-            SELECT vec_id AS cid, i, v AS cv FROM e WHERE vec_id < {_IVF_K}
-        ), dists AS (
-            SELECT e.vec_id, c.cid, sum((e.v - c.cv) * (e.v - c.cv)) AS d2
-            FROM e JOIN cent c USING (i) GROUP BY 1, 2
-        ), assign AS (
-            SELECT vec_id, cid AS list_id FROM (
-                SELECT vec_id, cid,
-                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-                FROM dists
-            ) WHERE rn = 1
-        ), q AS (SELECT i, v FROM e WHERE vec_id = 0),
+        ), c0 AS (
+            SELECT vec_id::INT AS cid, i, v AS cv FROM e
+            WHERE vec_id < {_IVF_K}
+        ), {",".join(ctes)},
+        q AS (SELECT i, v FROM e WHERE vec_id = 0),
         qd AS (
-            SELECT c.cid, sum((q.v - c.cv) * (q.v - c.cv)) AS d2
-            FROM q JOIN cent c USING (i) GROUP BY 1
+            SELECT c.cid, round(sum((q.v - c.cv) * (q.v - c.cv)), 6) AS d2
+            FROM q JOIN {c} c USING (i) GROUP BY 1
         ), probe AS (SELECT cid FROM qd ORDER BY d2, cid LIMIT {_IVF_NPROBE}),
         cand AS (
             SELECT a.vec_id FROM assign a JOIN probe p ON a.list_id = p.cid
@@ -3087,21 +3159,50 @@ def _sql_rank_topn_per_group():
 
 def q_moving_avg(spark, sf_dir):
     """Sliding-frame window aggregate (SURVEY §2.5): 7-day moving
-    average of daily order revenue. ROWS BETWEEN framing over one date
-    shuffle — the trend-smoothing query every dashboard runs; at scale
-    the frame is per-partition state, never a self-join."""
+    average of daily order revenue.
+
+    The window is PARTITIONED BY YEAR with the previous year's last six
+    rows carried into each partition as frame-only padding (standard
+    overlap-padding for cross-partition sliding frames), so no
+    single-partition WindowExec ever materializes: at 10^12 orders the
+    daily rollup is bounded (~10^4 rows) but the plan shape stays
+    parallel and the WindowExec single-partition warning is gone. Carried
+    rows feed frames only and are dropped from the output."""
     o = _t(spark, sf_dir, "orders")
     from pyspark.sql import Window
 
     daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
         F.round(F.sum("o_totalprice"), 2).alias("revenue")
     )
-    w = Window.orderBy("d").rowsBetween(-6, 0)
-    return daily.select(
-        "d",
-        "revenue",
-        F.round(F.avg("revenue").over(w), 2).alias("ma7"),
-    ).orderBy("d").limit(200)
+    base = daily.select(
+        F.year("d").alias("part"), "d", "revenue", F.lit(False).alias("carry")
+    )
+    wy = Window.partitionBy(F.year("d")).orderBy(F.desc("d"))
+    pad = (
+        daily.withColumn("rn", F.row_number().over(wy))
+        .filter(F.col("rn") <= 6)
+        .select(
+            (F.year("d") + 1).alias("part"),
+            "d",
+            "revenue",
+            F.lit(True).alias("carry"),
+        )
+    )
+    w = Window.partitionBy("part").orderBy("d").rowsBetween(-6, 0)
+    return (
+        base.unionByName(pad)
+        .select(
+            "part",
+            "d",
+            "revenue",
+            F.round(F.avg("revenue").over(w), 2).alias("ma7"),
+            "carry",
+        )
+        .filter(~F.col("carry"))
+        .select("d", "revenue", "ma7")
+        .orderBy("d")
+        .limit(200)
+    )
 
 
 def _sql_moving_avg():
