@@ -75,6 +75,13 @@ class RunCheckpoint:
     def stage_done(self, stage: str, metrics: dict) -> None:
         self.record("stage_done", stage, {"metrics": metrics})
 
+    def stage_failed(self, stage: str, failure: dict) -> None:
+        """Record a structured per-stage failure (the reference pipeline's
+        error-notification payload, persisted instead of emailed —
+        scripts/error_handler/lambda_error_handler.py). Failure records
+        never mark the stage done: a resume re-runs it."""
+        self.record("stage_failed", stage, {"failure": failure})
+
     # ---- read / resume ----
 
     def is_unit_done(self, stage: str, unit: str) -> bool:
@@ -100,3 +107,6 @@ class RunCheckpoint:
     def units_done(self, stage: str) -> list:
         pre = f"{stage}/"
         return [r for r in self._records if r["type"] == "unit_done" and r["key"].startswith(pre)]
+
+    def failures(self) -> list:
+        return [r for r in self._records if r["type"] == "stage_failed"]

@@ -33,6 +33,40 @@ from .expire import expire_snapshots
 from .merge import merge_into
 
 
+def detect_layer(*hints: str) -> str:
+    """BRONZE/SILVER/GOLD/UNKNOWN from substring hints (table root, stage
+    name) — the reference error handler's layer detection applied to
+    paths instead of Glue job names
+    (scripts/error_handler/lambda_error_handler.py:35-46)."""
+    joined = " ".join(h.lower() for h in hints if h)
+    for layer in ("bronze", "silver", "gold"):
+        if layer in joined:
+            return layer.upper()
+    return "UNKNOWN"
+
+
+def render_failure(stage: str, exc: BaseException, *, table_root: str,
+                   checkpoint_path: str) -> dict:
+    """Structured per-stage failure summary — the same fields the
+    reference renders into its notification email (timestamp, layer,
+    error type, cause, execution handle, remediation hint;
+    scripts/error_handler/lambda_error_handler.py:49-60) as a plain
+    dict the run checkpoint and any ``on_stage_failure`` hook can carry."""
+    return {
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "stage": stage,
+        "layer": detect_layer(table_root, stage),
+        "error": type(exc).__name__,
+        "cause": str(exc)[:2000],
+        "table_root": table_root,
+        "checkpoint": checkpoint_path,
+        "action": (
+            "inspect driver logs, fix the cause, and re-run with the same "
+            "--checkpoint to resume; completed stages are skipped"
+        ),
+    }
+
+
 def run_maintenance(
     table: Table,
     spark: SparkSession,
@@ -46,6 +80,7 @@ def run_maintenance(
     cluster_mode: str = "auto",
     keep_last: int = 1,
     compaction_parallelism: int = 8,
+    on_stage_failure=None,
 ) -> dict:
     """Run (or resume) a maintenance pipeline; returns per-stage metrics.
 
@@ -54,6 +89,13 @@ def run_maintenance(
     fragmented one compacts, a scattered one clusters, pending
     merge-on-read deletes materialize first. The chosen plan and its
     reasons land in the result under ``"auto_plan"``.
+
+    ``on_stage_failure``: optional callable receiving the structured
+    failure dict (timestamp, stage, layer, error, cause, checkpoint) the
+    reference pipeline would email on a per-stage Catch — wire it to any
+    notification channel. The record is also persisted to the run
+    checkpoint and printed to stderr; the exception then propagates
+    (fail-stop), and a re-run with the same checkpoint resumes.
     """
     cp = RunCheckpoint(checkpoint_path)
     out: dict = {}
@@ -71,96 +113,115 @@ def run_maintenance(
             out[stage] = {"skipped": "resumed", **(cp.stage_metrics(stage) or {})}
             continue
         t0 = time.time()
-        if stage == "compact":
-            snap = compact(
-                table,
-                spark,
-                target_file_size_bytes=target_file_size_bytes,
-                parallelism=compaction_parallelism,
-                checkpoint=cp,
-            )
-            metrics = dict(snap.summary, snapshot_id=snap.snapshot_id) if snap else {"noop": True}
-            if snap is None:
-                cp.stage_done("compact", metrics)
-        elif stage == "cluster":
-            snap = cluster(
-                table,
-                spark,
-                curve=curve,
-                mode=cluster_mode,
-                target_file_size_bytes=target_file_size_bytes,
-                checkpoint=cp,
-            )
-            metrics = (
-                dict(snap.summary, snapshot_id=snap.snapshot_id)
-                if snap
-                else {"noop": "already clustered"}
-            )
-            if snap is None:
-                cp.stage_done("cluster", metrics)
-        elif stage == "merge":
-            if merge_source is None:
-                metrics = {"noop": "no merge source"}
-            else:
-                snap = merge_into(
-                    table, spark, merge_source, target_file_size_bytes=target_file_size_bytes
-                )
-                metrics = dict(snap.summary, snapshot_id=snap.snapshot_id)
-            cp.stage_done("merge", metrics)
-        elif stage == "delete":
-            if not delete_predicates:
-                metrics = {"noop": "no delete predicates"}
-            else:
-                snap = delete_where(
+        try:
+            if stage == "compact":
+                snap = compact(
                     table,
                     spark,
-                    delete_predicates,
                     target_file_size_bytes=target_file_size_bytes,
+                    parallelism=compaction_parallelism,
+                    checkpoint=cp,
+                )
+                metrics = dict(snap.summary, snapshot_id=snap.snapshot_id) if snap else {"noop": True}
+                if snap is None:
+                    cp.stage_done("compact", metrics)
+            elif stage == "cluster":
+                snap = cluster(
+                    table,
+                    spark,
+                    curve=curve,
+                    mode=cluster_mode,
+                    target_file_size_bytes=target_file_size_bytes,
+                    checkpoint=cp,
                 )
                 metrics = (
                     dict(snap.summary, snapshot_id=snap.snapshot_id)
                     if snap
-                    else {"noop": "no matching rows"}
+                    else {"noop": "already clustered"}
                 )
-            cp.stage_done("delete", metrics)
-        elif stage == "apply_deletes":
-            # materialize pending merge-on-read deletes before any stage
-            # that rewrites whole files (compact/cluster/merge refuse to
-            # run over a pending delete set)
-            snap = apply_deletes(
-                table, spark, target_file_size_bytes=target_file_size_bytes
-            )
-            metrics = (
-                dict(snap.summary, snapshot_id=snap.snapshot_id)
-                if snap
-                else {"noop": "no pending deletes"}
-            )
-            cp.stage_done("apply_deletes", metrics)
-        elif stage == "rewrite_manifests":
-            # physical metadata maintenance: compact the append chain's
-            # delta-manifest list back to one manifest (north_rule's
-            # "manifest rewrite"); a no-op when the list is already short
-            snap = table.rewrite_manifests(spark=spark)
-            metrics = (
-                dict(snap.summary, snapshot_id=snap.snapshot_id)
-                if snap
-                else {"noop": "manifest list already compact"}
-            )
-            cp.stage_done("rewrite_manifests", metrics)
-        elif stage == "expire":
-            metrics = expire_snapshots(table, spark=spark, keep_last=keep_last)
-            cp.stage_done("expire", metrics)
-        elif stage == "analyze":
-            from .analyze import analyze_table
+                if snap is None:
+                    cp.stage_done("cluster", metrics)
+            elif stage == "merge":
+                if merge_source is None:
+                    metrics = {"noop": "no merge source"}
+                else:
+                    snap = merge_into(
+                        table, spark, merge_source, target_file_size_bytes=target_file_size_bytes
+                    )
+                    metrics = dict(snap.summary, snapshot_id=snap.snapshot_id)
+                cp.stage_done("merge", metrics)
+            elif stage == "delete":
+                if not delete_predicates:
+                    metrics = {"noop": "no delete predicates"}
+                else:
+                    snap = delete_where(
+                        table,
+                        spark,
+                        delete_predicates,
+                        target_file_size_bytes=target_file_size_bytes,
+                    )
+                    metrics = (
+                        dict(snap.summary, snapshot_id=snap.snapshot_id)
+                        if snap
+                        else {"noop": "no matching rows"}
+                    )
+                cp.stage_done("delete", metrics)
+            elif stage == "apply_deletes":
+                # materialize pending merge-on-read deletes before any stage
+                # that rewrites whole files (compact/cluster/merge refuse to
+                # run over a pending delete set)
+                snap = apply_deletes(
+                    table, spark, target_file_size_bytes=target_file_size_bytes
+                )
+                metrics = (
+                    dict(snap.summary, snapshot_id=snap.snapshot_id)
+                    if snap
+                    else {"noop": "no pending deletes"}
+                )
+                cp.stage_done("apply_deletes", metrics)
+            elif stage == "rewrite_manifests":
+                # physical metadata maintenance: compact the append chain's
+                # delta-manifest list back to one manifest (north_rule's
+                # "manifest rewrite"); a no-op when the list is already short
+                snap = table.rewrite_manifests(spark=spark)
+                metrics = (
+                    dict(snap.summary, snapshot_id=snap.snapshot_id)
+                    if snap
+                    else {"noop": "manifest list already compact"}
+                )
+                cp.stage_done("rewrite_manifests", metrics)
+            elif stage == "expire":
+                metrics = expire_snapshots(table, spark=spark, keep_last=keep_last)
+                cp.stage_done("expire", metrics)
+            elif stage == "analyze":
+                from .analyze import analyze_table
 
-            stats = analyze_table(table, spark, tune_bloom=True)
-            metrics = {
-                "columns_analyzed": len(stats),
-                "snapshot_id": table.metadata().current_snapshot_id,
-            }
-            cp.stage_done("analyze", metrics)
-        else:
-            raise ValueError(f"unknown stage {stage!r}")
+                stats = analyze_table(table, spark, tune_bloom=True)
+                metrics = {
+                    "columns_analyzed": len(stats),
+                    "snapshot_id": table.metadata().current_snapshot_id,
+                }
+                cp.stage_done("analyze", metrics)
+            else:
+                raise ValueError(f"unknown stage {stage!r}")
+        except Exception as exc:
+            # reference T7 parity: per-stage failure notification —
+            # a structured record lands in the checkpoint and stderr,
+            # the optional hook fires, and the exception still stops
+            # the run (fail-stop; resume skips completed stages)
+            failure = render_failure(
+                stage, exc, table_root=table.root,
+                checkpoint_path=checkpoint_path,
+            )
+            cp.stage_failed(stage, failure)
+            import json as _json
+            import sys as _sys
+
+            print(_json.dumps({"maintenance_failure": failure}),
+                  file=_sys.stderr)
+            if on_stage_failure is not None:
+                on_stage_failure(failure)
+            raise
         metrics["wall_sec"] = round(time.time() - t0, 3)
         out[stage] = metrics
     return out

@@ -769,3 +769,54 @@ def test_rollback_restores_and_branches(tmp_path, spark):
     assert t.snapshot(sid3).parent_snapshot_id == sid1
     assert t.scan(spark).count() == rows_v1 + 60
     assert t.scan(spark, snapshot_id=sid2).count() == rows_v1 + 120
+
+
+def test_stage_failure_notification_and_resume(tmp_path, spark, monkeypatch):
+    """T7 parity: a failing stage emits a structured failure record (to
+    the checkpoint and the on_stage_failure hook) with layer detection,
+    the exception propagates, and a resume re-runs the failed stage."""
+    import aws_medallion_datalake_spark.operators.run as run_mod
+    from aws_medallion_datalake_spark.operators.run import (
+        detect_layer,
+        render_failure,
+    )
+
+    assert detect_layer("/data/silver/images", "compact") == "SILVER"
+    assert detect_layer("/data/x", "gold_rollup") == "GOLD"
+    assert detect_layer("/data/x", "compact") == "UNKNOWN"
+
+    t = make_table(tmp_path, spark, n=120, n_files=6)
+    cp_path = str(tmp_path / "fail.jsonl")
+    seen = []
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic compaction failure")
+
+    monkeypatch.setattr(run_mod, "compact", boom)
+    with pytest.raises(RuntimeError, match="synthetic"):
+        run_maintenance(
+            t, spark, checkpoint_path=cp_path,
+            stages=("compact", "expire"),
+            target_file_size_bytes=TARGET,
+            on_stage_failure=seen.append,
+        )
+    assert len(seen) == 1
+    f = seen[0]
+    assert f["stage"] == "compact" and f["error"] == "RuntimeError"
+    assert "synthetic compaction failure" in f["cause"]
+    assert f["checkpoint"] == cp_path and f["layer"] in ("UNKNOWN", "BRONZE")
+    cp = RunCheckpoint(cp_path)
+    assert cp.failures() and not cp.is_stage_done("compact")
+    # expire never ran (fail-stop ordering)
+    assert not cp.is_stage_done("expire")
+    # resume with the real operator re-runs the failed stage + the rest
+    monkeypatch.undo()
+    out = run_maintenance(
+        t, spark, checkpoint_path=cp_path, stages=("compact", "expire"),
+        target_file_size_bytes=TARGET,
+    )
+    assert "skipped" not in out["compact"] and "expire" in out
+    # failure record is structured in render_failure too
+    r = render_failure("merge", ValueError("x"), table_root="/g/gold/t",
+                       checkpoint_path="/c")
+    assert r["layer"] == "GOLD" and r["error"] == "ValueError"
