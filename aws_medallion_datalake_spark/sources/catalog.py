@@ -120,10 +120,50 @@ class Catalog(MutableMapping):
             f"catalog mutation still conflicting after {max_retries} attempts"
         )
 
+    # ---------- named queries ----------
+    # Stored in the same versioned JSON under a reserved key prefix —
+    # Athena's workgroup named queries (reference terraform/athena.tf:31-53)
+    # as catalog state: durable, CAS-consistent, visible to any session
+    # opening the catalog directory.
+
+    _NQ_PREFIX = "named_query:"
+
+    def set_named_query(self, name: str, sql: str, *,
+                        replace: bool = False) -> None:
+        key = self._NQ_PREFIX + name
+
+        def put(entries: dict) -> None:
+            if not replace and key in entries:
+                raise KeyError(f"named query {name!r} already exists")
+            entries[key] = sql
+
+        self._mutate(put)
+
+    def get_named_query(self, name: str) -> str:
+        raw = self._read(self._current_version())
+        return raw[self._NQ_PREFIX + name]
+
+    def drop_named_query(self, name: str) -> None:
+        def drop(entries: dict) -> None:
+            del entries[self._NQ_PREFIX + name]
+
+        self._mutate(drop)
+
+    def named_queries(self) -> dict:
+        p = self._NQ_PREFIX
+        raw = self._read(self._current_version())
+        return {
+            k[len(p):]: v for k, v in sorted(raw.items())
+            if k.startswith(p)
+        }
+
     # ---------- MutableMapping ----------
 
     def _entries(self) -> dict:
-        return self._read(self._current_version())
+        ents = self._read(self._current_version())
+        return {
+            k: v for k, v in ents.items() if not k.startswith(self._NQ_PREFIX)
+        }
 
     def __getitem__(self, name: str) -> Table:
         root = self._entries()[name]

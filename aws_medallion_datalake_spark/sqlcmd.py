@@ -37,6 +37,17 @@ DDL completes the surface (each maps to a Table metadata commit):
     eng.sql("REFRESH MATERIALIZED VIEW by_fmt")      # cheapest sound path
     eng.sql("REFRESH MATERIALIZED VIEW by_fmt FULL")  # forced recompute
 
+Named queries (the Athena workgroup named-query surface,
+reference terraform/athena.tf:31-53) — durable when the catalog is a
+file-backed :class:`~.sources.catalog.Catalog`, session-local otherwise:
+
+    eng.sql("CREATE NAMED QUERY daily AS SELECT fmt, count(*) AS n "
+            "FROM images GROUP BY fmt")
+    eng.sql("EXECUTE daily")                  # runs the stored statement
+    eng.sql("SHOW NAMED QUERIES")
+    eng.sql("CREATE OR REPLACE NAMED QUERY daily AS SELECT 1 AS one")
+    eng.sql("DROP NAMED QUERY daily")
+
 Grammar, deliberately small and strict (clear errors beat silent
 misparses; everything here maps 1:1 onto an operator call):
 
@@ -209,9 +220,56 @@ class EngineSQL:
     def __init__(self, spark: SparkSession, tables: Dict[str, Table]):
         self.spark = spark
         self.tables = dict(tables) if isinstance(tables, dict) else tables
+        # named-query registry (Athena workgroup named queries,
+        # reference terraform/athena.tf:31-53): durable through a
+        # file-backed Catalog, session-local otherwise
+        self._named_local: Dict[str, str] = {}
         from .functions.udfs import register_sql_functions
 
         register_sql_functions(spark)  # phash64/morton64/psnr/… in SQL
+
+    # ---------- named queries ----------
+
+    def _nq_catalog(self):
+        return self.tables if hasattr(self.tables, "set_named_query") else None
+
+    def _nq_all(self) -> Dict[str, str]:
+        cat = self._nq_catalog()
+        return cat.named_queries() if cat else dict(self._named_local)
+
+    def _nq_put(self, name: str, sql: str, replace: bool) -> None:
+        cat = self._nq_catalog()
+        if cat:
+            try:
+                cat.set_named_query(name, sql, replace=replace)
+            except KeyError as e:
+                raise SQLCommandError(str(e)) from e
+        else:
+            if not replace and name in self._named_local:
+                raise SQLCommandError(f"named query {name!r} already exists")
+            self._named_local[name] = sql
+
+    def _nq_drop(self, name: str) -> None:
+        cat = self._nq_catalog()
+        try:
+            if cat:
+                cat.drop_named_query(name)
+            else:
+                del self._named_local[name]
+        except KeyError as e:
+            raise SQLCommandError(f"unknown named query {name!r}") from e
+
+    def _execute_named(self, s: str) -> DataFrame:
+        m = re.match(rf"EXECUTE\s+({_ID})$", s, re.I)
+        if not m:
+            raise SQLCommandError("expected: EXECUTE <named query>")
+        name = m.group(1)
+        queries = self._nq_all()
+        if name not in queries:
+            raise SQLCommandError(
+                f"unknown named query {name!r}; have {sorted(queries)}"
+            )
+        return self.sql(queries[name])
 
     def _table(self, name: str) -> Table:
         if name not in self.tables:
@@ -274,6 +332,8 @@ class EngineSQL:
             return self._copy(s)
         if head == "REFRESH":
             return self._refresh_mv(s)
+        if head == "EXECUTE":
+            return self._execute_named(s)
         # metadata-only COUNT(*): answered from manifest record counts
         # (O(manifest), zero data IO) when the WHERE is absent or fully
         # provable from file stats; any unprovable shape falls through
@@ -996,9 +1056,14 @@ class EngineSQL:
             return self.spark.createDataFrame(
                 [(n,) for n in sorted(self.tables)], "table string"
             )
+        if re.match(r"SHOW\s+NAMED\s+QUERIES$", s, re.I):
+            rows = [(k, v) for k, v in sorted(self._nq_all().items())]
+            return self.spark.createDataFrame(
+                rows or [], "name string, query string"
+            )
         raise SQLCommandError(
             "expected: SHOW TABLES | SHOW CREATE TABLE <table> | "
-            "SHOW TBLPROPERTIES <table>"
+            "SHOW TBLPROPERTIES <table> | SHOW NAMED QUERIES"
         )
 
     def _analyze(self, s: str) -> DataFrame:
@@ -1064,6 +1129,18 @@ class EngineSQL:
         required. CTAS derives the schema from the query; partition
         items accept hidden-partitioning transforms (``bucket(8, id)``,
         ``days(ts)``) exactly like ``Table.create``."""
+        nq = re.match(
+            rf"CREATE\s+(OR\s+REPLACE\s+)?NAMED\s+QUERY\s+({_ID})\s+AS\s+"
+            rf"(.+)$",
+            s, re.I | re.S,
+        )
+        if nq:
+            replace, name, body = bool(nq.group(1)), nq.group(2), nq.group(3)
+            self._nq_put(name, body.strip(), replace)
+            return self._ddl_df(
+                "CREATE NAMED QUERY", name,
+                "replaced" if replace else "created",
+            )
         mv = re.match(
             rf"CREATE\s+MATERIALIZED\s+VIEW\s+({_ID})\s+LOCATION\s+"
             rf"'([^']+)'\s+AS\s+(.+)$",
@@ -1311,13 +1388,18 @@ class EngineSQL:
         catalog (and its temp view); PURGE also deletes the table
         directory from storage. Without PURGE the table data is
         untouched and re-attachable via ``Table.load``."""
+        nq = re.match(rf"DROP\s+NAMED\s+QUERY\s+({_ID})$", s, re.I)
+        if nq:
+            self._nq_drop(nq.group(1))
+            return self._ddl_df("DROP NAMED QUERY", nq.group(1), "dropped")
         m = re.match(
             rf"DROP\s+(?:TABLE|MATERIALIZED\s+VIEW)\s+({_ID})(\s+PURGE)?$",
             s, re.I,
         )
         if not m:
             raise SQLCommandError(
-                "expected: DROP TABLE|MATERIALIZED VIEW <name> [PURGE]"
+                "expected: DROP TABLE|MATERIALIZED VIEW <name> [PURGE] | "
+                "DROP NAMED QUERY <name>"
             )
         name, purge = m.group(1), bool(m.group(2))
         t = self._table(name)

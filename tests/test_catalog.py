@@ -185,3 +185,43 @@ def test_write_order_ddl_validation(tmp_path, spark):
     assert t.metadata().properties["sort.order"] == "ingest_date, image_id"
     cluster(t, spark, target_file_size_bytes=1 << 26)  # falls back to default curve
     assert t.scan(spark).count() == 30
+
+
+def test_named_queries_durable_roundtrip(tmp_path, spark):
+    """CREATE/EXECUTE/SHOW/DROP NAMED QUERY — the Athena workgroup
+    named-query surface — persisted through the file catalog and
+    visible from a second session."""
+    from aws_medallion_datalake_spark.sqlcmd import SQLCommandError
+
+    cat_dir = str(tmp_path / "cat")
+    cat = Catalog(cat_dir)
+    t = _mk_table(tmp_path, spark, "imgs", n=25)
+    cat["imgs"] = t
+    eng = EngineSQL(spark, cat)
+    r = eng.sql(
+        "CREATE NAMED QUERY fmt_counts AS "
+        "SELECT fmt, count(*) AS n FROM imgs GROUP BY fmt"
+    ).first()
+    assert r["operation"] == "CREATE NAMED QUERY"
+    got = eng.sql("EXECUTE fmt_counts")
+    assert got.agg({"n": "sum"}).first()[0] == 25
+    # durable: a FRESH session over the same catalog dir executes it
+    eng2 = EngineSQL(spark, Catalog(cat_dir))
+    assert eng2.sql("EXECUTE fmt_counts").agg({"n": "sum"}).first()[0] == 25
+    names = [x["name"] for x in eng2.sql("SHOW NAMED QUERIES").collect()]
+    assert names == ["fmt_counts"]
+    # named queries never shadow the table mapping
+    assert list(Catalog(cat_dir)) == ["imgs"]
+    # duplicate create refused; OR REPLACE allowed
+    with pytest.raises(SQLCommandError, match="already exists"):
+        eng2.sql("CREATE NAMED QUERY fmt_counts AS SELECT 1 AS one")
+    eng2.sql("CREATE OR REPLACE NAMED QUERY fmt_counts AS SELECT 1 AS one")
+    assert eng.sql("EXECUTE fmt_counts").first()["one"] == 1
+    eng.sql("DROP NAMED QUERY fmt_counts")
+    with pytest.raises(SQLCommandError, match="unknown named query"):
+        eng2.sql("EXECUTE fmt_counts")
+    # session-local fallback for a plain-dict catalog
+    eng3 = EngineSQL(spark, {"imgs": t})
+    eng3.sql("CREATE NAMED QUERY q AS SELECT count(*) AS n FROM imgs")
+    assert eng3.sql("EXECUTE q").first()["n"] == 25
+    eng3.sql("DROP NAMED QUERY q")
