@@ -156,3 +156,88 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0.0:
         return float("inf")
     return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+# ---------------------------------------------------------------------------
+# audio / video containers (same from-scratch pattern as the image codecs:
+# real self-describing formats on numpy + zlib, no external media libs)
+# ---------------------------------------------------------------------------
+
+_AUDIO_MAGIC = b"AUD1"  # 16-bit PCM, zlib-framed (a WAV-like container)
+_VIDEO_MAGIC = b"VID1"  # raw RGB frame stack, zlib-framed
+
+
+def encode_audio(wave: np.ndarray, sample_rate: int) -> bytes:
+    """Encode a float waveform in [-1, 1] as 16-bit PCM under ``AUD1``.
+
+    Genuinely lossy (16-bit quantization, max abs error 1/32767 ≈
+    −90 dB) — the audio analogue of ``encode_lossy``; byte-stable for a
+    given input (fixed zlib level)."""
+    pcm = np.clip(np.round(wave.astype(np.float64) * 32767.0), -32768, 32767)
+    pcm = pcm.astype("<i2")
+    payload = zlib.compress(pcm.tobytes(), _ZLEVEL)
+    return (
+        _AUDIO_MAGIC
+        + struct.pack(">IQ", int(sample_rate), int(pcm.size))
+        + payload
+    )
+
+
+def decode_audio(data: bytes) -> tuple:
+    """→ (float32 waveform in [-1, 1], sample_rate). Raises on bad magic."""
+    if data[:4] != _AUDIO_MAGIC:
+        raise ValueError("not an AUD1 payload")
+    sample_rate, n = struct.unpack(">IQ", data[4:16])
+    pcm = np.frombuffer(zlib.decompress(data[16:]), dtype="<i2")
+    if pcm.size != n:
+        raise ValueError(f"AUD1 length mismatch: {pcm.size} != {n}")
+    return (pcm.astype(np.float32) / 32767.0), int(sample_rate)
+
+
+def render_audio(seed: int, n_samples: int, sample_rate: int = 16000) -> np.ndarray:
+    """Deterministic synthetic waveform: two seed-keyed sine partials +
+    hash noise, in [-1, 1] float32 — any worker regenerates identical
+    samples for (seed, n_samples, sample_rate)."""
+    t = np.arange(n_samples, dtype=np.float64) / float(sample_rate)
+    f1 = 110.0 * (1 + (seed % 13))
+    f2 = 55.0 * (1 + ((seed // 13) % 29))
+    v = (np.arange(n_samples, dtype=np.uint64)
+         * np.uint64(0x9E3779B97F4A7C15)
+         + np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+    v ^= v >> np.uint64(30)
+    v *= np.uint64(0xBF58476D1CE4E5B9)
+    v ^= v >> np.uint64(27)
+    noise = ((v & np.uint64(0xFFFF)).astype(np.float64) / 65535.0 - 0.5) * 0.05
+    wave = 0.6 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t)
+    return np.clip(wave + noise, -1.0, 1.0).astype(np.float32)
+
+
+def encode_video(frames: np.ndarray, fps: int = 8) -> bytes:
+    """Encode an (n, h, w, 3) uint8 frame stack under ``VID1``
+    (lossless raw RGB, zlib-framed — a from-scratch MJPEG-shaped
+    container with intra-only frames)."""
+    n, h, w, c = frames.shape
+    assert c == 3 and frames.dtype == np.uint8
+    payload = zlib.compress(frames.tobytes(), _ZLEVEL)
+    return (
+        _VIDEO_MAGIC
+        + struct.pack(">IHHH", int(n), int(w), int(h), int(fps))
+        + payload
+    )
+
+
+def decode_video(data: bytes) -> tuple:
+    """→ ((n, h, w, 3) uint8 frames, fps). Raises on bad magic."""
+    if data[:4] != _VIDEO_MAGIC:
+        raise ValueError("not a VID1 payload")
+    n, w, h, fps = struct.unpack(">IHHH", data[4:14])
+    raw = np.frombuffer(zlib.decompress(data[14:]), dtype=np.uint8)
+    return raw.reshape(n, h, w, 3), int(fps)
+
+
+def render_video(seed: int, n_frames: int, w: int, h: int) -> np.ndarray:
+    """Deterministic synthetic video: frame i = render_image(seed*131+i)
+    — per-frame content differs, whole clip reproducible from the seed."""
+    return np.stack(
+        [render_image(seed * 131 + i, w, h) for i in range(n_frames)]
+    )

@@ -9,11 +9,12 @@ ships no image/audio libraries, so:
 - **images** — fully real: our own codec (`functions/codec.py`, real PNG
   + deterministic lossy stand-in), numpy nearest-neighbor resize, and a
   grid-pooled feature vector.
-- **audio/video** — the DECODE step is stubbed (`NotImplementedError`
-  with a clear message, or a deterministic fake for tests via
-  ``fake=True``); the Spark-side plumbing — schema, batch shape, UDF
-  signature, partitioning — is real and tested, so swapping in a real
-  codec is a one-function change.
+- **audio/video** — fully real against our own containers: ``AUD1``
+  (16-bit PCM, zlib-framed) and ``VID1`` (raw RGB frame stack), both
+  implemented from scratch in `functions/codec.py` like the image
+  codecs. ``fake=True`` keeps the legacy headerless byte-fake for
+  plumbing tests; swapping in soundfile/pyav on a real cluster is a
+  one-function change (`_decode_audio` / `_decode_video_frames`).
 """
 
 from __future__ import annotations
@@ -151,12 +152,12 @@ VIDEO_FRAMES_SCHEMA = (
 
 def _decode_audio(payload: bytes, fake: bool):
     if not fake:
-        raise NotImplementedError(
-            "audio decode requires an audio codec library (not shipped in "
-            "this container); pass fake=True for the deterministic test "
-            "fake, or swap in soundfile/librosa here on a real cluster"
-        )
-    # deterministic fake: payload bytes ARE the waveform (uint8 → [-1, 1])
+        # real decode of our AUD1 container (functions/codec.py) — swap
+        # in soundfile/librosa here for WAV/FLAC/MP3 on a real cluster
+        from .codec import decode_audio
+
+        return decode_audio(payload)
+    # legacy fake: payload bytes ARE the waveform (uint8 → [-1, 1])
     wave = (np.frombuffer(payload, dtype=np.uint8).astype(np.float32) - 127.5) / 127.5
     return wave, 16000
 
@@ -194,12 +195,15 @@ def audio_features(df: DataFrame, *, id_col: str = "media_id",
 
 def _decode_video_frames(payload: bytes, every_nth: int, fake: bool):
     if not fake:
-        raise NotImplementedError(
-            "video decode requires a video codec library (not shipped in "
-            "this container); pass fake=True for the deterministic test "
-            "fake, or swap in pyav/ffmpeg here on a real cluster"
-        )
-    # deterministic fake: payload = concatenated 8x8 RGB frames
+        # real decode of our VID1 container (functions/codec.py) — swap
+        # in pyav/ffmpeg here for MP4/WebM on a real cluster
+        from .codec import decode_video
+
+        frames, _fps = decode_video(payload)
+        for i in range(0, frames.shape[0], every_nth):
+            yield i, frames[i]
+        return
+    # legacy fake: payload = concatenated 8x8 RGB frames
     frame_bytes = 8 * 8 * 3
     n = len(payload) // frame_bytes
     for i in range(0, n, every_nth):

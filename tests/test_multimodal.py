@@ -72,10 +72,49 @@ def test_audio_features_fake_decode(spark):
         assert 0.0 < r["rms"] < 1.0 and r["zero_crossings"] > 0
 
 
-def test_audio_decode_stub_raises_without_fake(spark):
-    df = _media_df(spark, [b"\x00" * 100])
-    with pytest.raises(Exception, match="NotImplementedError|audio decode"):
-        audio_features(df, fake=False).collect()
+def test_audio_real_codec_end_to_end(spark):
+    """AUD1 container: render → encode → distributed decode+features;
+    features match the numpy ground truth and bad magic still raises."""
+    from aws_medallion_datalake_spark.functions.codec import (
+        encode_audio,
+        render_audio,
+    )
+
+    waves = [render_audio(seed, 2000, 8000) for seed in range(4)]
+    payloads = [encode_audio(w, 8000) for w in waves]
+    out = {
+        r["media_id"]: r
+        for r in audio_features(_media_df(spark, payloads)).collect()
+    }
+    assert len(out) == 4
+    for i, w in enumerate(waves):
+        r = out[f"m{i}"]
+        assert r["n_samples"] == 2000 and r["sample_rate"] == 8000
+        assert abs(r["rms"] - float(np.sqrt(np.mean(w ** 2)))) < 1e-3
+    with pytest.raises(Exception, match="AUD1"):
+        audio_features(_media_df(spark, [b"\x00" * 100])).collect()
+
+
+def test_video_real_codec_end_to_end(spark):
+    """VID1 container: lossless frame round trip through the sampled
+    PNG rows (byte-identical pixels)."""
+    from aws_medallion_datalake_spark.functions.codec import (
+        encode_video,
+        render_video,
+    )
+
+    clips = [render_video(seed, 6, 10, 8) for seed in range(3)]
+    payloads = [encode_video(c, fps=4) for c in clips]
+    rows = video_frame_sample(
+        _media_df(spark, payloads), every_nth=3
+    ).collect()
+    assert len(rows) == 6  # frames 0 and 3 of each of 3 clips
+    for r in rows:
+        mid = int(r["media_id"][1:])
+        img = decode_image(bytes(r["frame_png"]))
+        assert (img == clips[mid][r["frame_idx"]]).all()
+    with pytest.raises(Exception, match="VID1"):
+        video_frame_sample(_media_df(spark, [b"junk"])).collect()
 
 
 def test_video_frame_sample_fake_decode(spark):
