@@ -237,6 +237,27 @@ def _(spark, sf_dir):
     assert "SortMergeJoin" not in p and "EvalPython" not in p, p
 
 
+@check("semdedup: per-cluster kernel, no quadratic (cluster,i) self-join")
+def _(spark, sf_dir):
+    p = plan_of(entry.q_semdedup(spark, sf_dir))
+    # the pairwise stage is FlatMapGroupsInPandas keyed on cluster; the
+    # old dim-exploded self-join shape (SortMergeJoin of two exploded
+    # sides on (cluster, i)) must be gone
+    assert "FlatMapGroupsInPandas" in p, p
+    assert "SortMergeJoin" not in p, p
+    # centroid table is broadcast into assignment
+    assert "BroadcastHashJoin" in p, p
+
+
+@check("ivf_topk: trained codebook stays broadcast, no cartesian blow-up")
+def _(spark, sf_dir):
+    p = plan_of(entry.q_ivf_topk(spark, sf_dir))
+    # every centroid/query join is a broadcast nested-loop or hash join
+    # over K<=8 rows; the corpus side must never sort-merge
+    assert "SortMergeJoin" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_session("local[8]", shuffle_partitions=8)
