@@ -143,21 +143,39 @@ def main() -> None:
 
         phases = {}
 
+        # Optional between-stage snapshot expiry + GC (UNTIMED): each
+        # rewrite stage retains the previous snapshot's files until
+        # expiry, so a large bench table would otherwise accumulate ~4x
+        # its size inside one rep (tmpfs = RAM on this box). Production
+        # maintenance runs expiry in the same nightly window; doing it
+        # between the timed stages changes no stage's input or plan
+        # (stages read only the current snapshot).
+        def _gc():
+            if os.environ.get("SPARK_GRAFT_BENCH_GC"):
+                from aws_medallion_datalake_spark.operators.expire import (
+                    expire_snapshots,
+                )
+
+                expire_snapshots(t, keep_last=1)
+
         t0 = time.time()
         s = compact(t, spark, target_file_size_bytes=8 << 20, parallelism=cpus)
         times["compact"] = round(time.time() - t0, 3)
         phases["compact"] = (s.summary if s else {}).get("phase_sec", {})
+        _gc()
 
         t0 = time.time()
         s = cluster(t, spark, curve="morton", target_file_size_bytes=8 << 20)
         times["cluster"] = round(time.time() - t0, 3)
         phases["cluster"] = s.summary.get("phase_sec", {})
+        _gc()
 
         t0 = time.time()
         s = merge_into(t, spark, src, key="image_id", target_file_size_bytes=8 << 20)
         merge_sec = time.time() - t0
         times["merge"] = round(merge_sec, 3)
         phases["merge"] = s.summary.get("phase_sec", {})
+        _gc()
 
         t0 = time.time()
         scanned = t.scan(spark).agg(F.sum(F.length("bytes")).alias("b")).first()

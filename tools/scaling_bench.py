@@ -154,14 +154,14 @@ def main() -> None:
     reps = 2
     if "--reps" in sys.argv:
         reps = int(sys.argv[sys.argv.index("--reps") + 1])
+    levels = [2, 8, 32]
+    if "--levels" in sys.argv:
+        levels = [
+            int(x)
+            for x in sys.argv[sys.argv.index("--levels") + 1].split(",")
+        ]
 
     if "--from-log" in sys.argv:
-        levels = [2, 8, 32]
-        if "--levels" in sys.argv:
-            levels = [
-                int(x)
-                for x in sys.argv[sys.argv.index("--levels") + 1].split(",")
-            ]
         # comma-separated list: merge reps from several collector logs
         # (e.g. the 2/8/32 run and a supplementary 1/4 run)
         logfs = sys.argv[sys.argv.index("--from-log") + 1].split(",")
@@ -186,7 +186,6 @@ def main() -> None:
         env["SPARK_GRAFT_LOCAL_DIR"] = os.path.join(root, "spark-local")
     try:
         table_dir, src_dir = build_inputs(root, img_rows)
-        levels = [2, 8, 32]
         runs: dict[int, list[dict]] = {lv: [] for lv in levels}
         all_runs: dict[int, list[dict]] = {lv: [] for lv in levels}
         clean: dict[int, int] = {lv: 0 for lv in levels}
