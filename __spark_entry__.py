@@ -1230,12 +1230,20 @@ def _cosine(e_col, q_lit):
 
 
 def q_embedding_topk(spark, sf_dir):
-    """Brute-force cosine top-k ANN baseline (query = vec_id 0)."""
+    """Brute-force cosine top-k ANN baseline (query = vec_id 0). The
+    query vector rides along as a broadcast 1-row frame — no
+    mid-pipeline ``.head()`` driver job (same pattern as
+    ``q_ivf_topk``)."""
     e = _t(spark, sf_dir, "embeddings")
-    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
-    q_lit = F.array(*[F.lit(x) for x in qv])
+    qrow = e.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qemb")
+    )
     return (
-        e.select("vec_id", F.round(_cosine(F.col("embedding"), q_lit), 4).alias("cos_sim"))
+        e.crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            F.round(_cosine(F.col("embedding"), F.col("qemb")), 4).alias("cos_sim"),
+        )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
@@ -2892,10 +2900,15 @@ def q_image_features_ann(spark, sf_dir):
     df = generate_images(spark, 300, n_files=4).select(
         "image_id", image_features_udf(F.col("bytes"), grid=4).alias("emb")
     )
-    qv = [float(x) for x in df.filter(F.col("image_id") == "img-000000000000").head()["emb"]]
-    q_lit = F.array(*[F.lit(x) for x in qv])
+    qrow = df.filter(F.col("image_id") == "img-000000000000").select(
+        F.transform("emb", lambda x: x.cast("double")).alias("qemb")
+    )
     return (
-        df.select("image_id", F.round(_cosine(F.col("emb"), q_lit), 4).alias("cos_sim"))
+        df.crossJoin(F.broadcast(qrow))
+        .select(
+            "image_id",
+            F.round(_cosine(F.col("emb"), F.col("qemb")), 4).alias("cos_sim"),
+        )
         .orderBy(F.desc("cos_sim"), F.asc("image_id"))
         .limit(10)
     )

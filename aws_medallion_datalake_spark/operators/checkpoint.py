@@ -82,6 +82,13 @@ class RunCheckpoint:
         never mark the stage done: a resume re-runs it."""
         self.record("stage_failed", stage, {"failure": failure})
 
+    def run_succeeded(self, summary: dict) -> None:
+        """Record the end-of-run success summary (the reference pipeline's
+        success notification + CloudWatch PipelineSuccess metric,
+        scripts/lambda_success_notification.py:26-44, persisted instead
+        of emailed): one record after every stage completed cleanly."""
+        self.record("run_succeeded", "run", {"summary": summary})
+
     # ---- read / resume ----
 
     def is_unit_done(self, stage: str, unit: str) -> bool:
@@ -110,3 +117,10 @@ class RunCheckpoint:
 
     def failures(self) -> list:
         return [r for r in self._records if r["type"] == "stage_failed"]
+
+    def run_summary(self) -> Optional[dict]:
+        """Latest end-of-run success summary, if the run completed."""
+        for r in reversed(self._records):
+            if r["type"] == "run_succeeded":
+                return r.get("summary")
+        return None

@@ -22,9 +22,15 @@ engine table plus enough metadata to keep it fresh CHEAPLY —
 
 Supported query shape (parsed strictly; everything else raises with the
 rewrite hint): single base table, optional WHERE, optional GROUP BY,
-aggregates ``count(*) | count(x) | sum(x) | min(x) | max(x)`` each with
-an ``AS`` alias. ``avg`` is not self-mergeable — define ``sum`` +
-``count`` columns and divide at read time.
+aggregates ``count(*) | count(x) | sum(x) | min(x) | max(x) | avg(x)``
+each with an ``AS`` alias. ``avg`` is not self-mergeable, so it is
+decomposed automatically (``rewrite_avg_query``): the MV materializes
+hidden ``__<alias>_sum`` / ``__<alias>_cnt`` partials (both fold by
+SUM across refreshes) and the read surface recombines them as
+``sum/cnt`` with the partials hidden (``mv_display_frame``; the SQL
+layer registers MVs through it). ``count(DISTINCT …)`` /
+``sum(DISTINCT …)`` / ``avg(DISTINCT …)`` stay refused — distinct
+partials cannot be combined across refreshes.
 
 Reference parity: the reference recomputes every gold aggregate from
 scratch each run (/root/reference/scripts/gold_digit_fixed.py:34-146);
@@ -46,6 +52,8 @@ MV_QUERY_PROP = "mv.query"
 MV_BASE_PROP = "mv.base"
 MV_BASE_SNAPSHOT_PROP = "mv.base.snapshot"
 MV_COMBINERS_PROP = "mv.combiners"  # json {out_col: sum|min|max|group}
+MV_DERIVED_PROP = "mv.derived"  # json {alias: {"sum": col, "cnt": col}}
+MV_DISPLAY_QUERY_PROP = "mv.query.display"  # pre-rewrite query, as typed
 
 _AGG_RE = re.compile(
     r"^(count|sum|min|max)\s*\((\s*\*\s*|[^()]*)\)\s+AS\s+([A-Za-z_]\w*)$",
@@ -75,6 +83,47 @@ def _split_top(text: str) -> list:
     if buf.strip():
         out.append(buf.strip())
     return out
+
+
+_AVG_RE = re.compile(
+    r"^(?:avg|mean)\s*\(([^()]*)\)\s+AS\s+([A-Za-z_]\w*)$", re.I | re.S
+)
+
+
+def rewrite_avg_query(query: str) -> Tuple[str, dict]:
+    """Decompose ``avg(x) AS a`` into the self-mergeable pair
+    ``sum(x) AS __a_sum, count(x) AS __a_cnt`` (both partials fold by
+    SUM at incremental refresh; ``sum/cnt`` reproduces avg's NULL
+    semantics — count(x) skips NULLs and a 0 count divides to NULL).
+    Returns the rewritten query plus ``{alias: {"sum":…, "cnt":…}}``;
+    a query with no avg comes back unchanged with an empty map."""
+    q = query.strip().rstrip(";").strip()
+    m = re.match(r"(SELECT\s+)(.+?)(\s+FROM\s+.*)$", q, re.I | re.S)
+    if not m:
+        return query, {}
+    head, items_text, tail = m.groups()
+    out_items, derived = [], {}
+    for item in _split_top(items_text):
+        am = _AVG_RE.match(item)
+        if not am:
+            out_items.append(item)
+            continue
+        arg, alias = am.group(1).strip(), am.group(2)
+        if re.match(r"distinct\b", arg, re.I):
+            raise ValueError(
+                f"{item!r} is not self-mergeable: avg(DISTINCT …) partials "
+                f"cannot be combined across refreshes — define a "
+                f"distinct-key MV instead"
+            )
+        if not arg or arg == "*":
+            raise ValueError(f"{item!r}: avg needs a column or expression")
+        s_col, c_col = f"__{alias}_sum", f"__{alias}_cnt"
+        out_items.append(f"sum({arg}) AS {s_col}")
+        out_items.append(f"count({arg}) AS {c_col}")
+        derived[alias] = {"sum": s_col, "cnt": c_col}
+    if not derived:
+        return query, {}
+    return head + ", ".join(out_items) + tail, derived
 
 
 def parse_mv_query(query: str) -> Tuple[str, list, dict]:
@@ -170,7 +219,16 @@ def create_matview(
     root: str,
     tables: Mapping[str, Table],
 ) -> Table:
-    """Materialize ``query`` at ``root`` and record refresh metadata."""
+    """Materialize ``query`` at ``root`` and record refresh metadata.
+
+    ``avg(x) AS a`` items are decomposed into hidden sum/count partial
+    columns (``rewrite_avg_query``) so the MV stays incrementally
+    refreshable; the stored ``mv.query`` is the rewritten one (refresh
+    folds the partials), the original text lands in
+    ``mv.query.display``, and readers that go through
+    ``mv_display_frame`` (the SQL layer does) see ``a`` recombined."""
+    display_query = query.strip().rstrip(";").strip()
+    query, derived = rewrite_avg_query(query)
     base_name, group_cols, combiners = parse_mv_query(query)
     if base_name not in tables:
         raise ValueError(f"base table {base_name!r} not in catalog")
@@ -196,6 +254,14 @@ def create_matview(
             MV_QUERY_PROP: query.strip(),
             MV_BASE_PROP: base_name,
             MV_COMBINERS_PROP: json.dumps(combiners),
+            **(
+                {
+                    MV_DERIVED_PROP: json.dumps(derived),
+                    MV_DISPLAY_QUERY_PROP: display_query,
+                }
+                if derived
+                else {}
+            ),
         },
     )
     entries = mv.write_files(df.select(*combiners.keys()))
@@ -282,3 +348,36 @@ def refresh_matview(
         summ,
         properties={MV_BASE_SNAPSHOT_PROP: cur},
     )
+
+
+def mv_display_frame(
+    spark: SparkSession, mv: Table, snapshot_id: Optional[int] = None
+) -> DataFrame:
+    """The MV as the user declared it: hidden ``__<alias>_sum`` /
+    ``__<alias>_cnt`` partial columns recombined into ``<alias>`` (at the
+    position the user wrote the avg) and dropped from the output. For an
+    MV with no derived columns this is just ``scan``."""
+    props = mv.metadata().properties
+    derived = json.loads(str(props.get(MV_DERIVED_PROP, "{}")))
+    df = mv.scan(spark, snapshot_id=snapshot_id)
+    if not derived:
+        return df
+    by_sum = {d["sum"]: (alias, d["cnt"]) for alias, d in derived.items()}
+    hidden_cnt = {d["cnt"] for d in derived.values()}
+    cols = []
+    for c in df.columns:
+        if c in by_sum:
+            alias, cnt = by_sum[c]
+            cols.append((F.col(c) / F.col(cnt)).alias(alias))
+        elif c not in hidden_cnt:
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
+def register_table_or_mv(spark: SparkSession, t: Table, name: str) -> None:
+    """Register ``t`` as a temp view for SQL — through the display frame
+    when it is an MV with derived (avg) columns, else the plain scan."""
+    if t.metadata().properties.get(MV_DERIVED_PROP):
+        mv_display_frame(spark, t).createOrReplaceTempView(name)
+    else:
+        t.register(spark, name)

@@ -67,6 +67,34 @@ def render_failure(stage: str, exc: BaseException, *, table_root: str,
     }
 
 
+def render_success(stage_metrics: dict, *, table_root: str,
+                   checkpoint_path: str) -> dict:
+    """Structured end-of-run success summary — the reference's success
+    notification payload (pipeline, status, execution_date) plus its
+    CloudWatch ``PipelineSuccess`` metric value
+    (scripts/lambda_success_notification.py:26-44), rendered as a plain
+    dict from the per-stage metrics the run just produced."""
+    stages = {
+        k: v
+        for k, v in stage_metrics.items()
+        if isinstance(v, dict) and k not in ("auto_plan", "run_summary")
+    }
+    return {
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "status": "SUCCESS",
+        "layer": detect_layer(table_root),
+        "table_root": table_root,
+        "checkpoint": checkpoint_path,
+        "stages_run": [k for k in stages if "skipped" not in stages[k]],
+        "stages_resumed": [k for k in stages if "skipped" in stages[k]],
+        "stages_noop": [k for k in stages if "noop" in stages[k]],
+        "total_wall_sec": round(
+            sum(v.get("wall_sec", 0.0) for v in stages.values()), 3
+        ),
+        "metric": {"PipelineSuccess": 1},
+    }
+
+
 def run_maintenance(
     table: Table,
     spark: SparkSession,
@@ -81,6 +109,7 @@ def run_maintenance(
     keep_last: int = 1,
     compaction_parallelism: int = 8,
     on_stage_failure=None,
+    on_success=None,
 ) -> dict:
     """Run (or resume) a maintenance pipeline; returns per-stage metrics.
 
@@ -96,6 +125,14 @@ def run_maintenance(
     notification channel. The record is also persisted to the run
     checkpoint and printed to stderr; the exception then propagates
     (fail-stop), and a re-run with the same checkpoint resumes.
+
+    ``on_success``: the symmetric hook — fires once after EVERY stage
+    completed cleanly, with the structured end-of-run summary
+    (``render_success``: stages run/resumed/noop, total wall time,
+    PipelineSuccess=1) that the reference emits as its success email +
+    CloudWatch metric (scripts/lambda_success_notification.py:26-44).
+    The summary is also persisted to the checkpoint (``run_succeeded``
+    record) and returned under the ``"run_summary"`` key.
     """
     cp = RunCheckpoint(checkpoint_path)
     out: dict = {}
@@ -224,6 +261,13 @@ def run_maintenance(
             raise
         metrics["wall_sec"] = round(time.time() - t0, 3)
         out[stage] = metrics
+    summary = render_success(
+        out, table_root=table.root, checkpoint_path=checkpoint_path
+    )
+    cp.run_succeeded(summary)
+    if on_success is not None:
+        on_success(summary)
+    out["run_summary"] = summary
     return out
 
 

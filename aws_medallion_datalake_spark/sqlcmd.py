@@ -356,10 +356,18 @@ class EngineSQL:
                 pass
         # SELECT / WITH / EXPLAIN …: refresh catalog views, delegate
         s = self._rewrite_time_travel(s)
-        for name, t in self.tables.items():
-            t.register(self.spark, name)
+        self._register_all()
         self._register_meta_views(s)
         return self.spark.sql(s)
+
+    def _register_all(self) -> None:
+        """Register every catalog table as a temp view; MVs with derived
+        (avg) columns go through the display frame so their hidden
+        sum/cnt partials never leak into SQL results."""
+        from .operators.matview import register_table_or_mv
+
+        for name, t in self.tables.items():
+            register_table_or_mv(self.spark, t, name)
 
     _META_SUFFIXES = (
         "snapshots", "history", "files", "partitions", "manifests",
@@ -632,8 +640,7 @@ class EngineSQL:
                 "table has merge-on-read deletes pending; run apply_deletes() "
                 "before INSERT OVERWRITE"
             )
-        for vname, vt in self.tables.items():
-            vt.register(self.spark, vname)
+        self._register_all()
         df = self.spark.sql(self._rewrite_time_travel(query.strip()))
         from pyspark.sql.types import StructType
 
@@ -1154,8 +1161,7 @@ class EngineSQL:
                 raise SQLCommandError(
                     f"table {name!r} already exists in catalog"
                 )
-            for vname, vt in self.tables.items():
-                vt.register(self.spark, vname)
+            self._register_all()
             try:
                 t = create_matview(self.spark, name, query, loc, self.tables)
             except ValueError as e:
@@ -1232,8 +1238,7 @@ class EngineSQL:
             )
         df = None
         if query is not None:
-            for vname, vt in self.tables.items():
-                vt.register(self.spark, vname)
+            self._register_all()
             df = self.spark.sql(self._rewrite_time_travel(query))
             if ddl is None:
                 ddl = ", ".join(

@@ -495,17 +495,60 @@ def test_run_maintenance_end_to_end_and_resume(tmp_path, spark):
         t, spark, checkpoint_path=cp, merge_source=source,
         target_file_size_bytes=TARGET, keep_last=1,
     )
-    assert set(out) == {"compact", "cluster", "merge", "expire"}
+    assert set(out) == {"compact", "cluster", "merge", "expire", "run_summary"}
     assert out["merge"]["rows_inserted"] == 40
     assert t.scan(spark).count() == 440
+    # success summary: every stage ran, none resumed, persisted to cp
+    s = out["run_summary"]
+    assert s["status"] == "SUCCESS" and s["metric"] == {"PipelineSuccess": 1}
+    assert set(s["stages_run"]) == {"compact", "cluster", "merge", "expire"}
+    assert s["stages_resumed"] == [] and s["total_wall_sec"] > 0
+    assert RunCheckpoint(cp).run_summary()["status"] == "SUCCESS"
     # re-run with same checkpoint: everything skipped, table unchanged
     v = t.current_version()
     out2 = run_maintenance(
         t, spark, checkpoint_path=cp, merge_source=source,
         target_file_size_bytes=TARGET,
     )
-    assert all("skipped" in m for m in out2.values())
+    assert all(
+        "skipped" in m for k, m in out2.items() if k != "run_summary"
+    )
+    assert set(out2["run_summary"]["stages_resumed"]) == {
+        "compact", "cluster", "merge", "expire"
+    }
     assert t.current_version() == v
+
+
+def test_run_maintenance_on_success_hook(tmp_path, spark, monkeypatch):
+    """T7 success side: on_success fires once with the structured summary
+    after a clean run (reference scripts/lambda_success_notification.py:
+    26-44 analogue) — and never fires when a stage fails."""
+    from aws_medallion_datalake_spark.operators import run as run_mod
+
+    t = make_table(tmp_path, spark, n=200, n_files=6)
+    cp = str(tmp_path / "ok.jsonl")
+    seen = []
+    out = run_maintenance(
+        t, spark, checkpoint_path=cp, stages=("compact", "expire"),
+        target_file_size_bytes=TARGET, on_success=seen.append,
+    )
+    assert len(seen) == 1 and seen[0] is out["run_summary"]
+    assert seen[0]["stages_run"] == ["compact", "expire"]
+    assert seen[0]["checkpoint"] == cp and seen[0]["table_root"] == t.root
+
+    def boom(*a, **k):
+        raise RuntimeError("boom")
+
+    monkeypatch.setattr(run_mod, "compact", boom)
+    failed = []
+    with pytest.raises(RuntimeError):
+        run_maintenance(
+            t, spark, checkpoint_path=str(tmp_path / "bad.jsonl"),
+            stages=("compact",), target_file_size_bytes=TARGET,
+            on_success=failed.append,
+        )
+    assert failed == []
+    assert RunCheckpoint(str(tmp_path / "bad.jsonl")).run_summary() is None
 
 
 def test_run_maintenance_rewrite_manifests_stage(tmp_path, spark):

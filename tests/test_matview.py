@@ -152,6 +152,52 @@ def test_non_append_chain_falls_back_to_full(tmp_path, spark):
     assert _rows(mv.scan(spark)) == _rows(_recompute(spark, base))
 
 
+def test_avg_mv_incremental_refresh(tmp_path, spark):
+    """AVG auto-decomposition: hidden sum/cnt partials are materialized,
+    fold incrementally across an append-only refresh, and the display
+    frame recombines them at the position the user wrote the avg."""
+    from aws_medallion_datalake_spark.operators.matview import (
+        mv_display_frame,
+        rewrite_avg_query,
+    )
+
+    q2, derived = rewrite_avg_query(
+        "SELECT fmt, avg(w) AS avg_w, count(*) AS n FROM imgs GROUP BY fmt"
+    )
+    assert derived == {"avg_w": {"sum": "__avg_w_sum", "cnt": "__avg_w_cnt"}}
+    assert "sum(w) AS __avg_w_sum" in q2 and "count(w) AS __avg_w_cnt" in q2
+    # no-avg queries come back untouched
+    assert rewrite_avg_query(QUERY) == (QUERY, {})
+    with pytest.raises(ValueError, match="self-mergeable"):
+        rewrite_avg_query(
+            "SELECT fmt, avg(DISTINCT w) AS aw FROM imgs GROUP BY fmt"
+        )
+
+    base = _mk_base(tmp_path, spark)
+    mv = create_matview(
+        spark, "imgs_avg",
+        "SELECT fmt, avg(w) AS avg_w, count(*) AS n FROM imgs GROUP BY fmt",
+        str(tmp_path / "mva"), {"imgs": base},
+    )
+    # physical schema carries the partials; the display frame hides them
+    assert set(mv.scan(spark).columns) == {
+        "fmt", "__avg_w_sum", "__avg_w_cnt", "n"
+    }
+    def _expect():
+        return base.scan(spark).groupBy("fmt").agg(
+            F.avg("w").alias("avg_w"), F.count("*").alias("n")
+        )
+
+    disp = mv_display_frame(spark, mv)
+    assert disp.columns == ["fmt", "avg_w", "n"]
+    assert _rows(disp) == _rows(_expect())
+    # append-only advance: the partials fold INCREMENTALLY (delta-only IO)
+    base.append(generate_images(spark, 40, n_files=2, start=2000))
+    snap = refresh_matview(spark, mv, {"imgs": base})
+    assert snap.summary["refresh"] == "incremental"
+    assert _rows(mv_display_frame(spark, mv)) == _rows(_expect())
+
+
 def test_where_and_global_agg(tmp_path, spark):
     base = _mk_base(tmp_path, spark)
     q = "SELECT count(*) AS n, sum(h) AS total_h FROM imgs WHERE w >= 64"
@@ -194,10 +240,39 @@ def test_sql_surface(tmp_path, spark):
     assert eng.sql("SELECT sum(n) AS rows FROM imgs_by_fmt").first()["rows"] == 72
     det = eng.sql("REFRESH MATERIALIZED VIEW imgs_by_fmt FULL").first()["detail"]
     assert det.startswith("full")
+    # avg(DISTINCT …) stays refused; plain avg is auto-decomposed (below)
     with pytest.raises(SQLCommandError, match="self-mergeable"):
         eng.sql(
             f"CREATE MATERIALIZED VIEW bad LOCATION '{tmp_path / 'mv4'}' "
-            f"AS SELECT fmt, avg(w) AS aw FROM imgs GROUP BY fmt"
+            f"AS SELECT fmt, avg(DISTINCT w) AS aw FROM imgs GROUP BY fmt"
         )
     eng.sql("DROP MATERIALIZED VIEW imgs_by_fmt")
     assert "imgs_by_fmt" not in eng.tables
+
+
+def test_avg_mv_sql_surface(tmp_path, spark):
+    """SQL end-to-end for auto-decomposed AVG: the registered view shows
+    the avg column (hidden partials never leak), incremental refresh
+    keeps it equal to a full recompute."""
+    from aws_medallion_datalake_spark.sqlcmd import EngineSQL
+
+    base = _mk_base(tmp_path, spark)
+    eng = EngineSQL(spark, {"imgs": base})
+    eng.sql(
+        f"CREATE MATERIALIZED VIEW fmt_stats LOCATION '{tmp_path / 'mva'}' "
+        f"AS SELECT fmt, avg(w) AS avg_w, count(*) AS n "
+        f"FROM imgs GROUP BY fmt"
+    )
+    got = eng.sql("SELECT * FROM fmt_stats")
+    assert got.columns == ["fmt", "avg_w", "n"]
+    ref = base.scan(spark).groupBy("fmt").agg(
+        F.avg("w").alias("avg_w"), F.count("*").alias("n")
+    )
+    assert _rows(got) == _rows(ref)
+    base.append(generate_images(spark, 30, n_files=1, start=4000))
+    det = eng.sql("REFRESH MATERIALIZED VIEW fmt_stats").first()["detail"]
+    assert det.startswith("incremental")
+    ref2 = base.scan(spark).groupBy("fmt").agg(
+        F.avg("w").alias("avg_w"), F.count("*").alias("n")
+    )
+    assert _rows(eng.sql("SELECT * FROM fmt_stats")) == _rows(ref2)

@@ -245,6 +245,9 @@ def main() -> None:
             json.dumps(
                 {
                     "cpus": cpus,
+                    # between-stage GC config: reps with and without it
+                    # must be distinguishable when logs are merged
+                    "gc": bool(os.environ.get("SPARK_GRAFT_BENCH_GC")),
                     "times": times,
                     "phases": phases,
                     "maint_sec": round(total, 3),
