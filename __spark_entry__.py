@@ -1456,10 +1456,165 @@ def _sql_embedding_neardup_pairs():
 
 
 # ---------------------------------------------------------------------------
-# image lakehouse maintenance (engine-internal; rows-only checks)
+# image lakehouse maintenance. The flow entries below land their engine
+# tables at a FIXED path so their DuckDB oracle can read the table's live
+# data files directly (post-maintenance scan equality as a hard driver
+# signal, not just pytest): the entry wipes + deterministically rebuilds
+# the root each run and ends with expire_snapshots(keep_last=1), so
+# <root>/<t>/data/*/*.parquet is exactly the current snapshot's
+# manifest-listed file set (expiry's reachability GC removes every
+# non-live data file and materialized positional-delete file).
 # ---------------------------------------------------------------------------
 
 _IMG_ROWS = 400
+_ORACLE_STATE_ROOT = "/tmp/medallion_oracle"
+
+
+def _oracle_root(name):
+    """Fresh deterministic root for one oracle-checked flow entry."""
+    import shutil
+
+    root = os.path.join(_ORACLE_STATE_ROOT, name)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def _final_state_frame(t, spark):
+    """Per-(ingest_date, fmt) invariants + 60-bit content fingerprint of
+    the table's CURRENT logical state — the engine-side half of the
+    post-maintenance scan-equality oracle (the DuckDB side recomputes
+    the same over the live data files, ``_sql_final_state``)."""
+    fp = _hex15_to_long(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("image_id"),
+                F.coalesce(F.col("caption"), F.lit("<null>")),
+                F.col("phash").cast("string"),
+            )
+        )
+    )
+    return (
+        t.scan(spark)
+        .groupBy("ingest_date", "fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("image_id").alias("n_ids"),
+            F.sum(F.length("bytes")).alias("total_bytes"),
+            F.sum("w").alias("sum_w"),
+            F.sum(fp % 1000003).alias("content_fp"),
+        )
+        .orderBy("ingest_date", "fmt")
+    )
+
+
+def _sql_final_state(table_root):
+    """DuckDB half of the scan-equality oracle: the same invariants as
+    ``_final_state_frame`` computed straight over the live data files
+    under ``table_root`` (valid after expire_snapshots(keep_last=1))."""
+    return f"""
+        SELECT ingest_date, fmt, count(*) AS n,
+               count(DISTINCT image_id) AS n_ids,
+               sum(octet_length(bytes)) AS total_bytes,
+               sum(w) AS sum_w,
+               sum(CAST('0x' || substr(md5(image_id || '|' ||
+                     coalesce(caption, '<null>') || '|' ||
+                     CAST(phash AS VARCHAR)), 1, 15) AS BIGINT)
+                   % 1000003) AS content_fp
+        FROM read_parquet('{table_root}/data/*/*.parquet')
+        GROUP BY ingest_date, fmt
+        ORDER BY ingest_date, fmt
+    """
+
+
+def _sql_image_maintenance():
+    return _sql_final_state(f"{_ORACLE_STATE_ROOT}/image_maintenance/t")
+
+
+def _sql_image_update():
+    return _sql_final_state(f"{_ORACLE_STATE_ROOT}/image_update/t")
+
+
+def _sql_image_dyn_overwrite():
+    return _sql_final_state(f"{_ORACLE_STATE_ROOT}/image_dyn_overwrite/t")
+
+
+def _sql_image_incremental():
+    return _sql_final_state(f"{_ORACLE_STATE_ROOT}/image_incremental/t")
+
+
+def _sql_image_mor_delete():
+    return _sql_final_state(f"{_ORACLE_STATE_ROOT}/image_mor_delete/t")
+
+
+def _sql_image_eq_delete():
+    return _sql_final_state(f"{_ORACLE_STATE_ROOT}/image_eq_delete/t")
+
+
+def _sql_image_mor_merge():
+    return _sql_final_state(f"{_ORACLE_STATE_ROOT}/image_mor_merge/t")
+
+
+def _sql_image_cdc():
+    return _sql_final_state(f"{_ORACLE_STATE_ROOT}/image_cdc/t")
+
+
+def _sql_image_sql_dml():
+    return _sql_final_state(f"{_ORACLE_STATE_ROOT}/image_sql_dml/t")
+
+
+def _sql_image_datasource():
+    # the REPLICA's live files (streamed through the connector) must
+    # carry the source's logical state
+    return _sql_final_state(f"{_ORACLE_STATE_ROOT}/image_datasource/dst")
+
+
+def _sql_image_gold_star():
+    # the star join recomputed flat from the SILVER table's live files:
+    # calendar attrs via date functions (Spark dayofweek 1=Sun..7=Sat ==
+    # DuckDB dayofweek 0=Sun..6=Sat shifted), is_lossy = fmt != 'png'
+    return f"""
+        SELECT year(d) AS ano, month(d) AS mes,
+               dayofweek(d) IN (0, 6) AS eh_fim_semana,
+               fmt AS fmt_key, fmt <> 'png' AS is_lossy,
+               count(*) AS n_images,
+               sum(octet_length(bytes)) AS total_bytes,
+               count(DISTINCT phash) AS n_phash
+        FROM (
+            SELECT *, CAST(ingest_date AS DATE) AS d
+            FROM read_parquet('{_ORACLE_STATE_ROOT}/image_gold_star/silver/data/*/*.parquet')
+        )
+        GROUP BY 1, 2, 3, 4, 5
+        ORDER BY ano, mes, fmt_key
+    """
+
+
+def _sql_image_medallion():
+    # gold_build's aggregate recomputed by DuckDB over the SILVER
+    # table's live data files; must equal the engine's gold table scan
+    return f"""
+        SELECT ingest_date, fmt, count(*) AS n_images,
+               count(DISTINCT phash) AS n_distinct_phash,
+               sum(octet_length(bytes)) AS total_bytes,
+               avg(CAST(w AS DOUBLE) * h) AS avg_pixels,
+               min(w) AS min_w, max(w) AS max_w
+        FROM read_parquet('{_ORACLE_STATE_ROOT}/image_medallion/silver/data/*/*.parquet')
+        GROUP BY ingest_date, fmt
+        ORDER BY ingest_date, fmt
+    """
+
+
+def _sql_image_matview():
+    # the MV's defining aggregate recomputed cold by DuckDB over the
+    # BASE table's live data files; must equal the MV content the
+    # engine maintained through incremental/bookmark/full refreshes
+    return f"""
+        SELECT fmt, count(*) AS n, sum(w) AS total_w, max(phash) AS max_ph
+        FROM read_parquet('{_ORACLE_STATE_ROOT}/image_matview/base/data/*/*.parquet')
+        GROUP BY fmt
+        ORDER BY fmt
+    """
 
 
 def q_events_windowed(spark, sf_dir):
@@ -2193,10 +2348,11 @@ def q_image_gold_star(spark, sf_dir):
     """Engine-side S13: medallion pipeline → gold STAR SCHEMA (dims +
     facts + persisted quality table, gold_digit_fixed.py:34-146 /
     gold_agilean.py:103-162 analogues) → registered as temp views → an
-    Athena-gold-shaped spark.sql join over them. Non-SQL-expressible for
-    the oracle (engine table format + codec); rows-only check."""
-    import tempfile
-
+    Athena-gold-shaped spark.sql join over them. The quality-table gate
+    is asserted inline; the star-join result is hard-checked by DuckDB
+    recomputing the same rollup (calendar attrs, lossy flag and all)
+    straight from the SILVER table's live data files — the dims and
+    facts must agree with a from-scratch flat recompute."""
     from aws_medallion_datalake_spark.pipeline.medallion import (
         bronze_ingest,
         gold_build_star,
@@ -2204,18 +2360,20 @@ def q_image_gold_star(spark, sf_dir):
         silver_refine,
     )
 
-    root = tempfile.mkdtemp(prefix="entry_gold_star_")
+    root = _oracle_root("image_gold_star")
     bronze = bronze_ingest(spark, os.path.join(root, "bronze"), _IMG_ROWS, n_files=8)
     silver = silver_refine(bronze, spark, os.path.join(root, "silver"))
     tables = gold_build_star(silver, spark, os.path.join(root, "gold"))
     register_gold_views(spark, tables)
+    n_good = spark.sql(
+        "SELECT count(*) AS n FROM gold_quality WHERE status = 'GOOD'"
+    ).first()["n"]
+    assert int(n_good) >= 5, n_good  # required columns are fully populated
     return spark.sql(
         """SELECT d.ano, d.mes, d.eh_fim_semana, f.fmt_key, m.is_lossy,
                   count(*) AS n_images,
                   sum(f.n_bytes) AS total_bytes,
-                  count(DISTINCT f.phash) AS n_phash,
-                  (SELECT count(*) FROM gold_quality WHERE status = 'GOOD')
-                      AS n_good_cols
+                  count(DISTINCT f.phash) AS n_phash
            FROM gold_fact_images f
            JOIN gold_dim_date d ON f.date_key = d.date_key
            JOIN gold_dim_fmt m ON f.fmt_key = m.fmt_key
@@ -2227,10 +2385,10 @@ def q_image_gold_star(spark, sf_dir):
 def q_image_incremental(spark, sf_dir):
     """T5 snapshot-diff consumption: append + MERGE, then an incremental
     consumer reads Table.changes(first, current) and rolls up ONLY the
-    new logical rows (append files + merge delta). Engine-internal;
-    rows-only check."""
-    import tempfile
-
+    new logical rows (append files + merge delta — asserted inline).
+    The returned final-state aggregate is hard-checked by DuckDB over
+    the live data files (scan equality)."""
+    from aws_medallion_datalake_spark.operators.expire import expire_snapshots
     from aws_medallion_datalake_spark.operators.merge import merge_into
     from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
     from aws_medallion_datalake_spark.sources.generator import (
@@ -2238,38 +2396,38 @@ def q_image_incremental(spark, sf_dir):
         generate_updates,
     )
 
-    root = tempfile.mkdtemp(prefix="entry_incr_")
+    root = _oracle_root("image_incremental")
     t = bronze_ingest(spark, os.path.join(root, "t"), _IMG_ROWS, n_files=4)
     s1 = t.metadata().current_snapshot_id
     t.commit("append", t.write_files(generate_images(spark, 100, n_files=1, start=50_000)))
-    merge_into(t, spark, generate_updates(spark, _IMG_ROWS, 40, 20, n_files=2))
+    m = merge_into(t, spark, generate_updates(spark, _IMG_ROWS, 40, 20, n_files=2))
     delta = t.changes(spark, s1)
-    return (
-        delta.groupBy("fmt")
-        .agg(
-            F.count("*").alias("n_new"),
-            F.countDistinct("image_id").alias("n_ids"),
-            F.sum(F.length("bytes")).alias("new_bytes"),
-        )
-        .orderBy("fmt")
-    )
+    # the incremental consumer's rollup, asserted inline: the delta is
+    # exactly the appended rows + the merge's upserted/inserted rows
+    n_delta = delta.count()
+    assert n_delta == 100 + int(m.summary["rows_updated"]) + int(
+        m.summary["rows_inserted"]
+    ), n_delta
+    assert delta.select("image_id").distinct().count() == n_delta
+    expire_snapshots(t, keep_last=1)
+    return _final_state_frame(t, spark)
 
 
 def q_image_cdc(spark, sf_dir):
     """CDC changelog consumption (Table.changes_cdc): after an append, a
     caption-updating MERGE, and a copy-on-write DELETE, the changelog
     emits updates as delete-of-old + insert-of-new and the delete as a
-    lone delete row; compaction emits nothing. Returns the per-snapshot
-    per-change-type rollup a downstream retraction consumer would
-    checkpoint. Engine-internal (table format); rows-only check."""
-    import tempfile
-
+    lone delete row; compaction emits nothing. The per-change-type
+    rollup a retraction consumer would checkpoint is asserted inline;
+    the returned final-state aggregate is hard-checked by DuckDB over
+    the live data files (scan equality)."""
     from aws_medallion_datalake_spark.operators import compact, delete_where
+    from aws_medallion_datalake_spark.operators.expire import expire_snapshots
     from aws_medallion_datalake_spark.operators.merge import merge_into
     from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
     from aws_medallion_datalake_spark.sources.generator import generate_images
 
-    root = tempfile.mkdtemp(prefix="entry_cdc_")
+    root = _oracle_root("image_cdc")
     t = bronze_ingest(spark, os.path.join(root, "t"), _IMG_ROWS, n_files=4)
     s0 = t.metadata().current_snapshot_id
     t.commit("append", t.write_files(generate_images(spark, 60, n_files=1, start=70_000)))
@@ -2280,31 +2438,35 @@ def q_image_cdc(spark, sf_dir):
     delete_where(t, spark, [("image_id", "=", "img-%012d" % 1)])
     compact(t, spark, target_file_size_bytes=8 * 1024 * 1024)
     cdc = t.changes_cdc(spark, s0)
-    return (
-        cdc.groupBy("_commit_snapshot_id", "_change_type")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.countDistinct("image_id").alias("n_ids"),
-        )
-        .orderBy("_commit_snapshot_id", "_change_type")
-    )
+    kinds = {
+        r["_change_type"]: int(r["n"])
+        for r in cdc.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    # append 60 + merge inserts 25 new ids + merge updates re-insert 25;
+    # updates also retract 25 old copies, the CoW delete retracts 1;
+    # compaction emits nothing (physical-only)
+    assert kinds.get("insert", 0) == 60 + 50, kinds
+    assert kinds.get("delete", 0) == 25 + 1, kinds
+    expire_snapshots(t, keep_last=1)
+    return _final_state_frame(t, spark)
 
 
 def q_image_mor_merge(spark, sf_dir):
     """Merge-on-read MERGE (operators/merge.py _mor_merge): an upsert
     lands as delta append + positional delete files (O(changes) IO, no
     data-file rewrites — the write path a Morton-clustered table needs),
-    then apply_deletes materializes. Returns per-stage row accounting:
-    the logical state must be identical before and after
-    materialization. Engine-internal; rows-only check."""
-    import tempfile
-
+    then apply_deletes materializes. Per-stage accounting and the
+    before/after logical-state identity are asserted inline; the
+    returned final-state aggregate is hard-checked by DuckDB over the
+    live data files (scan equality — the "-v2" captions must be the
+    surviving copies)."""
     from aws_medallion_datalake_spark.operators import apply_deletes
+    from aws_medallion_datalake_spark.operators.expire import expire_snapshots
     from aws_medallion_datalake_spark.operators.merge import merge_into
     from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
     from aws_medallion_datalake_spark.sources.generator import generate_images
 
-    root = tempfile.mkdtemp(prefix="entry_mor_merge_")
+    root = _oracle_root("image_mor_merge")
     t = bronze_ingest(spark, os.path.join(root, "t"), _IMG_ROWS, n_files=4)
     src = generate_images(spark, 60, n_files=1, start=_IMG_ROWS - 30).withColumn(
         "caption", F.concat(F.col("caption"), F.lit("-v2"))
@@ -2313,20 +2475,17 @@ def q_image_mor_merge(spark, sf_dir):
     pre = t.scan(spark).agg(
         F.count("*").alias("n"), F.countDistinct("image_id").alias("ids")
     ).first()
+    assert int(s.summary["rows_updated"]) == 30
+    assert int(s.summary["rows_inserted"]) == 30
+    assert int(s.summary["delete_files_added"]) >= 1
+    assert int(pre["n"]) == _IMG_ROWS + 30 == int(pre["ids"])
     apply_deletes(t, spark)
     post = t.scan(spark).agg(
         F.count("*").alias("n"), F.countDistinct("image_id").alias("ids")
     ).first()
-    rows = [
-        ("mor_merge", int(s.summary["rows_updated"]), int(s.summary["rows_inserted"]),
-         int(s.summary["delete_files_added"]), int(pre["n"]), int(pre["ids"])),
-        ("applied", 0, 0, 0, int(post["n"]), int(post["ids"])),
-    ]
-    return spark.createDataFrame(
-        rows,
-        "stage string, rows_updated long, rows_inserted long, "
-        "delete_files long, visible_rows long, distinct_ids long",
-    )
+    assert (int(post["n"]), int(post["ids"])) == (int(pre["n"]), int(pre["ids"]))
+    expire_snapshots(t, keep_last=1)
+    return _final_state_frame(t, spark)
 
 
 def q_image_update(spark, sf_dir):
@@ -2334,17 +2493,18 @@ def q_image_update(spark, sf_dir):
     (operators/update.py): a copy-on-write bulk update rewrites only the
     stats-pruned touched files; a merge-on-read sparse update costs
     O(updated rows) (positional deletes + delta append, zero rewrites);
-    apply_deletes materializes with identical logical state. Returns
-    per-stage row accounting. Engine-internal; rows-only check."""
-    import tempfile
-
+    apply_deletes materializes with identical logical state. Per-stage
+    accounting is asserted inline; the returned final-state aggregate
+    is hard-checked by DuckDB over the live data files (scan
+    equality)."""
     from aws_medallion_datalake_spark.operators import (
         apply_deletes,
         update_where,
     )
+    from aws_medallion_datalake_spark.operators.expire import expire_snapshots
     from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
 
-    root = tempfile.mkdtemp(prefix="entry_update_")
+    root = _oracle_root("image_update")
     t = bronze_ingest(spark, os.path.join(root, "t"), _IMG_ROWS, n_files=4)
     lo = t.scan(spark).agg(F.min("phash")).first()[0]
     preds = [("phash", "<=", lo + 10**17)]
@@ -2366,18 +2526,17 @@ def q_image_update(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum(F.col("caption").endswith(" [mor]").cast("long")).alias("upd"),
     ).first()
-    rows = [
-        ("cow", int(cow.summary["rows_updated"]),
-         int(cow.summary["files_rewritten"]), 0, _IMG_ROWS),
-        ("mor", int(mor.summary["rows_updated"]), 0,
-         int(mor.summary["delete_files_added"]), int(n_mor_visible)),
-        ("applied", int(post["upd"]), 0, 0, int(post["n"])),
-    ]
-    return spark.createDataFrame(
-        rows,
-        "stage string, rows_updated long, files_rewritten long, "
-        "delete_files long, check long",
-    )
+    # per-stage accounting, asserted inline (the RESULT is the hard
+    # scan-equality oracle below; these are the engine-internal checks
+    # the old rows-only return carried)
+    assert int(cow.summary["rows_updated"]) == int(mor.summary["rows_updated"])
+    assert int(cow.summary["files_rewritten"]) >= 1
+    assert int(mor.summary["delete_files_added"]) >= 1
+    assert int(n_mor_visible) == int(mor.summary["rows_updated"])
+    assert int(post["n"]) == _IMG_ROWS and int(post["upd"]) == n_mor_visible
+    # expire so the live snapshot's files are exactly <root>/t/data/**
+    expire_snapshots(t, keep_last=1)
+    return _final_state_frame(t, spark)
 
 
 def q_image_dyn_overwrite(spark, sf_dir):
@@ -2387,18 +2546,18 @@ def q_image_dyn_overwrite(spark, sf_dir):
     (scripts/bronze_digit_daily.py:184-190). Refresh one ingest_date
     with a dynamic overwrite (exact files drop wholesale, other
     partitions untouched), then replace a phash range atomically with
-    validation. Returns per-stage accounting plus CDC visibility
-    counts. Engine-internal; rows-only check."""
-    import tempfile
-
+    validation. Per-stage + CDC accounting is asserted inline; the
+    returned final-state aggregate is hard-checked by DuckDB over the
+    live data files (scan equality)."""
     from aws_medallion_datalake_spark.operators import (
         overwrite_partitions,
         replace_where,
     )
+    from aws_medallion_datalake_spark.operators.expire import expire_snapshots
     from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
     from aws_medallion_datalake_spark.sources.generator import generate_images
 
-    root = tempfile.mkdtemp(prefix="entry_dynov_")
+    root = _oracle_root("image_dyn_overwrite")
     t = bronze_ingest(spark, os.path.join(root, "t"), _IMG_ROWS, n_files=4)
     s0 = t.metadata().current_snapshot_id
     day = generate_images(spark, 40, n_files=2, start=90000).withColumn(
@@ -2421,20 +2580,16 @@ def q_image_dyn_overwrite(spark, sf_dir):
         .collect()
     )
     kinds = {r["_change_type"]: int(r["n"]) for r in cdc}
-    rows = [
-        ("dyn_overwrite", int(ov.summary["rows_inserted"]),
-         int(ov.summary["rows_deleted"]), int(ov.summary["partitions_replaced"]),
-         int(n_day)),
-        ("replace_where", int(rw.summary["rows_inserted"]),
-         int(rw.summary["rows_deleted"]), int(rw.summary["files_candidate"]),
-         int(t.scan(spark, predicates=preds).count())),
-        ("cdc", kinds.get("insert", 0), kinds.get("delete", 0), 0,
-         int(t.scan(spark).count())),
-    ]
-    return spark.createDataFrame(
-        rows,
-        "stage string, rows_in long, rows_out long, detail long, check long",
-    )
+    # accounting invariants, asserted inline (the RESULT is the hard
+    # scan-equality oracle; these are the engine-internal checks the old
+    # rows-only return carried)
+    assert int(ov.summary["rows_inserted"]) == 40 == int(n_day)
+    assert int(ov.summary["partitions_replaced"]) == 1
+    assert int(rw.summary["rows_inserted"]) == 10
+    assert int(t.scan(spark, predicates=preds).count()) == 10
+    assert kinds.get("insert", 0) >= 50 and kinds.get("delete", 0) >= 1
+    expire_snapshots(t, keep_last=1)
+    return _final_state_frame(t, spark)
 
 
 def q_image_schema_ops(spark, sf_dir):
@@ -2616,20 +2771,22 @@ def q_image_sql_dml(spark, sf_dir):
     DELETE / MERGE / OPTIMIZE ZORDER / ANALYZE — dispatched to the
     engine operators, plus SELECT passthrough at the current snapshot
     (reference consumption layer is pure SQL:
-    /root/reference/sql/athena_gold_queries.sql:8-95). Returns one
-    accounting row per statement. Engine-internal; rows-only check."""
-    import tempfile
-
+    /root/reference/sql/athena_gold_queries.sql:8-95). Per-statement
+    accounting is asserted inline; the returned final-state aggregate is
+    hard-checked by DuckDB over the live data files (scan equality —
+    the uppercased / merged captions and the deleted row are witnessed
+    by the content fingerprint)."""
+    from aws_medallion_datalake_spark.operators.expire import expire_snapshots
     from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
     from aws_medallion_datalake_spark.sources.generator import generate_images
     from aws_medallion_datalake_spark.sqlcmd import EngineSQL
 
-    root = tempfile.mkdtemp(prefix="entry_sql_")
+    root = _oracle_root("image_sql_dml")
     t = bronze_ingest(spark, os.path.join(root, "t"), _IMG_ROWS, n_files=4)
     eng = EngineSQL(spark, {"images": t})
 
     upd = eng.sql(
-        "UPDATE images SET caption = upper(caption) WHERE w >= 256"
+        "UPDATE images SET caption = upper(caption) WHERE w >= 96"
     ).first()
     one_id = t.scan(spark).select("image_id").head()[0]
     dele = eng.sql(f"DELETE FROM images WHERE image_id = '{one_id}'").first()
@@ -2642,16 +2799,14 @@ def q_image_sql_dml(spark, sf_dir):
         "ANALYZE TABLE images COMPUTE STATISTICS FOR COLUMNS image_id"
     ).collect()
     sel = eng.sql("SELECT count(*) AS n FROM images").first()
-    rows = [
-        ("update", int(upd["rows_updated"])),
-        ("delete", int(dele["rows_deleted"])),
-        ("merge_upd", int(mrg["rows_updated"])),
-        ("merge_ins", int(mrg["rows_inserted"])),
-        ("optimize_zorder", 1 if opt["snapshot_id"] is not None else 0),
-        ("analyze_cols", len(stats)),
-        ("select_rows", int(sel["n"])),
-    ]
-    return spark.createDataFrame(rows, "statement string, value long")
+    assert int(upd["rows_updated"]) > 0
+    assert int(dele["rows_deleted"]) == 1
+    assert int(mrg["rows_updated"]) + int(mrg["rows_inserted"]) == 40
+    assert opt["snapshot_id"] is not None
+    assert len(stats) == 1
+    assert int(sel["n"]) == _IMG_ROWS - 1 + int(mrg["rows_inserted"])
+    expire_snapshots(t, keep_last=1)
+    return _final_state_frame(t, spark)
 
 
 def q_image_wap(spark, sf_dir):
@@ -2705,42 +2860,29 @@ def q_image_mor_delete(spark, sf_dir):
     delete files (zero data files rewritten, zero manifest bytes — the
     snapshot shares the parent's manifest list), scans anti-join the
     suppressed rows out, and apply_deletes later materializes the set
-    back to copy-on-write form. One row per phase with the visible count
-    and physical-churn counters. Engine-internal; rows-only check."""
-    import tempfile
-
+    back to copy-on-write form. Phase accounting is asserted inline; the
+    returned final-state aggregate is hard-checked by DuckDB over the
+    live data files (scan equality — the suppressed rows must be gone
+    from the physical file set too)."""
     from aws_medallion_datalake_spark.operators import apply_deletes, delete_where
+    from aws_medallion_datalake_spark.operators.expire import expire_snapshots
     from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
 
-    root = tempfile.mkdtemp(prefix="entry_mor_")
+    root = _oracle_root("image_mor_delete")
     t = bronze_ingest(spark, os.path.join(root, "t"), 200, n_files=8)
     lo = t.scan(spark).agg(F.min("phash")).head()[0]
     preds = [("phash", "<=", lo + 10**17)]
     mor = delete_where(t, spark, preds, mode="merge-on-read")
-    rows = [
-        (
-            "after_mor_delete",
-            int(t.scan(spark).count()),
-            int(mor.summary["rows_deleted"]),
-            int(mor.summary["files_rewritten"]),
-            len(t.pending_delete_paths()),
-        )
-    ]
+    n_after_mor = int(t.scan(spark).count())
+    assert int(mor.summary["files_rewritten"]) == 0  # zero data IO
+    assert len(t.pending_delete_paths()) >= 1
+    assert n_after_mor == 200 - int(mor.summary["rows_deleted"])
     app = apply_deletes(t, spark)
-    rows.append(
-        (
-            "after_apply",
-            int(t.scan(spark).count()),
-            int(app.summary["rows_removed"]),
-            int(app.summary["files_rewritten"]),
-            len(t.pending_delete_paths()),
-        )
-    )
-    return spark.createDataFrame(
-        rows,
-        "phase string, visible_rows int, rows_removed int, "
-        "files_rewritten int, pending_delete_files int",
-    ).orderBy("phase")
+    assert int(t.scan(spark).count()) == n_after_mor  # state unchanged
+    assert int(app.summary["rows_removed"]) == int(mor.summary["rows_deleted"])
+    assert not t.pending_delete_paths()
+    expire_snapshots(t, keep_last=1)
+    return _final_state_frame(t, spark)
 
 
 def q_image_eq_delete(spark, sf_dir):
@@ -2749,15 +2891,15 @@ def q_image_eq_delete(spark, sf_dir):
     O(|keys|) IO, zero data files touched, zero manifest bytes — then
     re-insert one deleted key (sequence rule: files appended after the
     delete are exempt, so the new copy survives), then apply_deletes
-    materializes the suppression. One row per phase with the visible
-    count and the count for the deleted keys. Engine-internal;
-    rows-only check."""
-    import tempfile
-
+    materializes the suppression. Phase accounting is asserted inline;
+    the returned final-state aggregate is hard-checked by DuckDB over
+    the live data files (scan equality — exactly one copy of the
+    re-inserted key, none of the other deleted keys)."""
     from aws_medallion_datalake_spark.operators import apply_deletes, equality_delete
+    from aws_medallion_datalake_spark.operators.expire import expire_snapshots
     from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
 
-    root = tempfile.mkdtemp(prefix="entry_eqdel_")
+    root = _oracle_root("image_eq_delete")
     t = bronze_ingest(spark, os.path.join(root, "t"), 200, n_files=8)
     ids = sorted(
         r["image_id"]
@@ -2766,25 +2908,20 @@ def q_image_eq_delete(spark, sf_dir):
     saved = t.scan(spark).filter(F.col("image_id") == ids[0])
     eq = equality_delete(t, spark, ids, cols=["image_id"])
 
-    def phase(name, extra=0):
+    def counts():
         return (
-            name,
             int(t.scan(spark).count()),
             int(t.scan(spark).filter(F.col("image_id").isin(ids)).count()),
-            len(t.pending_eq_deletes()),
-            int(extra),
         )
 
-    rows = [phase("after_eq_delete", eq.summary["delete_values"])]
+    assert int(eq.summary["delete_values"]) == 5
+    assert counts() == (195, 0) and len(t.pending_eq_deletes()) >= 1
     t.commit("append", t.write_files(saved))  # re-insert one deleted key
-    rows.append(phase("after_reinsert"))
-    app = apply_deletes(t, spark)
-    rows.append(phase("after_apply", app.summary["files_rewritten"]))
-    return spark.createDataFrame(
-        rows,
-        "phase string, visible_rows int, deleted_key_rows int, "
-        "pending_eq_deletes int, counter int",
-    ).orderBy("phase")
+    assert counts() == (196, 1)  # sequence rule: the new copy survives
+    apply_deletes(t, spark)
+    assert counts() == (196, 1) and not t.pending_eq_deletes()
+    expire_snapshots(t, keep_last=1)
+    return _final_state_frame(t, spark)
 
 
 def q_image_evolution(spark, sf_dir):
@@ -3035,16 +3172,17 @@ def q_image_dup_caption_audit(spark, sf_dir):
 def q_image_medallion(spark, sf_dir):
     """bronze→silver→gold medallion pipeline over the synthetic
     image+caption table (BASELINE.json input_hint shape); returns the
-    gold fact. Non-SQL (engine table format + Arrow codec UDFs)."""
-    import tempfile
-
+    gold fact. Hard oracle: DuckDB recomputes the gold aggregate from
+    the SILVER table's live data files — the returned gold rows (read
+    back through the engine's gold table) must match, proving both the
+    gold build and the gold table round-trip."""
     from aws_medallion_datalake_spark.pipeline.medallion import (
         bronze_ingest,
         gold_build,
         silver_refine,
     )
 
-    root = tempfile.mkdtemp(prefix="entry_medallion_")
+    root = _oracle_root("image_medallion")
     bronze = bronze_ingest(spark, os.path.join(root, "bronze"), _IMG_ROWS, n_files=8)
     silver = silver_refine(bronze, spark, os.path.join(root, "silver"))
     gold = gold_build(silver, spark, os.path.join(root, "gold"))
@@ -3053,13 +3191,12 @@ def q_image_medallion(spark, sf_dir):
 
 def q_image_maintenance(spark, sf_dir):
     """compact → cluster(hilbert) → merge → delete → expire on the image
-    table, then a post-maintenance scan aggregate (deterministic
-    invariants: row counts, distinct ids, byte totals per partition).
-    The delete stage removes a deterministic phash range via
-    stats-pruned copy-on-write (operators/delete.py), so the final
-    aggregate also witnesses row-level delete correctness."""
-    import tempfile
-
+    table, then the post-maintenance scan aggregate (deterministic
+    invariants + content fingerprint per partition). The delete stage
+    removes a deterministic phash range via stats-pruned copy-on-write
+    (operators/delete.py), so the final aggregate also witnesses
+    row-level delete correctness. Hard oracle: DuckDB recomputes the
+    same aggregate over the table's live data files (scan equality)."""
     from aws_medallion_datalake_spark.operators.cluster import cluster
     from aws_medallion_datalake_spark.operators.compact import compact
     from aws_medallion_datalake_spark.operators.delete import delete_where
@@ -3068,7 +3205,7 @@ def q_image_maintenance(spark, sf_dir):
     from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
     from aws_medallion_datalake_spark.sources.generator import generate_updates
 
-    root = tempfile.mkdtemp(prefix="entry_maint_")
+    root = _oracle_root("image_maintenance")
     t = bronze_ingest(spark, os.path.join(root, "t"), _IMG_ROWS, n_files=8)
     compact(t, spark, target_file_size_bytes=1 << 22)
     cluster(t, spark, curve="hilbert", target_file_size_bytes=1 << 22)
@@ -3076,17 +3213,7 @@ def q_image_maintenance(spark, sf_dir):
     merge_into(t, spark, src, key="image_id", target_file_size_bytes=1 << 22)
     delete_where(t, spark, [("phash", "<=", 1 << 59)])  # deterministic range
     expire_snapshots(t, keep_last=1)
-    return (
-        t.scan(spark)
-        .groupBy("ingest_date", "fmt")
-        .agg(
-            F.count("*").alias("n"),
-            F.countDistinct("image_id").alias("n_ids"),
-            F.sum(F.length("bytes")).alias("total_bytes"),
-            F.sum("w").alias("sum_w"),
-        )
-        .orderBy("ingest_date", "fmt")
-    )
+    return _final_state_frame(t, spark)
 
 
 def q_orders_rollup(spark, sf_dir):
@@ -4651,12 +4778,11 @@ def q_image_datasource(spark, sf_dir):
     data file, pushed filters prune files before listing),
     ``readStream``/``writeStream`` (snapshot-diff micro-batches into an
     exactly-once txnAppId sink), and ``df.write`` (per-task Arrow→parquet
-    + one atomic append commit from footer stats). Demonstrates
-    table-to-table incremental replication, then verifies the replica
-    matches the source byte-for-byte on ids. Engine-internal; rows-only
-    check."""
-    import tempfile
-
+    + one atomic append commit from footer stats). Replication accounting
+    is asserted inline; the returned final state of the REPLICA is
+    hard-checked by DuckDB over its live data files (scan equality — the
+    replica's physical content must equal the source's logical state)."""
+    from aws_medallion_datalake_spark.operators.expire import expire_snapshots
     from aws_medallion_datalake_spark.sources.datasource import register
     from aws_medallion_datalake_spark.sources.generator import (
         SCHEMA as IMG_SCHEMA,
@@ -4665,7 +4791,7 @@ def q_image_datasource(spark, sf_dir):
     from aws_medallion_datalake_spark.sources.tableformat import Table
 
     register(spark)
-    root = tempfile.mkdtemp(prefix="entry_pyds_")
+    root = _oracle_root("image_datasource")
     stats = ["phash", "w", "h", "image_id", "ingest_date"]
     src = Table.create(
         os.path.join(root, "src"), IMG_SCHEMA,
@@ -4714,15 +4840,14 @@ def q_image_datasource(spark, sf_dir):
         .filter(F.col("ingest_date") == d0)
         .count()
     )
-    rows = [
-        ("batch_write_rows", int(src.scan(spark).count())),
-        ("replicated_rows_first", int(n1)),
-        ("replicated_rows_total", int(got.count())),
-        ("id_phash_matched", int(matched)),
-        ("pruned_day_rows", int(pruned)),
-        ("dst_snapshots", int(len(dst.metadata().snapshots))),
-    ]
-    return spark.createDataFrame(rows, "metric string, value long")
+    n_total = _IMG_ROWS + _IMG_ROWS // 4
+    assert int(src.scan(spark).count()) == n_total
+    assert int(n1) == _IMG_ROWS  # first pump = first snapshot only
+    assert int(got.count()) == n_total == int(matched)
+    assert 0 < int(pruned) < n_total
+    assert len(dst.metadata().snapshots) == 2  # one commit per pump
+    expire_snapshots(dst, keep_last=1)
+    return _final_state_frame(dst, spark)
 
 
 def q_image_matview(spark, sf_dir):
@@ -4731,15 +4856,17 @@ def q_image_matview(spark, sf_dir):
     cheapest sound path — append-only base advance folds just the DELTA
     through the defining query (O(new rows), self-mergeable combiners),
     a MERGE in the chain falls back to full recompute, physical-only
-    snapshots bump the bookmark with zero IO. Every state is verified
-    against a from-scratch recompute. Engine-internal; rows-only check."""
-    import tempfile
-
+    snapshots bump the bookmark with zero IO. Refresh modes + per-state
+    Spark-side recompute equality are asserted inline; the returned
+    FINAL MV content is hard-checked by DuckDB running the defining
+    aggregate from scratch over the base table's live data files — the
+    incrementally-maintained state must equal a cold recompute."""
     from aws_medallion_datalake_spark.operators.matview import (
         create_matview,
         refresh_matview,
     )
     from aws_medallion_datalake_spark.operators.compact import compact
+    from aws_medallion_datalake_spark.operators.expire import expire_snapshots
     from aws_medallion_datalake_spark.operators.merge import merge_into
     from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
     from aws_medallion_datalake_spark.sources.generator import (
@@ -4747,7 +4874,7 @@ def q_image_matview(spark, sf_dir):
         generate_updates,
     )
 
-    root = tempfile.mkdtemp(prefix="entry_mv_")
+    root = _oracle_root("image_matview")
     base = bronze_ingest(spark, os.path.join(root, "base"), _IMG_ROWS, n_files=4)
     q = (
         "SELECT fmt, count(*) AS n, sum(w) AS total_w, max(phash) AS max_ph "
@@ -4771,23 +4898,24 @@ def q_image_matview(spark, sf_dir):
             map(tuple, ref.collect())
         )
 
-    rows = [("create", "full", int(ok()))]
+    assert ok()  # create = full materialization
     base.append(generate_images(spark, _IMG_ROWS // 4, n_files=1, start=50_000))
     s = refresh_matview(spark, mv, {"imgs": base})
-    rows.append(("append_refresh", s.summary["refresh"], int(ok())))
+    assert s.summary["refresh"] == "incremental" and ok()
     compact(base, spark)
     s2 = refresh_matview(spark, mv, {"imgs": base})
-    rows.append(
-        ("compact_refresh", "bookmark" if s2 is None else "unexpected", int(ok()))
-    )
+    assert s2 is None and ok()  # physical-only chain: bookmark bump
     merge_into(
         base, spark, generate_updates(spark, _IMG_ROWS, _IMG_ROWS // 8, 16, n_files=1)
     )
     s3 = refresh_matview(spark, mv, {"imgs": base})
-    rows.append(("merge_refresh", s3.summary["refresh"], int(ok())))
-    return spark.createDataFrame(
-        rows, "phase string, refresh_mode string, matches_recompute int"
-    )
+    assert s3.summary["refresh"] == "full" and ok()
+    # expire the base so <root>/base/data/** is exactly its live file
+    # set; the DuckDB oracle recomputes the defining aggregate there and
+    # must match the MV content the engine maintained through
+    # incremental / bookmark / full-fallback refreshes
+    expire_snapshots(base, keep_last=1)
+    return mv.scan(spark).orderBy("fmt")
 
 
 def q_media_features(spark, sf_dir):
@@ -4858,65 +4986,35 @@ def q_media_features(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries. Head = oracle entries the r02 gate never reached (TPC-H
-    # shapes, semdedup, neardup components, asof/range joins) + the
-    # entries changed this round (token_stats, ivf_topk, semdedup,
-    # moving_avg) + the engine-internal image/multimodal flows (rows-only
-    # records). Entries past 50 all carry green r02 driver records.
+    # entries. Round-4 window = the 15 entries changed this round
+    # (thirteen maintenance flows converted from rows-only to hard
+    # scan-equality oracles over their live data files, plus the two ANN
+    # entries whose query-vector fetch became a broadcast 1-row frame)
+    # followed by 35 oracle entries whose green records date from r02
+    # (oldest first-in policy: a green record should never be more than
+    # one round stale). Past 50: the twelve r02 oracle entries that did
+    # not fit (simhash_hamming_pairs … minhash_candidate_pairs — next
+    # round's window head), the 31 oracle entries with fresh r03
+    # records, then the remaining rows-only engine-internal flows
+    # (codec/table-format-bound, pytest-covered).
     return {
-        # -- never driver-checked oracle entries (r02 positions 51-80) --
-        "neardup_components": q_neardup_components,
-        "orders_rollup": q_orders_rollup,
-        "rank_topn_per_group": q_rank_topn_per_group,
-        "moving_avg": q_moving_avg,
-        "cube_agg": q_cube_agg,
-        "except_customers": q_except_customers,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "events_pivot": q_events_pivot,
-        "semdedup": q_semdedup,
-        "customers_no_orders": q_customers_no_orders,
-        "returned_orders_semi": q_returned_orders_semi,
-        "quantity_quartiles": q_quantity_quartiles,
-        "salted_supplier_revenue": q_salted_supplier_revenue,
-        "small_qty_revenue": q_small_qty_revenue,
-        "big_orders": q_big_orders,
-        "disjunctive_parts": q_disjunctive_parts,
-        "above_avg_balance": q_above_avg_balance,
-        "order_count_distribution": q_order_count_distribution,
-        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
-        "sole_returner": q_sole_returner,
-        "promo_revenue": q_promo_revenue,
-        "volume_shipping": q_volume_shipping,
-        "market_share": q_market_share,
-        "returned_customers": q_returned_customers,
-        "nation_profit": q_nation_profit,
-        "important_parts": q_important_parts,
-        "top_ship_supplier": q_top_ship_supplier,
-        "dominant_suppliers": q_dominant_suppliers,
         # -- changed this round: needs a fresh driver verdict --
-        "token_stats": q_token_stats,
-        "ivf_topk": q_ivf_topk,
-        # -- engine-internal flows (rows-only driver records) --
-        "media_features": q_media_features,
-        "image_medallion": q_image_medallion,
         "image_maintenance": q_image_maintenance,
-        "image_gold_star": q_image_gold_star,
-        "image_incremental": q_image_incremental,
-        "image_cdc": q_image_cdc,
-        "image_mor_merge": q_image_mor_merge,
-        "image_mor_delete": q_image_mor_delete,
         "image_update": q_image_update,
         "image_dyn_overwrite": q_image_dyn_overwrite,
-        "image_schema_ops": q_image_schema_ops,
-        "image_sql_dml": q_image_sql_dml,
-        "image_wap": q_image_wap,
-        "image_eq_delete": q_image_eq_delete,
-        "image_datasource": q_image_datasource,
+        "image_incremental": q_image_incremental,
+        "image_medallion": q_image_medallion,
         "image_matview": q_image_matview,
-        "image_quality_filter": q_image_quality_filter,
-        "image_dedup_verified": q_image_dedup_verified,
-        # ---- position 51+: green r02 driver records on file ----
+        "embedding_topk": q_embedding_topk,
+        "image_features_ann": q_image_features_ann,
+        "image_mor_delete": q_image_mor_delete,
+        "image_eq_delete": q_image_eq_delete,
+        "image_mor_merge": q_image_mor_merge,
+        "image_cdc": q_image_cdc,
+        "image_sql_dml": q_image_sql_dml,
+        "image_datasource": q_image_datasource,
+        "image_gold_star": q_image_gold_star,
+        # -- r02-stale green records, refreshed this round --
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
         "segment_revenue": q_segment_revenue,
@@ -4952,10 +5050,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,
         "tfidf_keywords": q_tfidf_keywords,
         "simhash": q_simhash,
+        # ---- position 51+ ----
+        # r02 records, first in line for the r5 window:
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "minhash_signature": q_minhash_signature,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "embedding_topk": q_embedding_topk,
         "lsh_buckets": q_lsh_buckets,
         "label_centroid_sim": q_label_centroid_sim,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
@@ -4965,7 +5064,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_explode": q_events_json_explode,
         "hidden_partition_scan": q_hidden_partition_scan,
         "minhash_candidate_pairs": q_minhash_candidate_pairs,
-        "image_features_ann": q_image_features_ann,
+        # fresh r03 green records:
+        "neardup_components": q_neardup_components,
+        "orders_rollup": q_orders_rollup,
+        "rank_topn_per_group": q_rank_topn_per_group,
+        "moving_avg": q_moving_avg,
+        "cube_agg": q_cube_agg,
+        "except_customers": q_except_customers,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "events_pivot": q_events_pivot,
+        "semdedup": q_semdedup,
+        "customers_no_orders": q_customers_no_orders,
+        "returned_orders_semi": q_returned_orders_semi,
+        "quantity_quartiles": q_quantity_quartiles,
+        "salted_supplier_revenue": q_salted_supplier_revenue,
+        "small_qty_revenue": q_small_qty_revenue,
+        "big_orders": q_big_orders,
+        "disjunctive_parts": q_disjunctive_parts,
+        "above_avg_balance": q_above_avg_balance,
+        "order_count_distribution": q_order_count_distribution,
+        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "sole_returner": q_sole_returner,
+        "promo_revenue": q_promo_revenue,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "returned_customers": q_returned_customers,
+        "nation_profit": q_nation_profit,
+        "important_parts": q_important_parts,
+        "top_ship_supplier": q_top_ship_supplier,
+        "dominant_suppliers": q_dominant_suppliers,
+        "token_stats": q_token_stats,
+        "ivf_topk": q_ivf_topk,
+        # rows-only engine-internal flows (pytest-covered):
+        "media_features": q_media_features,
+        "image_schema_ops": q_image_schema_ops,
+        "image_wap": q_image_wap,
+        "image_quality_filter": q_image_quality_filter,
+        "image_dedup_verified": q_image_dedup_verified,
         "image_live_pipeline": q_image_live_pipeline,
         "image_bucketed_join": q_image_bucketed_join,
         "image_phash_neardup": q_image_phash_neardup,
@@ -5016,6 +5152,21 @@ def oracle_sql() -> dict[str, str]:
         "simhash_hamming_pairs": _sql_simhash_hamming_pairs(),
         "minhash_signature": _sql_minhash_signature(),
         "ngram_jaccard_pairs": _sql_ngram_jaccard_pairs(),
+        # scan-equality oracles over the engine's live data files (the
+        # entries land their tables at fixed /tmp roots, see _oracle_root)
+        "image_maintenance": _sql_image_maintenance(),
+        "image_update": _sql_image_update(),
+        "image_dyn_overwrite": _sql_image_dyn_overwrite(),
+        "image_incremental": _sql_image_incremental(),
+        "image_medallion": _sql_image_medallion(),
+        "image_matview": _sql_image_matview(),
+        "image_mor_delete": _sql_image_mor_delete(),
+        "image_eq_delete": _sql_image_eq_delete(),
+        "image_mor_merge": _sql_image_mor_merge(),
+        "image_cdc": _sql_image_cdc(),
+        "image_sql_dml": _sql_image_sql_dml(),
+        "image_datasource": _sql_image_datasource(),
+        "image_gold_star": _sql_image_gold_star(),
         "embedding_topk": _sql_embedding_topk(),
         "lsh_buckets": _sql_lsh_buckets(),
         "label_centroid_sim": _sql_label_centroid_sim(),

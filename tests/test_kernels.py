@@ -27,6 +27,85 @@ def test_png_roundtrip_byte_exact():
     assert encode_png(back) == data
 
 
+def _independent_png_decode(data: bytes) -> np.ndarray:
+    """From-scratch PNG reader written AGAINST THE SPEC (RFC 2083), not
+    against our encoder: walks chunks verifying each CRC, validates the
+    IHDR fields, inflates the concatenated IDAT stream with stdlib zlib,
+    and reconstructs scanlines implementing ALL FIVE filter types
+    (None/Sub/Up/Average/Paeth — the engine only writes filter 0, but a
+    spec decoder must not assume that). Interop evidence for the codec's
+    "readable by any standard PNG tool" claim (functions/codec.py:8-10)
+    without an external image library in the container."""
+    import struct
+    import zlib
+
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "bad signature"
+    pos, chunks = 8, []
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        assert zlib.crc32(ctype + body) & 0xFFFFFFFF == crc, f"bad CRC in {ctype}"
+        chunks.append((ctype, body))
+        pos += 12 + length
+    assert chunks[0][0] == b"IHDR" and chunks[-1][0] == b"IEND"
+    w, h, depth, ctype_v, comp, filt, inter = struct.unpack(
+        ">IIBBBBB", chunks[0][1]
+    )
+    assert depth == 8 and ctype_v == 2, "8-bit RGB expected"
+    assert comp == 0 and filt == 0 and inter == 0
+    raw = zlib.decompress(b"".join(b for t, b in chunks if t == b"IDAT"))
+    stride = w * 3
+    assert len(raw) == h * (1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = 3
+    for y in range(h):
+        ftype = raw[y * (1 + stride)]
+        line = np.frombuffer(
+            raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)], dtype=np.uint8
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        cur = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = cur[x - bpp] if x >= bpp else 0  # left
+            b = prev[x]  # up
+            c = prev[x - bpp] if x >= bpp else 0  # upper-left
+            if ftype == 0:
+                rec = line[x]
+            elif ftype == 1:
+                rec = line[x] + a
+            elif ftype == 2:
+                rec = line[x] + b
+            elif ftype == 3:
+                rec = line[x] + (a + b) // 2
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec = line[x] + pred
+            else:
+                raise AssertionError(f"unknown filter {ftype}")
+            cur[x] = rec & 0xFF
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, 3)
+
+
+def test_png_interop_independent_spec_decoder():
+    """An engine-written PNG decodes pixel-exact through a decoder that
+    shares no code with the codec — chunk/CRC/IHDR validation + zlib
+    inflate + full five-filter reconstruction per the PNG spec."""
+    img = render_image(99, 40, 31)  # non-multiple-of-8 dims on purpose
+    data = encode_png(img)
+    np.testing.assert_array_equal(_independent_png_decode(data), img)
+    # the independent decoder also validates structure: corrupting one
+    # payload byte must break that chunk's CRC
+    bad = bytearray(data)
+    bad[40] ^= 0xFF
+    with pytest.raises(AssertionError, match="CRC"):
+        _independent_png_decode(bytes(bad))
+
+
 def test_lossy_roundtrip_psnr_above_40db():
     img = render_image(7, 96, 128)
     back = decode_lossy(encode_lossy(img))

@@ -603,7 +603,10 @@ def test_run_maintenance_cli(tmp_path, spark):
             ]
         )
     metrics = json.loads(buf.getvalue().strip().splitlines()[-1])
-    assert set(metrics) == {"compact", "cluster", "merge", "delete", "expire"}
+    assert set(metrics) == {
+        "compact", "cluster", "merge", "delete", "expire", "run_summary"
+    }
+    assert metrics["run_summary"]["status"] == "SUCCESS"
     assert metrics["merge"]["rows_inserted"] == 10
     assert metrics["merge"]["rows_updated"] == 30
     n_deleted = metrics["delete"].get("rows_deleted", 0)

@@ -72,7 +72,8 @@ def test_spark_submit_pyfiles_runs_maintenance(tmp_path, spark):
     )
     assert out.returncode == 0, out.stderr[-3000:]
     metrics = json.loads(out.stdout.strip().splitlines()[-1])
-    assert set(metrics) == {"compact", "expire"}
+    assert set(metrics) == {"compact", "expire", "run_summary"}
+    assert metrics["run_summary"]["status"] == "SUCCESS"
 
     t2 = Table.load(str(tmp_path / "images"))
     man = t2.manifest_pdf()
