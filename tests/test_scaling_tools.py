@@ -55,6 +55,21 @@ def test_count_clean_gate():
     assert clean == {2: 2, 8: 0}
 
 
+def test_count_clean_prefers_fresh_probe():
+    # a rep carrying the JVM-independent fresh pair is judged on THAT
+    # ratio: a contaminated in-JVM post-probe (gate 1.6x) no longer
+    # fails a rep whose fresh probes show a quiet box — and vice versa
+    contaminated_jvm = _rep(2, base=1.0, gate=1.6)
+    contaminated_jvm["times"]["cpu_fresh"] = 2.0
+    contaminated_jvm["times"]["cpu_fresh_gate"] = 2.1  # box quiet
+    truly_noisy = _rep(2, base=1.0, gate=1.0)
+    truly_noisy["times"]["cpu_fresh"] = 2.0
+    truly_noisy["times"]["cpu_fresh_gate"] = 3.5  # external load
+    legacy_ok = _rep(2, base=1.0, gate=1.1)  # no fresh fields: old rule
+    runs = {2: [contaminated_jvm, truly_noisy, legacy_ok]}
+    assert sb.count_clean(runs, [2]) == {2: 2}
+
+
 def test_aggregate_per_stage_minima():
     runs = {
         2: [_rep(2, base=1.0, scale=1.0), _rep(2, base=1.0, scale=2.0)],

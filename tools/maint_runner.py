@@ -126,6 +126,37 @@ def main() -> None:
         arr[::4096] = 1  # one touch per page
         return round(time.time() - t0, 3)
 
+    def cpu_fresh() -> float:
+        # box-noise probe in a FRESH python subprocess — no JVM state:
+        # the in-JVM cpu_baseline post-probe runs after the stages pushed
+        # tens of GB through the heap/page cache, so at large table sizes
+        # it measures the worked JVM's aftermath (GC, fragmentation) as
+        # much as the box. `cpus` parallel workers each sha256 a fixed
+        # 600 MB stream; only external load can slow this one down.
+        import subprocess
+
+        script = (
+            "import hashlib,time,multiprocessing as mp\n"
+            "def w(_):\n"
+            "    b = bytes(1 << 20)\n"
+            "    h = hashlib.sha256()\n"
+            "    for _ in range(600):\n"
+            "        h.update(b)\n"
+            "    return h.hexdigest()\n"
+            "if __name__ == '__main__':\n"
+            "    t0 = time.time()\n"
+            f"    with mp.Pool({cpus}) as p:\n"
+            f"        p.map(w, range({cpus}))\n"
+            "    print(round(time.time() - t0, 3))\n"
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True
+        )
+        try:
+            return float(out.stdout.strip())
+        except ValueError:
+            return -1.0
+
     root = tempfile.mkdtemp(
         prefix=f"scale{cpus}_",
         dir=os.path.dirname(local_dir) if local_dir else None,
@@ -135,6 +166,7 @@ def main() -> None:
         shutil.copytree(table_src, os.path.join(root, "t"))
         t = Table.load(os.path.join(root, "t"))
         baseline_pre = cpu_baseline()  # contention probe BEFORE stages
+        fresh_pre = cpu_fresh()
         alloc_pre = alloc_baseline()
         io_pre = io_baseline(os.path.join(root, "t"))
         n_rows = int(t.manifest_pdf()["record_count"].sum())
@@ -235,6 +267,12 @@ def main() -> None:
         baseline_post = cpu_baseline()
         times["cpu_baseline"] = min(baseline_pre, baseline_post)
         times["cpu_gate"] = max(baseline_pre, baseline_post)
+        # JVM-independent box-noise pair (see cpu_fresh): the post-hoc
+        # analysis can gate on THIS ratio when the in-JVM post-probe is
+        # contaminated by the stages' own heap/page-cache aftermath
+        fresh_post = cpu_fresh()
+        times["cpu_fresh"] = min(fresh_pre, fresh_post)
+        times["cpu_fresh_gate"] = max(fresh_pre, fresh_post)
         times["io_baseline"] = io_pre
         # healthy first-touch of 64 MB is ~20-50 ms; >1 s means the host
         # was servicing guest page faults pathologically during this rep
