@@ -2597,18 +2597,26 @@ def q_image_schema_ops(spark, sf_dir):
     (add validates existing data; writes enforce row-level inside the
     write job), type widening (int→bigint, manifest stats normalized
     first), and mergeSchema append evolution (new column added
-    metadata-only, old files read NULL). Engine-internal; rows-only
-    check."""
-    import tempfile
+    metadata-only, old files read NULL). Per-phase accounting is
+    asserted inline; the final logical state — constraint-rejected rows
+    absent, 2^40-width widened rows present, license NULL for every
+    pre-evolution row — is hard-checked by DuckDB over the live data
+    files with ``union_by_name`` (physical files span int32/int64 ``w``
+    generations and the pre/post-license schema)."""
+    import time as _time
 
+    from aws_medallion_datalake_spark.operators.expire import (
+        expire_snapshots,
+        remove_orphan_files,
+    )
     from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
 
-    root = tempfile.mkdtemp(prefix="entry_schema_")
+    root = _oracle_root("image_schema_ops")
     t = bronze_ingest(spark, os.path.join(root, "t"), _IMG_ROWS, n_files=4)
     from aws_medallion_datalake_spark.sources.generator import generate_images
 
     t.add_constraint(spark, "pos_dims", "w > 0 AND h > 0")
-    bad_rejected = 0
+    bad_rejected = False
     try:
         t.write_files(
             generate_images(spark, 8, n_files=1, start=40000).withColumn(
@@ -2616,27 +2624,55 @@ def q_image_schema_ops(spark, sf_dir):
             )
         )
     except Exception:
-        bad_rejected = 1
-    n_after_reject = t.scan(spark).count()
+        bad_rejected = True
+    assert bad_rejected  # row-level CHECK fired inside the write job
+    assert int(t.scan(spark).count()) == _IMG_ROWS
     t.widen_column("w", "bigint")
     wide = generate_images(spark, 12, n_files=1, start=41000).withColumn(
         "w", (F.col("w").cast("bigint") + F.lit(2**40)).cast("bigint")
     )
     t.append(wide)
-    n_wide = t.scan(spark, predicates=[("w", ">=", 2**40)]).count()
+    assert int(t.scan(spark, predicates=[("w", ">=", 2**40)]).count()) == 12
     lic = generate_images(spark, 6, n_files=1, start=42000).withColumn(
         "license", F.lit("cc-by")
     )
     t.append(lic, merge_schema=True)
-    n_lic = t.scan(spark).filter(F.col("license") == "cc-by").count()
-    n_null_lic = t.scan(spark).filter(F.col("license").isNull()).count()
-    rows = [
-        ("constraint_reject", bad_rejected, int(n_after_reject)),
-        ("widen_append", int(n_wide), int(n_after_reject) + 12),
-        ("merge_schema", int(n_lic), int(n_null_lic)),
-        ("final", len(t.constraints()), int(t.scan(spark).count())),
-    ]
-    return spark.createDataFrame(rows, "stage string, a long, check long")
+    n_lic = int(t.scan(spark).filter(F.col("license") == "cc-by").count())
+    n_null = int(t.scan(spark).filter(F.col("license").isNull()).count())
+    assert (n_lic, n_null) == (6, _IMG_ROWS + 12)
+    assert len(t.constraints()) == 1
+    expire_snapshots(t, keep_last=1)
+    # the rejected write's task debris (never committed) must not leak
+    # into the physical file set the oracle scans
+    remove_orphan_files(t, older_than_ms=int(_time.time() * 1000) + 60_000)
+    return (
+        t.scan(spark)
+        .groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("w").alias("sum_w"),
+            F.sum((F.col("w") >= 2**40).cast("long")).alias("n_wide"),
+            F.sum(F.col("license").isNull().cast("long")).alias("n_null_lic"),
+            F.sum(
+                _hex15_to_long(F.md5(F.col("image_id"))) % 1000003
+            ).alias("id_fp"),
+        )
+        .orderBy("fmt")
+    )
+
+
+def _sql_image_schema_ops():
+    root = os.path.join(_ORACLE_STATE_ROOT, "image_schema_ops")
+    return f"""
+        SELECT fmt, count(*) AS n, sum(w) AS sum_w,
+               sum(CASE WHEN w >= 1099511627776 THEN 1 ELSE 0 END) AS n_wide,
+               sum(CASE WHEN license IS NULL THEN 1 ELSE 0 END) AS n_null_lic,
+               sum(CAST('0x' || substr(md5(image_id), 1, 15) AS BIGINT)
+                   % 1000003) AS id_fp
+        FROM read_parquet('{root}/t/data/*/*.parquet', union_by_name=true)
+        GROUP BY fmt
+        ORDER BY fmt
+    """
 
 
 def q_image_live_pipeline(spark, sf_dir):
@@ -2646,9 +2682,12 @@ def q_image_live_pipeline(spark, sf_dir):
     (txnAppId contract) → a MERGE applies corrections → the CDC
     changelog feeds the incremental gold rollup (O(changes) per
     refresh, never O(table)) — verified EQUAL to a full recompute
-    after every stage. Engine-internal; rows-only check."""
-    import tempfile
-
+    after every stage (asserted inline). Hard oracle: the base table's
+    final-state aggregate is recomputed by DuckDB over its live data
+    files — exactly-once streaming + the merge must leave the physical
+    file set holding exactly 160 rows with the 20 corrected widths,
+    which the per-partition content fingerprint witnesses."""
+    from aws_medallion_datalake_spark.operators.expire import expire_snapshots
     from aws_medallion_datalake_spark.operators.merge import merge_into
     from aws_medallion_datalake_spark.pipeline.incremental import (
         create_agg_table,
@@ -2658,7 +2697,7 @@ def q_image_live_pipeline(spark, sf_dir):
     from aws_medallion_datalake_spark.sources.tableformat import Table as _Tbl
     from aws_medallion_datalake_spark.streaming.ingest import stream_append
 
-    root = tempfile.mkdtemp(prefix="entry_live_")
+    root = _oracle_root("image_live_pipeline")
     from aws_medallion_datalake_spark.sources.generator import SCHEMA as _S
 
     t = _Tbl.create(
@@ -2700,25 +2739,25 @@ def q_image_live_pipeline(spark, sf_dir):
     r2 = refresh_agg(gold, t, spark, agg_ckpt, groups, measures)
     d2 = _diff(gold)
 
-    rows = [
-        ("stream_batch1", 120, int(r1["result"]), int(d1)),
-        ("stream_batch2_merge", int(t.scan(spark).count()),
-         int(r2["result"]), int(d2)),
-    ]
-    return spark.createDataFrame(
-        rows, "stage string, rows long, groups_adjusted long, agg_diff long"
-    )
+    assert int(r1["result"]) > 0  # first refresh adjusted >= 1 group
+    assert int(d1) == 0  # incremental gold == full recompute (batch 1)
+    assert int(r2["result"]) > 0
+    assert int(d2) == 0  # still equal after stream batch 2 + MERGE
+    assert int(t.scan(spark).count()) == 160  # exactly-once appends
+    expire_snapshots(t, keep_last=1)
+    return _final_state_frame(t, spark)
 
 
 def q_image_bucketed_join(spark, sf_dir):
     """Storage-partitioned (co-located) join: two engine tables bucketed
     ``bucket(8, image_id)`` join WITHOUT shuffling either full side —
     per-bucket broadcast hash joins over manifest-listed file groups
-    (operators/joins.py bucketed_join; Iceberg SPJ shape). Checks the
-    result equals the plain shuffled join and that the compiled plan
-    contains no SortMergeJoin. Engine-internal; rows-only check."""
-    import tempfile
-
+    (operators/joins.py bucketed_join; Iceberg SPJ shape). Plan shape
+    (no SortMergeJoin, per-bucket broadcasts) and SPJ == plain-join row
+    count are asserted inline; the returned join CONTENT (per-fmt
+    counts, dim sums, image_id fingerprint) is hard-checked by a DuckDB
+    join over both tables' live data files — the co-located join must
+    produce exactly the rows a plain join over the same files does."""
     from aws_medallion_datalake_spark.operators.cluster import route_exact
     from aws_medallion_datalake_spark.operators.joins import bucketed_join
     from aws_medallion_datalake_spark.sources import transforms
@@ -2728,7 +2767,7 @@ def q_image_bucketed_join(spark, sf_dir):
     )
     from aws_medallion_datalake_spark.sources.tableformat import Table
 
-    root = tempfile.mkdtemp(prefix="entry_spj_")
+    root = _oracle_root("image_bucketed_join")
     tf = transforms.parse("bucket(8, image_id)")
 
     def _mk(name, n, start):
@@ -2755,14 +2794,34 @@ def q_image_bucketed_join(spark, sf_dir):
         .count()
     )
     plan = spj._jdf.queryExecution().executedPlan().toString()
-    rows = [
-        ("spj_rows", int(n_spj)),
-        ("plain_rows", int(n_plain)),
-        ("match", int(n_spj == n_plain)),
-        ("broadcast_joins", int(plan.count("BroadcastHashJoin") > 0)),
-        ("sort_merge_joins", int("SortMergeJoin" in plan)),
-    ]
-    return spark.createDataFrame(rows, "check string, value long")
+    assert n_spj == n_plain  # SPJ result = plain shuffled join
+    assert "SortMergeJoin" not in plan  # neither side shuffled/sorted
+    assert plan.count("BroadcastHashJoin") > 0  # per-bucket broadcasts
+    fp = _hex15_to_long(F.md5(F.col("image_id")))
+    return (
+        spj.groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("w").alias("sum_w"),
+            F.sum("h").alias("sum_h"),
+            F.sum(fp % 1000003).alias("id_fp"),
+        )
+        .orderBy("fmt")
+    )
+
+
+def _sql_image_bucketed_join():
+    root = os.path.join(_ORACLE_STATE_ROOT, "image_bucketed_join")
+    return f"""
+        SELECT b.fmt, count(*) AS n, sum(a.w) AS sum_w, sum(a.h) AS sum_h,
+               sum(CAST('0x' || substr(md5(a.image_id), 1, 15) AS BIGINT)
+                   % 1000003) AS id_fp
+        FROM read_parquet('{root}/a/data/*/*.parquet') a
+        JOIN read_parquet('{root}/b/data/*/*.parquet') b
+          ON a.image_id = b.image_id
+        GROUP BY b.fmt
+        ORDER BY b.fmt
+    """
 
 
 def q_image_sql_dml(spark, sf_dir):
@@ -2813,10 +2872,18 @@ def q_image_wap(spark, sf_dir):
     """Write-audit-publish ingestion gate: a clean batch stages, passes
     the audit (metadata profile + full decode probe) and publishes; a
     corrupt batch (truncated payloads) is caught by the decode probe and
-    never becomes visible to readers. Returns one row per batch with the
-    gate verdict and audit counters. Engine-internal; rows-only check."""
-    import tempfile
+    never becomes visible to readers. Per-batch gate verdicts and audit
+    counters are asserted inline; the corrupt batch is dropped and its
+    files orphan-swept, so after expiry the table's live data files hold
+    EXACTLY base + clean rows — which the returned final-state aggregate
+    witnesses and DuckDB hard-checks over the physical files (a leaked
+    corrupt row would shift both counts and the content fingerprint)."""
+    import time as _time
 
+    from aws_medallion_datalake_spark.operators.expire import (
+        expire_snapshots,
+        remove_orphan_files,
+    )
     from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
     from aws_medallion_datalake_spark.pipeline.wap import (
         gated_append,
@@ -2824,7 +2891,7 @@ def q_image_wap(spark, sf_dir):
     )
     from aws_medallion_datalake_spark.sources.generator import generate_images
 
-    root = tempfile.mkdtemp(prefix="entry_wap_")
+    root = _oracle_root("image_wap")
     t = bronze_ingest(spark, os.path.join(root, "t"), 200, n_files=4)
     strict = lambda d: image_audit_gate(d, decode_sample_fraction=1.0)  # noqa: E731
     clean = generate_images(spark, 60, n_files=2, start=50_000)
@@ -2835,24 +2902,21 @@ def q_image_wap(spark, sf_dir):
             F.expr("substring(bytes, 1, 16)"),
         ).otherwise(F.col("bytes")),
     )
-    rows = []
-    for name, batch in (("clean", clean), ("corrupt", corrupt)):
-        r = gated_append(t, spark, batch, wap_id=name, gate=strict)
-        rows.append(
-            (
-                name,
-                bool(r["passed"]),
-                bool(r["published"]),
-                int(r["metrics"]["rows"]),
-                int(r["metrics"]["decode_failures"]),
-                int(t.scan(spark).count()),
-            )
-        )
-    return spark.createDataFrame(
-        rows,
-        "batch string, passed boolean, published boolean, "
-        "rows_staged int, decode_failures int, visible_rows int",
-    ).orderBy("batch")
+    ok = gated_append(t, spark, clean, wap_id="clean", gate=strict)
+    assert ok["passed"] and ok["published"]
+    assert int(ok["metrics"]["rows"]) == 60
+    assert int(ok["metrics"]["decode_failures"]) == 0
+    bad = gated_append(
+        t, spark, corrupt, wap_id="corrupt", gate=strict, drop_on_fail=True
+    )
+    assert not bad["passed"] and not bad["published"]
+    assert int(bad["metrics"]["decode_failures"]) > 0
+    assert int(t.scan(spark).count()) == 260  # corrupt batch invisible
+    expire_snapshots(t, keep_last=1)
+    # the dropped batch's staged files are unreferenced debris — sweep
+    # them so the data dirs hold exactly the live file set
+    remove_orphan_files(t, older_than_ms=int(_time.time() * 1000) + 60_000)
+    return _final_state_frame(t, spark)
 
 
 def q_image_mor_delete(spark, sf_dir):
@@ -2927,20 +2991,22 @@ def q_image_eq_delete(spark, sf_dir):
 def q_image_evolution(spark, sf_dir):
     """Schema + partition-spec evolution, no rewrites: add a column (old
     files read NULL), evolve the partition spec ingest_date → fmt (old
-    files keep old stats, new files prune on the new spec). One row per
-    phase with visible rows, null counts for the added column, and the
-    manifest file count a fmt-predicate scan plans. Engine-internal;
-    rows-only check."""
-    import tempfile
-
+    files keep old stats, new files prune on the new spec). Per-phase
+    accounting (visible rows, null counts for the added column, the
+    manifest file count a fmt-predicate scan plans) is asserted inline;
+    the final logical state — old rows reading NULL for the added
+    column, new-spec rows carrying it — is hard-checked by DuckDB over
+    the live data files with ``union_by_name`` (the physical files span
+    two schema generations and two partition specs)."""
+    from aws_medallion_datalake_spark.operators.expire import expire_snapshots
     from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
     from aws_medallion_datalake_spark.sources.generator import generate_images
     from aws_medallion_datalake_spark.sources.tableformat import prune_manifest
 
-    root = tempfile.mkdtemp(prefix="entry_evo_")
+    root = _oracle_root("image_evolution")
     t = bronze_ingest(spark, os.path.join(root, "t"), 200, n_files=8)
 
-    def phase(name):
+    def phase():
         meta = t.metadata()
         statable = list(meta.partition_cols) + list(meta.stats_cols)
         planned = len(prune_manifest(t.manifest_pdf(), [("fmt", "=", "png")], statable))
@@ -2950,11 +3016,12 @@ def q_image_evolution(spark, sf_dir):
             if "quality_score" in df.columns
             else -1
         )
-        return (name, int(df.count()), int(nulls), int(planned), len(t.manifest_pdf()))
+        return (int(df.count()), int(nulls), int(planned), len(t.manifest_pdf()))
 
-    rows = [phase("initial")]
+    assert phase()[:2] == (200, -1)  # no quality_score column yet
     t.add_columns("quality_score double")
-    rows.append(phase("after_add_column"))
+    n, nulls, _planned, total0 = phase()
+    assert (n, nulls) == (200, 200)  # metadata-only add: all NULL
     t.set_partition_spec(["fmt"])
     new = (
         generate_images(spark, 80, n_files=2, start=70_000)
@@ -2962,12 +3029,39 @@ def q_image_evolution(spark, sf_dir):
         .withColumn("quality_score", F.lit(0.5))
     )
     t.commit("append", t.write_files(new))
-    rows.append(phase("after_spec_evolution_append"))
-    return spark.createDataFrame(
-        rows,
-        "phase string, visible_rows int, null_quality_rows int, "
-        "files_planned_fmt_eq_png int, files_total int",
-    ).orderBy("phase")
+    n, nulls, planned, total = phase()
+    n_png_new = n - 200
+    assert n_png_new > 0 and nulls == 200  # old rows still NULL
+    # new-spec files all prune to fmt='png'; old-spec files lack fmt
+    # stats so they stay planned — pruning never drops the new files
+    assert total0 < total and planned >= total - total0
+    expire_snapshots(t, keep_last=1)
+    return (
+        t.scan(spark)
+        .groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("quality_score").isNull().cast("long")).alias("n_null_qs"),
+            F.sum("w").alias("sum_w"),
+            F.round(F.sum(F.coalesce(F.col("quality_score"), F.lit(0.0))), 3).alias(
+                "sum_qs"
+            ),
+        )
+        .orderBy("fmt")
+    )
+
+
+def _sql_image_evolution():
+    root = os.path.join(_ORACLE_STATE_ROOT, "image_evolution")
+    return f"""
+        SELECT fmt, count(*) AS n,
+               sum(CASE WHEN quality_score IS NULL THEN 1 ELSE 0 END) AS n_null_qs,
+               sum(w) AS sum_w,
+               round(sum(coalesce(quality_score, 0.0)), 3) AS sum_qs
+        FROM read_parquet('{root}/t/data/*/*.parquet', union_by_name=true)
+        GROUP BY fmt
+        ORDER BY fmt
+    """
 
 
 def q_image_rename(spark, sf_dir):
@@ -2978,22 +3072,25 @@ def q_image_rename(spark, sf_dir):
     `Table.read_data`, which coalesces a column's name generations.
     Phases: rename caption→caption_text (zero rewrites, old files still
     carry the old physical name), append new-generation files, compact
-    (physical migration), drop a column. Each row reports visible rows,
-    non-null caption_text rows, and how many live data files physically
-    carry the NEW name — 0 right after the rename, all of them after
-    compaction. Engine-internal; rows-only check."""
-    import tempfile
-
+    (physical migration), drop a column. Per-phase accounting (visible
+    rows, non-null caption_text rows, how many live files physically
+    carry the NEW name — 0 right after the rename, all after
+    compaction) is asserted inline; after expiry the live files all
+    carry the migrated name, so DuckDB hard-checks the final logical
+    state — per-ingest_date counts and an (image_id, caption_text)
+    content fingerprint — straight over the physical files (the dropped
+    ``fmt`` column merely goes unselected)."""
     import pyarrow.parquet as _pq
 
     from aws_medallion_datalake_spark.operators.compact import compact
+    from aws_medallion_datalake_spark.operators.expire import expire_snapshots
     from aws_medallion_datalake_spark.pipeline.medallion import bronze_ingest
     from aws_medallion_datalake_spark.sources.generator import generate_images
 
-    root = tempfile.mkdtemp(prefix="entry_ren_")
+    root = _oracle_root("image_rename")
     t = bronze_ingest(spark, os.path.join(root, "t"), 200, n_files=8)
 
-    def phase(name):
+    def phase():
         df = t.scan(spark)
         cap = (
             df.filter(F.col("caption_text").isNotNull()).count()
@@ -3006,37 +3103,79 @@ def q_image_rename(spark, sf_dir):
             in _pq.read_schema(os.path.join(t.root, p)).names
             for p in man["path"]
         )
-        return (name, int(df.count()), int(cap), int(migrated), len(man))
+        return (int(df.count()), int(cap), int(migrated), len(man))
 
-    rows = [phase("0_initial")]
+    assert phase() == (200, -1, 0, 8)  # initial: old name everywhere
     t.rename_column("caption", "caption_text")
-    rows.append(phase("1_after_rename"))
+    n, cap, migrated, total = phase()
+    assert (n, cap, migrated) == (200, 200, 0)  # metadata-only rename
     new = generate_images(spark, 60, n_files=2, start=80_000).withColumnRenamed(
         "caption", "caption_text"
     )
     t.commit("append", t.write_files(new))
-    rows.append(phase("2_after_new_generation_append"))
+    n, cap, migrated, total = phase()
+    assert (n, cap) == (260, 260) and 0 < migrated < total
     compact(t, spark, target_file_size_bytes=1 << 22)
-    rows.append(phase("3_after_compact_migration"))
+    n, cap, migrated, total = phase()
+    assert (n, cap) == (260, 260) and migrated == total  # all migrated
     t.drop_column("fmt")
-    rows.append(phase("4_after_drop_fmt"))
-    return spark.createDataFrame(
-        rows,
-        "phase string, visible_rows int, caption_text_rows int, "
-        "files_with_new_name int, files_total int",
-    ).orderBy("phase")
+    assert "fmt" not in t.scan(spark).columns
+    expire_snapshots(t, keep_last=1)
+    fp = _hex15_to_long(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("image_id"),
+                F.coalesce(F.col("caption_text"), F.lit("<null>")),
+            )
+        )
+    )
+    return (
+        t.scan(spark)
+        .groupBy("ingest_date")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("image_id").alias("n_ids"),
+            F.sum("w").alias("sum_w"),
+            F.sum(fp % 1000003).alias("content_fp"),
+        )
+        .orderBy("ingest_date")
+    )
+
+
+def _sql_image_rename():
+    root = os.path.join(_ORACLE_STATE_ROOT, "image_rename")
+    return f"""
+        SELECT ingest_date, count(*) AS n,
+               count(DISTINCT image_id) AS n_ids,
+               sum(w) AS sum_w,
+               sum(CAST('0x' || substr(md5(image_id || '|' ||
+                     coalesce(caption_text, '<null>')), 1, 15) AS BIGINT)
+                   % 1000003) AS content_fp
+        FROM read_parquet('{root}/t/data/*/*.parquet')
+        GROUP BY ingest_date
+        ORDER BY ingest_date
+    """
 
 
 def q_image_features_ann(spark, sf_dir):
     """Multimodal chain: decode → grid-feature embedding (Arrow UDF) →
     brute-force cosine top-10 against image 0 — the image analogue of
-    embedding_topk. Non-SQL (engine codec); rows-only check."""
+    embedding_topk.
+
+    Hard oracle: the engine-computed 48-dim embeddings are landed at a
+    fixed root (the decode step is engine-only, but the SEARCH over the
+    landed vectors is pure math), and DuckDB recomputes the cosine
+    top-10 from the same stored floats — ranking, rounding, and
+    tie-break must match exactly."""
     from aws_medallion_datalake_spark.functions.multimodal import image_features_udf
     from aws_medallion_datalake_spark.sources.generator import generate_images
 
-    df = generate_images(spark, 300, n_files=4).select(
+    root = _oracle_root("image_features_ann")
+    generate_images(spark, 300, n_files=4).select(
         "image_id", image_features_udf(F.col("bytes"), grid=4).alias("emb")
-    )
+    ).write.parquet(os.path.join(root, "features"))
+    df = spark.read.parquet(os.path.join(root, "features"))
     qrow = df.filter(F.col("image_id") == "img-000000000000").select(
         F.transform("emb", lambda x: x.cast("double")).alias("qemb")
     )
@@ -3051,24 +3190,69 @@ def q_image_features_ann(spark, sf_dir):
     )
 
 
+def _sql_image_features_ann():
+    root = os.path.join(_ORACLE_STATE_ROOT, "image_features_ann")
+    feat = f"read_parquet('{root}/features/*.parquet')"
+    return f"""
+        WITH q AS (
+            SELECT i,
+                   (SELECT emb FROM {feat}
+                    WHERE image_id = 'img-000000000000')[i]::DOUBLE AS v
+            FROM generate_series(1, 48) g(i)),
+        e AS (SELECT image_id, i, emb[i]::DOUBLE AS v
+              FROM {feat}, generate_series(1, 48) g(i))
+        SELECT e.image_id,
+               round(sum(e.v * q.v) /
+                     (sqrt(sum(e.v * e.v)) * sqrt(sum(q.v * q.v))), 4) AS cos_sim
+        FROM e JOIN q USING (i)
+        GROUP BY e.image_id
+        ORDER BY cos_sim DESC, image_id ASC LIMIT 10
+    """
+
+
 def q_image_phash_neardup(spark, sf_dir):
     """Near-duplicate IMAGE detection via banded Hamming join over the
     stored 64-bit phash column (input_hint schema) — the image analogue
     of simhash_hamming_pairs. The generator plants a hot-phash tail
     (~10% of rows collapse into 4 exact-dup buckets, FIXTURES.md §1),
     so the pair graph is dominated by distance-0 cliques; returns the
-    deterministic (hamming, n_pairs) histogram. Non-SQL (engine codec
-    generates the table); rows-only check."""
+    deterministic (hamming, n_pairs) histogram.
+
+    Hard oracle — LSH recall vs GROUND TRUTH: with max_distance=8 the
+    banded join uses 9 bands and no bucket cap, so pigeonhole recall is
+    exact; the (image_id, phash) projection is landed at a fixed root
+    and DuckDB brute-forces the all-pairs bit_count(xor()) histogram
+    over it. Any pair the banding misses (or invents) breaks the match."""
     from aws_medallion_datalake_spark.functions.hamming import hamming_pairs
     from aws_medallion_datalake_spark.sources.generator import generate_images
 
-    df = generate_images(spark, 600, n_files=4).select("image_id", "phash")
+    root = _oracle_root("image_phash_neardup")
+    generate_images(spark, 600, n_files=4).select("image_id", "phash").write.parquet(
+        os.path.join(root, "input")
+    )
+    df = spark.read.parquet(os.path.join(root, "input"))
     pairs = hamming_pairs(df, "image_id", "phash", max_distance=8)
     return (
         pairs.groupBy("hamming")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("hamming")
     )
+
+
+def _sql_image_phash_neardup():
+    root = os.path.join(_ORACLE_STATE_ROOT, "image_phash_neardup")
+    return f"""
+        SELECT hamming, count(*) AS n_pairs
+        FROM (
+            SELECT CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+            FROM read_parquet('{root}/input/*.parquet') a
+            JOIN read_parquet('{root}/input/*.parquet') b
+              ON a.image_id < b.image_id
+        )
+        WHERE hamming <= 8
+        GROUP BY hamming
+        ORDER BY hamming
+    """
 
 
 def q_image_quality_filter(spark, sf_dir):
@@ -3153,10 +3337,16 @@ def q_image_dup_caption_audit(spark, sf_dir):
     where one image recurs under many labels (hot-tail rows share 4 base
     patterns but every row's caption is unique). Returns the
     deterministic (n_images, n_captions, n_groups) histogram of dup
-    groups. Non-SQL (engine codec generates the table); rows-only."""
+    groups. Hard oracle: the (phash, caption) projection is landed at a
+    fixed root and DuckDB recomputes the identical two-level histogram
+    over it."""
     from aws_medallion_datalake_spark.sources.generator import generate_images
 
-    df = generate_images(spark, 600, n_files=4).select("phash", "caption")
+    root = _oracle_root("image_dup_caption_audit")
+    generate_images(spark, 600, n_files=4).select("phash", "caption").write.parquet(
+        os.path.join(root, "input")
+    )
+    df = spark.read.parquet(os.path.join(root, "input"))
     groups = df.groupBy("phash").agg(
         F.count(F.lit(1)).alias("n_images"),
         F.countDistinct("caption").alias("n_captions"),
@@ -3167,6 +3357,22 @@ def q_image_dup_caption_audit(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_groups"))
         .orderBy("n_images", "n_captions")
     )
+
+
+def _sql_image_dup_caption_audit():
+    root = os.path.join(_ORACLE_STATE_ROOT, "image_dup_caption_audit")
+    return f"""
+        SELECT n_images, n_captions, count(*) AS n_groups
+        FROM (
+            SELECT phash, count(*) AS n_images,
+                   count(DISTINCT caption) AS n_captions
+            FROM read_parquet('{root}/input/*.parquet')
+            GROUP BY phash
+        )
+        WHERE n_images > 1
+        GROUP BY n_images, n_captions
+        ORDER BY n_images, n_captions
+    """
 
 
 def q_image_medallion(spark, sf_dir):
@@ -4986,17 +5192,18 @@ def q_media_features(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries. Round-4 window = the 15 entries changed this round
-    # (thirteen maintenance flows converted from rows-only to hard
-    # scan-equality oracles over their live data files, plus the two ANN
-    # entries whose query-vector fetch became a broadcast 1-row frame)
-    # followed by 35 oracle entries whose green records date from r02
-    # (oldest first-in policy: a green record should never be more than
-    # one round stale). Past 50: the twelve r02 oracle entries that did
-    # not fit (simhash_hamming_pairs … minhash_candidate_pairs — next
-    # round's window head), the 31 oracle entries with fresh r03
-    # records, then the remaining rows-only engine-internal flows
-    # (codec/table-format-bound, pytest-covered).
+    # entries. Round-4 window = the 23 entries changed this round
+    # (thirteen maintenance flows converted to hard scan-equality
+    # oracles over their live data files, two ANN entries whose
+    # query-vector fetch became a broadcast 1-row frame, and eight more
+    # formerly rows-only flows converted to hard oracles: wap /
+    # live_pipeline / rename / evolution / schema_ops final-state scans,
+    # the bucketed-join content check, the phash-LSH-vs-brute-force
+    # recall check, and the dup-caption histogram) followed by 27 oracle
+    # entries whose green records date from r02 (oldest first-in
+    # policy). Past 50: the remaining r02 oracle entries (next round's
+    # window head), the oracle entries with fresh r03 records, then the
+    # three genuinely rows-only decode-bound flows (pytest-covered).
     return {
         # -- changed this round: needs a fresh driver verdict --
         "image_maintenance": q_image_maintenance,
@@ -5014,6 +5221,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_sql_dml": q_image_sql_dml,
         "image_datasource": q_image_datasource,
         "image_gold_star": q_image_gold_star,
+        "image_wap": q_image_wap,
+        "image_live_pipeline": q_image_live_pipeline,
+        "image_rename": q_image_rename,
+        "image_evolution": q_image_evolution,
+        "image_schema_ops": q_image_schema_ops,
+        "image_bucketed_join": q_image_bucketed_join,
+        "image_phash_neardup": q_image_phash_neardup,
+        "image_dup_caption_audit": q_image_dup_caption_audit,
         # -- r02-stale green records, refreshed this round --
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
@@ -5096,18 +5311,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominant_suppliers": q_dominant_suppliers,
         "token_stats": q_token_stats,
         "ivf_topk": q_ivf_topk,
-        # rows-only engine-internal flows (pytest-covered):
+        # rows-only decode-bound flows (pytest-covered):
         "media_features": q_media_features,
-        "image_schema_ops": q_image_schema_ops,
-        "image_wap": q_image_wap,
         "image_quality_filter": q_image_quality_filter,
         "image_dedup_verified": q_image_dedup_verified,
-        "image_live_pipeline": q_image_live_pipeline,
-        "image_bucketed_join": q_image_bucketed_join,
-        "image_phash_neardup": q_image_phash_neardup,
-        "image_dup_caption_audit": q_image_dup_caption_audit,
-        "image_evolution": q_image_evolution,
-        "image_rename": q_image_rename,
     }
 
 
@@ -5167,6 +5374,17 @@ def oracle_sql() -> dict[str, str]:
         "image_sql_dml": _sql_image_sql_dml(),
         "image_datasource": _sql_image_datasource(),
         "image_gold_star": _sql_image_gold_star(),
+        "image_wap": _sql_final_state(f"{_ORACLE_STATE_ROOT}/image_wap/t"),
+        "image_live_pipeline": _sql_final_state(
+            f"{_ORACLE_STATE_ROOT}/image_live_pipeline/t"
+        ),
+        "image_rename": _sql_image_rename(),
+        "image_evolution": _sql_image_evolution(),
+        "image_schema_ops": _sql_image_schema_ops(),
+        "image_bucketed_join": _sql_image_bucketed_join(),
+        "image_phash_neardup": _sql_image_phash_neardup(),
+        "image_dup_caption_audit": _sql_image_dup_caption_audit(),
+        "image_features_ann": _sql_image_features_ann(),
         "embedding_topk": _sql_embedding_topk(),
         "lsh_buckets": _sql_lsh_buckets(),
         "label_centroid_sim": _sql_label_centroid_sim(),
@@ -5207,7 +5425,8 @@ def oracle_sql() -> dict[str, str]:
         "important_parts": _sql_important_parts(),
         "top_ship_supplier": _sql_top_ship_supplier(),
         "dominant_suppliers": _sql_dominant_suppliers(),
-        # image_medallion / image_maintenance / image_gold_star:
-        # engine-internal table format + Arrow codec UDFs — not
-        # SQL-expressible (rows-only).
+        # media_features / image_quality_filter / image_dedup_verified:
+        # the RESULT depends on engine-side payload decoding (AUD1/VID1
+        # containers, Laplacian blur, PSNR) that DuckDB cannot perform —
+        # genuinely non-SQL-expressible (rows-only; pytest-covered).
     }
