@@ -229,20 +229,52 @@ def main() -> None:
 
     use_shm = "--disk" not in sys.argv and os.path.isdir("/dev/shm")
     base_dir = "/dev/shm" if use_shm else None
-    root = tempfile.mkdtemp(prefix="scalebench_", dir=base_dir)
+    # --root <dir>: reuse (or create) a persistent input dir instead of a
+    # throwaway tempdir — lets several level-pair invocations share ONE
+    # deterministic table build, and leaves it on disk for follow-ups.
+    keep_root = "--root" in sys.argv
+    if keep_root:
+        root = sys.argv[sys.argv.index("--root") + 1]
+        os.makedirs(root, exist_ok=True)
+    else:
+        root = tempfile.mkdtemp(prefix="scalebench_", dir=base_dir)
     env = dict(os.environ)
     if use_shm:
         env["SPARK_GRAFT_LOCAL_DIR"] = os.path.join(root, "spark-local")
     try:
-        table_dir, src_dir = build_inputs(root, img_rows)
+        if keep_root and os.path.isdir(os.path.join(root, "t")) and os.path.isdir(
+            os.path.join(root, "src")
+        ):
+            table_dir, src_dir = os.path.join(root, "t"), os.path.join(root, "src")
+            print(f"reusing prebuilt inputs under {root}")
+        else:
+            table_dir, src_dir = build_inputs(root, img_rows)
         runs: dict[int, list[dict]] = {lv: [] for lv in levels}
         all_runs: dict[int, list[dict]] = {lv: [] for lv in levels}
         clean: dict[int, int] = {lv: 0 for lv in levels}
         best_cpu: dict[int, float] = {}
-        # Cleanliness gate: the cpu_baseline stage is a fixed pure-CPU job,
-        # so a rep whose baseline is >25% above the best seen for that
-        # level ran while noisy neighbors held the box — its stage times
-        # are pollution, not measurements. Loop (≤ max_reps) until every
+        best_fresh: dict[int, float] = {}
+
+        def _rep_clean(r) -> bool:
+            """Same rule as count_clean: gate on the JVM-independent
+            cpu_fresh pair when the rep carries one (the in-JVM post-probe
+            measures the worked JVM's heap/page-cache aftermath at multi-GB
+            table sizes — it failed every quiet-box rep at 1.536M rows);
+            legacy in-JVM rule only for older rep records without it.
+            alloc_gate (host page-fault health) applies either way."""
+            if r["times"].get("alloc_gate", 0.0) > 1.0:
+                return False
+            if float(r["times"].get("cpu_fresh", -1)) > 0:
+                lv = r["cpus"]
+                return r["times"]["cpu_fresh_gate"] <= best_fresh[lv] * 1.25
+            lv = r["cpus"]
+            gate = r["times"].get("cpu_gate", r["times"]["cpu_baseline"])
+            return gate <= best_cpu[lv] * 1.25
+
+        # Cleanliness gate: a fixed pure-CPU probe brackets every rep; a
+        # rep whose probe is >25% above the best seen for that level ran
+        # while noisy neighbors held the box — its stage times are
+        # pollution, not measurements. Loop (≤ max_reps) until every
         # level has `reps` clean reps; stage minima use clean reps only.
         max_reps = max(reps * 4, 6)
         for rep in range(max_reps):
@@ -255,26 +287,18 @@ def main() -> None:
                     _run([sys.executable, os.path.join(REPO, "tools", "maint_runner.py"),
                           str(lv), table_dir, src_dir], env=env)
                 )
+                r.setdefault("cpus", lv)
                 all_runs[lv].append(r)
                 cpu = r["times"]["cpu_baseline"]
-                gate = r["times"].get("cpu_gate", cpu)
                 best_cpu[lv] = min(best_cpu.get(lv, cpu), cpu)
-                # alloc_gate: host page-fault health (see maint_runner) —
-                # a rep taken while first-touch of fresh memory costs
-                # seconds is pollution regardless of CPU contention
-                is_clean = (
-                    gate <= best_cpu[lv] * 1.25
-                    and r["times"].get("alloc_gate", 0.0) <= 1.0
-                )
+                fresh = float(r["times"].get("cpu_fresh", -1))
+                if fresh > 0:
+                    best_fresh[lv] = min(best_fresh.get(lv, fresh), fresh)
+                is_clean = _rep_clean(r)
                 if is_clean:
                     # retro-invalidate earlier "clean" reps if this one
                     # reveals a much lower baseline
-                    runs[lv] = [
-                        x for x in runs[lv]
-                        if x["times"].get("cpu_gate", x["times"]["cpu_baseline"])
-                        <= best_cpu[lv] * 1.25
-                        and x["times"].get("alloc_gate", 0.0) <= 1.0
-                    ]
+                    runs[lv] = [x for x in runs[lv] if _rep_clean(x)]
                     runs[lv].append(r)
                     clean[lv] = len(runs[lv])
                 print(
@@ -286,7 +310,8 @@ def main() -> None:
                 raise SystemExit(f"no reps at level {lv}")
         best = aggregate(all_runs, levels)
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        if not keep_root:
+            shutil.rmtree(root, ignore_errors=True)
     report(best, levels, img_rows, reps, count_clean(all_runs, levels))
 
 
