@@ -788,6 +788,188 @@ def _sql_lang_id():
     """
 
 
+def q_unigram_logppl(spark, sf_dir):
+    """Corpus unigram log-perplexity scorer (CCNet-style quality
+    signal, ref `gold_agilean.py`-class analytics re-targeted at
+    pretraining curation): fit a unigram LM on the corpus itself, then
+    score every document by its mean token ``-log2 p(token)`` and roll
+    the scores up per source.
+
+    100 TB shape: ONE shuffle to count the vocabulary (partial+final
+    hash agg over the exploded token column), and the model — the
+    (token, count) table — is vocabulary-sized, not corpus-sized, so
+    it BROADCASTS back onto the token stream (`.explain` shows
+    BroadcastHashJoin; no shuffle of the 10^12-token fact side). The
+    corpus-total denominator is a one-row agg cross-joined broadcast,
+    never a driver collect.
+    """
+    tok = (
+        _doc_tokens(spark, sf_dir)
+        .select("doc_id", "source", F.explode("toks").alias("token"))
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("tot"))
+    model = counts.crossJoin(F.broadcast(total))
+    scored = tok.join(F.broadcast(model), "token").select(
+        "doc_id",
+        "source",
+        (-F.log2(F.col("cnt") / F.col("tot"))).alias("nll"),
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.first("source").alias("source"), F.avg("nll").alias("logppl")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("logppl"), 4).alias("avg_logppl"),
+        F.round(F.min("logppl"), 4).alias("min_logppl"),
+        F.round(F.max("logppl"), 4).alias("max_logppl"),
+    )
+
+
+def _sql_unigram_logppl():
+    return """
+        WITH tok AS (
+            SELECT doc_id, source,
+                   unnest(string_split(trim(text), ' ')) AS token
+            FROM documents
+        ), cnt AS (
+            SELECT token, count(*) AS c FROM tok GROUP BY 1
+        ), tot AS (
+            SELECT sum(c)::DOUBLE AS t FROM cnt
+        ), per_doc AS (
+            SELECT doc_id, any_value(source) AS source,
+                   avg(-log2(c / t)) AS logppl
+            FROM tok JOIN cnt USING (token) CROSS JOIN tot
+            GROUP BY doc_id
+        )
+        SELECT source, count(*) AS n_docs,
+               round(avg(logppl), 4) AS avg_logppl,
+               round(min(logppl), 4) AS min_logppl,
+               round(max(logppl), 4) AS max_logppl
+        FROM per_doc GROUP BY source
+    """
+
+
+def q_dup_ngram_frac(spark, sf_dir):
+    """Duplicated-n-gram-fraction diagnostic (the Dolma/RefinedWeb
+    dedup statistic): for every document, the fraction of its 3-gram
+    shingle OCCURRENCES whose shingle also appears in at least one
+    OTHER document; per-source average plus a count of heavy-dup docs
+    (fraction >= 0.5).
+
+    100 TB shape: document-frequency is ONE shuffle keyed on the
+    shingle (partial countDistinct per partition first); the join back
+    onto the occurrence stream re-uses the same shingle key, so AQE
+    plans it as a shuffle-hash join with no extra exchange on the
+    occurrence side, and the per-doc rollup is the only other shuffle.
+    A hot shingle (stopword trigram) skews the doc-freq key — at scale
+    the mitigation is the salted two-level countDistinct; here the
+    3-word key space is already wide enough that AQE's skew split
+    covers it.
+    """
+    occ = (
+        _doc_tokens(spark, sf_dir)
+        .filter(F.col("n_tokens") >= 3)
+        .select("doc_id", "source", F.explode(F.expr(_SHINGLE_EXPR)).alias("shingle"))
+    )
+    docfreq = occ.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("docs")
+    )
+    per_doc = (
+        occ.join(docfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            (
+                F.sum(F.when(F.col("docs") > 1, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("frac"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("frac"), 4).alias("avg_dup_frac"),
+        F.sum(F.when(F.col("frac") >= 0.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("heavy_dup_docs"),
+    )
+
+
+def _sql_dup_ngram_frac():
+    return """
+        WITH t AS (
+            SELECT doc_id, source, string_split(trim(text), ' ') AS toks
+            FROM documents
+        ), occ AS (
+            SELECT doc_id, source,
+                   unnest([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                           for i in range(1, len(toks) - 1)]) AS shingle
+            FROM t WHERE len(toks) >= 3
+        ), df AS (
+            SELECT shingle, count(DISTINCT doc_id) AS docs
+            FROM occ GROUP BY 1
+        ), per_doc AS (
+            SELECT doc_id, any_value(source) AS source,
+                   sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END)
+                     / count(*)::DOUBLE AS frac
+            FROM occ JOIN df USING (shingle) GROUP BY doc_id
+        )
+        SELECT source, count(*) AS n_docs,
+               round(avg(frac), 4) AS avg_dup_frac,
+               CAST(sum(CASE WHEN frac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS heavy_dup_docs
+        FROM per_doc GROUP BY source
+    """
+
+
+def q_zipf_vocab_stats(spark, sf_dir):
+    """Vocabulary statistics per source: vocab size, hapax-legomenon
+    count (tokens seen exactly once within the source), type-token
+    ratio — the Zipf-shape profile used to spot degenerate or
+    machine-generated text partitions in a pretraining corpus.
+
+    100 TB shape: one shuffle keyed (source, token) with map-side
+    partial counts, then a per-source rollup of the vocabulary-sized
+    intermediate — the second shuffle moves |vocab| rows, not corpus
+    rows.
+    """
+    tok = (
+        _doc_tokens(spark, sf_dir)
+        .select("source", F.explode("toks").alias("token"))
+    )
+    per_token = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_token.groupBy("source").agg(
+        F.sum("cnt").alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax"),
+        F.round(F.count(F.lit(1)) / F.sum("cnt").cast("double"), 6).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+def _sql_zipf_vocab_stats():
+    return """
+        WITH tok AS (
+            SELECT source, unnest(string_split(trim(text), ' ')) AS token
+            FROM documents
+        ), per_token AS (
+            SELECT source, token, count(*) AS cnt FROM tok GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(sum(cnt) AS BIGINT) AS total_tokens,
+               count(*) AS vocab,
+               CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS hapax,
+               round(count(*) / sum(cnt)::DOUBLE, 6) AS type_token_ratio
+        FROM per_token GROUP BY source
+    """
+
+
 # PII patterns (identical semantics in Java regex and DuckDB RE2: no
 # lookaround, no backrefs). Applied with replace-ALL on both sides
 # (DuckDB needs the explicit 'g' flag; Spark regexp_replace is global).
@@ -5199,11 +5381,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # formerly rows-only flows converted to hard oracles: wap /
     # live_pipeline / rename / evolution / schema_ops final-state scans,
     # the bucketed-join content check, the phash-LSH-vs-brute-force
-    # recall check, and the dup-caption histogram) followed by 27 oracle
-    # entries whose green records date from r02 (oldest first-in
-    # policy). Past 50: the remaining r02 oracle entries (next round's
-    # window head), the oracle entries with fresh r03 records, then the
-    # three genuinely rows-only decode-bound flows (pytest-covered).
+    # recall check, and the dup-caption histogram), then the THREE
+    # BRAND-NEW text-corpus entries (unigram_logppl, dup_ngram_frac,
+    # zipf_vocab_stats — no driver record exists yet, so they outrank
+    # refreshes), followed by 24 oracle entries whose green records
+    # date from r02 (oldest first-in policy). Past 50: the remaining
+    # r02 oracle entries (next round's window head — including the
+    # three displaced by the new entries), the oracle entries with
+    # fresh r03 records, then the three genuinely rows-only
+    # decode-bound flows (pytest-covered).
     return {
         # -- changed this round: needs a fresh driver verdict --
         "image_maintenance": q_image_maintenance,
@@ -5229,6 +5415,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_bucketed_join": q_image_bucketed_join,
         "image_phash_neardup": q_image_phash_neardup,
         "image_dup_caption_audit": q_image_dup_caption_audit,
+        # -- brand-new this round: never driver-checked --
+        "unigram_logppl": q_unigram_logppl,
+        "dup_ngram_frac": q_dup_ngram_frac,
+        "zipf_vocab_stats": q_zipf_vocab_stats,
         # -- r02-stale green records, refreshed this round --
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
@@ -5262,11 +5452,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
         "pii_scrub": q_pii_scrub,
+        # ---- position 51+ ----
+        # r02 records, first in line for the r5 window (url_blocklist /
+        # tfidf_keywords / simhash displaced from the r4 window by the
+        # three new entries above):
         "url_blocklist": q_url_blocklist,
         "tfidf_keywords": q_tfidf_keywords,
         "simhash": q_simhash,
-        # ---- position 51+ ----
-        # r02 records, first in line for the r5 window:
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "minhash_signature": q_minhash_signature,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -5352,6 +5544,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_stats": _sql_bpe_token_stats(),
         "doc_quality": _sql_doc_quality(),
         "lang_id": _sql_lang_id(),
+        "unigram_logppl": _sql_unigram_logppl(),
+        "dup_ngram_frac": _sql_dup_ngram_frac(),
+        "zipf_vocab_stats": _sql_zipf_vocab_stats(),
         "pii_scrub": _sql_pii_scrub(),
         "url_blocklist": _sql_url_blocklist(),
         "tfidf_keywords": _sql_tfidf_keywords(),

@@ -249,6 +249,28 @@ def _(spark, sf_dir):
     assert "BroadcastHashJoin" in p, p
 
 
+@check("unigram_logppl: vocab model broadcasts, token stream never shuffles for the join")
+def _(spark, sf_dir):
+    p = plan_of(entry.q_unigram_logppl(spark, sf_dir))
+    # the (token,count) model is vocabulary-sized: it must come back to
+    # the exploded token stream as a broadcast hash join, never a
+    # sort-merge that would shuffle 10^12 token rows; all arithmetic is
+    # JVM-side (no Python eval in the plan)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "EvalPython" not in p, p
+
+
+@check("dup_ngram_frac: doc-frequency join stays on the shingle key, no python path")
+def _(spark, sf_dir):
+    p = plan_of(entry.q_dup_ngram_frac(spark, sf_dir))
+    # occurrences and doc-frequency are both keyed on shingle — the
+    # join must not introduce a broadcast of the corpus-sized side or a
+    # Python eval; generation is pure JVM (explode over transform())
+    assert "EvalPython" not in p, p
+    assert "Generate" in p and "explode" in p.lower(), p
+
+
 @check("ivf_topk: trained codebook stays broadcast, no cartesian blow-up")
 def _(spark, sf_dir):
     p = plan_of(entry.q_ivf_topk(spark, sf_dir))
