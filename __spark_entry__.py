@@ -1866,6 +1866,99 @@ def _sql_event_sessions():
     """
 
 
+def q_event_funnel(spark, sf_dir):
+    """Ordered-step funnel (view → click → purchase): a user converts
+    step k only with an event at or after their earliest qualifying
+    time of step k-1. Classic product-analytics operator the events
+    suite lacked.
+
+    100 TB shape: all three step times are conditional MINs over the
+    SAME user-partitioned window, so Catalyst plans ONE exchange on
+    user_id and computes the dependency chain in two window passes over
+    the sorted partition — no joins, no second shuffle; the final
+    global rollup aggregates |users| rows down to one.
+    """
+    w = Window.partitionBy("user_id")
+    e = _t(spark, sf_dir, "events")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    e1 = e.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    e2 = e1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        e2.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3"))
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("step_view"),
+        F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("step_click"),
+        F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("step_purchase"),
+        F.round(
+            F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0))
+            / F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0)).cast(
+                "double"
+            ),
+            4,
+        ).alias("view_to_purchase_rate"),
+    )
+
+
+def _sql_event_funnel():
+    return """
+        WITH e1 AS (
+            SELECT user_id, ts, event_type,
+                   min(CASE WHEN event_type = 'view' THEN ts END)
+                     OVER (PARTITION BY user_id) AS t1
+            FROM events
+        ), e2 AS (
+            SELECT user_id, ts, event_type, t1,
+                   min(CASE WHEN event_type = 'click' AND ts >= t1
+                            THEN ts END)
+                     OVER (PARTITION BY user_id) AS t2
+            FROM e1
+        ), e3 AS (
+            SELECT user_id, t1, t2,
+                   min(CASE WHEN event_type = 'purchase' AND ts >= t2
+                            THEN ts END)
+                     OVER (PARTITION BY user_id) AS t3
+            FROM e2
+        ), per_user AS (
+            SELECT user_id, any_value(t1) AS t1, any_value(t2) AS t2,
+                   min(t3) AS t3
+            FROM e3 GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS step_view,
+               CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS step_click,
+               CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS step_purchase,
+               round(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)
+                     / sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE,
+                     4) AS view_to_purchase_rate
+        FROM per_user
+    """
+
+
 _IVF_K = 8  # coarse centroids (IVF lists); seeds: vectors 0..K-1
 _IVF_NPROBE = 2
 _IVF_ROUNDS = 2  # Lloyd refinement rounds on the codebook
@@ -5453,9 +5546,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "pii_scrub": q_pii_scrub,
         # ---- position 51+ ----
-        # r02 records, first in line for the r5 window (url_blocklist /
-        # tfidf_keywords / simhash displaced from the r4 window by the
-        # three new entries above):
+        # r5 window head: event_funnel is brand-new (added after the r4
+        # window filled — never driver-checked, outranks refreshes next
+        # round), then the r02 records displaced from the r4 window
+        # (url_blocklist / tfidf_keywords / simhash):
+        "event_funnel": q_event_funnel,
         "url_blocklist": q_url_blocklist,
         "tfidf_keywords": q_tfidf_keywords,
         "simhash": q_simhash,
@@ -5530,6 +5625,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json": _sql_events_json(),
         "events_windowed": _sql_events_windowed(),
         "event_sessions": _sql_event_sessions(),
+        "event_funnel": _sql_event_funnel(),
         "quality_profile": _sql_quality_profile(),
         "silver_casts": _sql_silver_casts(),
         "dedup_exact": _sql_dedup_exact(),

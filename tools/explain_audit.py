@@ -271,6 +271,18 @@ def _(spark, sf_dir):
     assert "Generate" in p and "explode" in p.lower(), p
 
 
+@check("event_funnel: dependency-chained step windows share ONE user_id exchange")
+def _(spark, sf_dir):
+    import re
+
+    p = plan_of(entry.q_event_funnel(spark, sf_dir))
+    # three conditional-min windows + per-user agg must all reuse a
+    # single hashpartitioning(user_id) exchange; the only other
+    # exchange is the 1-row global rollup
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", p)) == 1, p
+    assert "EvalPython" not in p, p
+
+
 @check("ivf_topk: trained codebook stays broadcast, no cartesian blow-up")
 def _(spark, sf_dir):
     p = plan_of(entry.q_ivf_topk(spark, sf_dir))
