@@ -1,0 +1,75 @@
+"""Banded LSH candidate generation with a hot-bucket guard.
+
+The MinHash/LSH dedup scale path (SURVEY.md §2.11): signatures explode
+to (id, band-value) rows and candidates come from a self-join keyed on
+the band VALUE — the shuffle key is the band, never the cross product.
+Its one scale hazard is a DEGENERATE band: a band value shared by k
+docs emits k·(k-1)/2 pairs, so a single pathological bucket (the
+empty-document shingle set, a boilerplate header, a crawler error page
+repeated 10^8 times) can dominate the whole job at 10^12 docs while
+every other bucket stays tiny.
+
+``banded_candidates`` mirrors :func:`..functions.hamming.
+hamming_candidates`'s ``max_bucket`` guard: buckets holding more than
+``max_bucket`` ids are EXCLUDED from pair generation — bounding
+per-bucket work at O(max_bucket²) — and the dropped buckets are
+DISCLOSED via the returned ``hot`` frame (band value + member count),
+so a pipeline can route them to an explicit fallback (exact groupBy
+dedup: a huge bucket of near-identical docs is cheaper to collapse
+exactly than to pairwise-verify). The hot set is O(#hot buckets) rows,
+broadcast into a left-anti join — the exploded band stream itself never
+reshuffles for the guard.
+
+Round-4 VERDICT task 5 (the Hamming banding already had this guard;
+the MinHash band join now shares it through this module).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def banded_candidates(
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    band_col: str = "band",
+    *,
+    max_bucket: Optional[int] = None,
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+) -> Tuple[DataFrame, DataFrame]:
+    """Candidate pairs from an exploded ``(id, band-value)`` frame.
+
+    Returns ``(cand, hot)``:
+
+    - ``cand`` — distinct ``(out_a, out_b)`` pairs (``out_a < out_b``)
+      agreeing on at least one *surviving* band value;
+    - ``hot`` — the disclosure frame ``(band_col, n)`` of buckets
+      excluded by ``max_bucket`` (always defined; empty when no bucket
+      exceeds the cap or when ``max_bucket`` is None).
+    """
+    counts = bands.groupBy(band_col).agg(F.count(F.lit(1)).alias("n"))
+    if max_bucket is None:
+        hot = counts.filter(F.lit(False))
+    else:
+        hot = counts.filter(F.col("n") > int(max_bucket))
+        bands = bands.join(
+            F.broadcast(hot.select(band_col)), band_col, "left_anti"
+        )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col(f"a.{band_col}") == F.col(f"b.{band_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(out_a),
+            F.col(f"b.{id_col}").alias(out_b),
+        )
+        .distinct()
+    )
+    return cand, hot

@@ -278,8 +278,14 @@ def _(spark, sf_dir):
     p = plan_of(entry.q_event_funnel(spark, sf_dir))
     # three conditional-min windows + per-user agg must all reuse a
     # single hashpartitioning(user_id) exchange; the only other
-    # exchange is the 1-row global rollup
-    assert len(re.findall(r"Exchange hashpartitioning\(user_id", p)) == 1, p
+    # exchange is the 1-row global rollup. NOTE: formatted explain
+    # prints the node ("(3) Exchange") and its partitioning
+    # ("Arguments: hashpartitioning(user_id#…, …)") on SEPARATE lines —
+    # match the partitioning expression alone, and bound the total
+    # Exchange node count separately (round-4 VERDICT task 2).
+    assert len(re.findall(r"hashpartitioning\(user_id", p)) == 1, p
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_exchanges <= 2, p  # user_id shuffle + 1-row SinglePartition rollup
     assert "EvalPython" not in p, p
 
 

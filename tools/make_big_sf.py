@@ -25,7 +25,6 @@ Usage: python tools/make_big_sf.py <out_dir> [K]   (default K=5)
 
 from __future__ import annotations
 
-import math
 import os
 import shutil
 import sys
@@ -48,7 +47,11 @@ def key_offset(con: duckdb.DuckDBPyConnection, table: str, col: str) -> int:
     mx = con.execute(
         f"SELECT max({col}) FROM '{SRC}/{table}.parquet'"
     ).fetchone()[0]
-    return 10 ** (int(math.log10(mx)) + 1)
+    # integral digit count — float log10 imprecision near exact powers
+    # of 10 could yield an offset <= max key (round-4 ADVICE)
+    off = 10 ** len(str(int(mx)))
+    assert off > mx, (off, mx)
+    return off
 
 
 def main() -> None:
