@@ -3785,12 +3785,17 @@ def q_image_quality_filter(spark, sf_dir):
     """Decoded-pixel quality gating — the image-side twin of doc_quality:
     Laplacian-variance blur score + brightness/contrast per image
     (functions/multimodal.image_quality_udf, Arrow-batched numpy — no
-    per-row Python), thresholds classify keep / too_blurry / low_contrast, profiled per
-    fmt (cuts sit inside the synthetic corpus's score range so every
-    class is populated).
-    At 10^12 images this is one map-only decode pass feeding a tiny
-    agg — the standard pretraining quality-filter stage. Non-SQL
-    (engine codec decodes); rows-only check."""
+    per-row Python), thresholds classify keep / too_blurry /
+    low_contrast. At 10^12 images this is one map-only decode pass
+    feeding a tiny agg — the standard pretraining quality-filter stage.
+
+    Partial oracle (round-4 VERDICT task 6): the returned frame carries
+    the DECODE-INDEPENDENT invariants — per-fmt row counts, distinct
+    ids, and n_decoded (every synthetic payload must decode, so
+    n_decoded == n) — which DuckDB replays from the generator row
+    function. The decode-DEPENDENT histogram (per-class counts + float
+    score stats) is asserted inline: every class populated, no
+    undecodable rows, scores in range."""
     from aws_medallion_datalake_spark.functions.multimodal import (
         image_quality_udf,
     )
@@ -3805,16 +3810,39 @@ def q_image_quality_filter(spark, sf_dir):
         .when(F.col("contrast") < 30.0, "low_contrast")
         .otherwise("keep")
     )
+    hist = {
+        r["status"]: int(r["n"])
+        for r in q.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # decode-dependent half, inline: all classes populated, nothing
+    # undecodable, classification total preserved
+    assert hist.get("undecodable", 0) == 0, hist
+    assert min(hist.get(k, 0) for k in ("keep", "too_blurry", "low_contrast")) > 0, hist
+    assert sum(hist.values()) == 600, hist
     return (
-        q.select("fmt", status.alias("status"), "blur", "contrast")
-        .groupBy("fmt", "status")
+        q.groupBy("fmt")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("blur"), 2).alias("avg_blur"),
-            F.round(F.avg("contrast"), 2).alias("avg_contrast"),
+            F.sum(F.col("blur").isNotNull().cast("long")).alias("n_decoded"),
+            F.countDistinct("image_id").alias("n_ids"),
         )
-        .orderBy("fmt", "status")
+        .orderBy("fmt")
     )
+
+
+def _sql_image_quality_filter():
+    # decode-independent invariants replayed from the generator row
+    # function; n_decoded == n because every synthetic payload decodes
+    return f"""
+        SELECT fmt, count(*) AS n, count(*) AS n_decoded,
+               count(DISTINCT image_id) AS n_ids
+        FROM ({_sql_img_rows(0, 599)})
+        GROUP BY fmt
+        ORDER BY fmt
+    """
 
 
 def q_image_dedup_verified(spark, sf_dir):
@@ -3824,18 +3852,28 @@ def q_image_dedup_verified(spark, sf_dir):
     pairs decode their payloads for pixel-level PSNR verification
     (psnr_udf; >= 40 dB = duplicate, the north_rule threshold). The
     expensive decode runs on O(candidates), not O(n²) — the same
-    economics as MinHash→Jaccard for text. Returns the (hamming,
-    verdict, n_pairs) histogram. Non-SQL (engine codec); rows-only."""
+    economics as MinHash→Jaccard for text.
+
+    Partial oracle (round-4 VERDICT task 6): the (image_id, phash)
+    projection is landed at a fixed root (the pattern the driver-green
+    image_phash_neardup uses) and DuckDB brute-forces the all-pairs
+    candidate histogram as ground truth; the returned frame carries
+    (hamming, n_pairs, n_scored) where n_scored — pairs whose PSNR
+    verification actually produced a score — must equal n_pairs (every
+    payload decodes). The decode-DEPENDENT verdict split is asserted
+    inline: identical hot-tail rows (distance 0, same dims) verify as
+    duplicates, and no pair scores NULL."""
     from aws_medallion_datalake_spark.functions.hamming import hamming_pairs
     from aws_medallion_datalake_spark.functions.udfs import psnr_udf
     from aws_medallion_datalake_spark.sources.generator import generate_images
 
+    root = _oracle_root("image_dedup_verified")
     df = generate_images(spark, 600, n_files=4).select(
         "image_id", "phash", "bytes"
     )
-    pairs = hamming_pairs(
-        df.select("image_id", "phash"), "image_id", "phash", max_distance=8
-    )
+    df.select("image_id", "phash").write.parquet(os.path.join(root, "input"))
+    keys = spark.read.parquet(os.path.join(root, "input"))
+    pairs = hamming_pairs(keys, "image_id", "phash", max_distance=8)
     a = df.select(
         F.col("image_id").alias("image_id_a"),
         F.col("bytes").alias("bytes_a"),
@@ -3847,14 +3885,50 @@ def q_image_dedup_verified(spark, sf_dir):
     j = pairs.join(a, "image_id_a").join(b, "image_id_b")
     scored = j.select(
         "hamming", psnr_udf(F.col("bytes_a"), F.col("bytes_b")).alias("psnr")
+    ).persist()
+    verdicts = scored.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("psnr").isNull().cast("long")).alias("n_null"),
+        F.sum((F.col("psnr") >= 40.0).cast("long")).alias("n_dup"),
+        F.sum(
+            ((F.col("hamming") == 0) & (F.col("psnr") >= 40.0)).cast("long")
+        ).alias("n_dup_d0"),
+    ).first()
+    # decode-dependent half, inline: every candidate scored; the exact
+    # hot-tail duplicates (same seed AND same dims) verify at >= 40 dB
+    assert int(verdicts["n_null"]) == 0, verdicts
+    assert int(verdicts["n_dup_d0"]) >= 1, verdicts
+    assert int(verdicts["n_dup"]) >= int(verdicts["n_dup_d0"]), verdicts
+    out = (
+        scored.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("psnr").isNotNull().cast("long")).alias("n_scored"),
+        )
+        .orderBy("hamming")
     )
-    verdict = F.when(F.col("psnr") >= 40.0, "duplicate").otherwise("distinct")
-    return (
-        scored.select("hamming", verdict.alias("verdict"))
-        .groupBy("hamming", "verdict")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .orderBy("hamming", "verdict")
-    )
+    rows = out.collect()
+    scored.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+def _sql_image_dedup_verified():
+    # ground truth by brute force over the landed (image_id, phash)
+    # projection — any pair the banding misses (or invents) breaks the
+    # match; n_scored == n_pairs because every payload decodes
+    root = os.path.join(_ORACLE_STATE_ROOT, "image_dedup_verified")
+    return f"""
+        SELECT hamming, count(*) AS n_pairs, count(*) AS n_scored
+        FROM (
+            SELECT CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+            FROM read_parquet('{root}/input/*.parquet') a
+            JOIN read_parquet('{root}/input/*.parquet') b
+              ON a.image_id < b.image_id
+        )
+        WHERE hamming <= 8
+        GROUP BY hamming
+        ORDER BY hamming
+    """
 
 
 def q_image_dup_caption_audit(spark, sf_dir):
@@ -5671,9 +5745,16 @@ def q_media_features(spark, sf_dir):
     AUD1/VID1 containers + functions/multimodal.py mapInPandas
     operators): deterministic synthetic media rendered per seed, encoded
     to opaque binary columns, then decoded and feature-extracted
-    DISTRIBUTED (Arrow batches, no per-row Python). Rows-only check —
-    binary payloads are not DuckDB-expressible; invariants asserted
-    in-line (sample counts, frame fan-out, RMS bounds)."""
+    DISTRIBUTED (Arrow batches, no per-row Python).
+
+    Partial oracle (round-4 VERDICT task 6): the returned frame carries
+    only INPUT-DERIVABLE values — audio sample counts/rates are the
+    render/encode parameters (clip a_i: 1000+100·i samples at 8 kHz),
+    video frame fan-out is
+    ceil(n_frames / every_nth) and frame width is the render parameter
+    (12) — so DuckDB can state the expected rows without decoding. The
+    decode-DEPENDENT signal measures (RMS, zero-crossings) are asserted
+    inline: rms in (0, 1], zero_crossings > 0 for every clip."""
     import pandas as pd
 
     from aws_medallion_datalake_spark.functions.codec import (
@@ -5709,22 +5790,49 @@ def q_media_features(spark, sf_dir):
             }
         )
     )
-    af = audio_features(audio).select(
+    afeat = audio_features(audio).persist()
+    sig = afeat.agg(
+        F.sum(((F.col("rms") <= 0) | (F.col("rms") > 1)).cast("long")).alias("bad_rms"),
+        F.sum((F.col("zero_crossings") <= 0).cast("long")).alias("bad_zc"),
+    ).first()
+    # decode-dependent half, inline: every clip decodes to a sane signal
+    assert (int(sig["bad_rms"]), int(sig["bad_zc"])) == (0, 0), sig
+    af = afeat.select(
         "media_id",
         F.lit("audio").alias("kind"),
-        F.col("n_samples").alias("n_units"),
-        F.round("rms", 4).alias("metric"),
+        F.col("n_samples").cast("long").alias("n_units"),
+        F.col("sample_rate").cast("double").alias("metric"),
     )
     vf = (
         video_frame_sample(video, every_nth=2)
         .groupBy("media_id")
         .agg(
-            F.count(F.lit(1)).alias("n_units"),
+            F.count(F.lit(1)).cast("long").alias("n_units"),
             F.round(F.avg("w"), 4).alias("metric"),
         )
         .select("media_id", F.lit("video").alias("kind"), "n_units", "metric")
     )
-    return af.unionByName(vf).orderBy("kind", "media_id")
+    out = af.unionByName(vf).orderBy("kind", "media_id")
+    rows = out.collect()
+    afeat.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+def _sql_media_features():
+    # input-derivable expectations: audio clip a_i renders 1000+100*i
+    # samples at 8 kHz; videos v_i hold 4+i frames sampled every 2nd
+    # (ceil -> (5+i)//2) of width 12
+    return """
+        SELECT 'a' || CAST(i AS VARCHAR) AS media_id, 'audio' AS kind,
+               CAST(1000 + 100 * i AS BIGINT) AS n_units,
+               CAST(8000 AS DOUBLE) AS metric
+        FROM generate_series(0, 7) t(i)
+        UNION ALL
+        SELECT 'v' || CAST(i AS VARCHAR) AS media_id, 'video' AS kind,
+               (5 + i) // 2 AS n_units, CAST(12.0 AS DOUBLE) AS metric
+        FROM generate_series(0, 3) t(i)
+        ORDER BY kind, media_id
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -5983,8 +6091,12 @@ def oracle_sql() -> dict[str, str]:
         "important_parts": _sql_important_parts(),
         "top_ship_supplier": _sql_top_ship_supplier(),
         "dominant_suppliers": _sql_dominant_suppliers(),
-        # media_features / image_quality_filter / image_dedup_verified:
-        # the RESULT depends on engine-side payload decoding (AUD1/VID1
-        # containers, Laplacian blur, PSNR) that DuckDB cannot perform —
-        # genuinely non-SQL-expressible (rows-only; pytest-covered).
+        # formerly rows-only decode-bound flows — now partial oracles
+        # (round-4 VERDICT task 6): the driver-compared frame carries
+        # only decode-independent / input-derivable invariants; the
+        # decode-dependent measures (RMS, blur histogram, PSNR verdicts)
+        # are asserted inline and pytest-covered.
+        "media_features": _sql_media_features(),
+        "image_quality_filter": _sql_image_quality_filter(),
+        "image_dedup_verified": _sql_image_dedup_verified(),
     }

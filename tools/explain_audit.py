@@ -289,6 +289,19 @@ def _(spark, sf_dir):
     assert "EvalPython" not in p, p
 
 
+@check("minhash_candidate_pairs: band-keyed join with broadcast hot-band guard")
+def _(spark, sf_dir):
+    p = plan_of(entry.q_minhash_candidate_pairs(spark, sf_dir))
+    # the candidate join must stay keyed on the band value (never a
+    # cross product), and the max_bucket guard's hot-set exclusion must
+    # ride in as a BROADCAST left-anti join — the exploded band stream
+    # itself never reshuffles for the guard
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "LeftAnti, BuildRight" in p or (
+        "BroadcastHashJoin" in p and "LeftAnti" in p
+    ), p
+
+
 @check("ivf_topk: trained codebook stays broadcast, no cartesian blow-up")
 def _(spark, sf_dir):
     p = plan_of(entry.q_ivf_topk(spark, sf_dir))
