@@ -91,9 +91,8 @@ def test_new_entries_registered_with_oracles():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     names = ["unigram_logppl", "dup_ngram_frac", "zipf_vocab_stats"]
-    order = list(qs)
     for n in names:
+        # the entries debuted in the round-4 driver window (green in
+        # CORRECTNESS_r04) and now rotate like any other green record —
+        # the standing contract is registration with hard oracles
         assert n in qs and n in oracles
-        # brand-new entries must sit inside the driver's 50-entry
-        # correctness window
-        assert order.index(n) < 50
