@@ -289,17 +289,24 @@ def _(spark, sf_dir):
     assert "EvalPython" not in p, p
 
 
-@check("minhash_candidate_pairs: band-keyed join with broadcast hot-band guard")
+@check("minhash_candidate_pairs: band-keyed join, hot-band cap rides the shuffle")
 def _(spark, sf_dir):
-    p = plan_of(entry.q_minhash_candidate_pairs(spark, sf_dir))
+    import re
+
+    df = entry.q_minhash_candidate_pairs(spark, sf_dir)
+    p = plan_of(df)
     # the candidate join must stay keyed on the band value (never a
-    # cross product), and the max_bucket guard's hot-set exclusion must
-    # ride in as a BROADCAST left-anti join — the exploded band stream
-    # itself never reshuffles for the guard
+    # cross product), and the max_bucket guard must ride the join's own
+    # band shuffle — a Window count over the band partition, no extra
+    # evaluation of the signature subtree
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
-    assert "LeftAnti, BuildRight" in p or (
-        "BroadcastHashJoin" in p and "LeftAnti" in p
-    ), p
+    assert "Window" in p, p
+    assert len(re.findall(r"hashpartitioning\(band", p)) >= 1, p
+    # exchange REUSE is an AQE runtime decision — execute, then assert
+    # the final plan shares one band exchange between the join sides
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
 
 
 @check("ivf_topk: trained codebook stays broadcast, no cartesian blow-up")
