@@ -5835,6 +5835,73 @@ def _sql_media_features():
     """
 
 
+def q_rest_bronze(spark, sf_dir):
+    """Distributed REST bronze ingestion (SURVEY.md §2.1 S1) driven
+    end-to-end through the engine's auth → catalog → paged-fetch path
+    against the in-process deterministic endpoint
+    (sources/restfixture.py; reference twin scripts/bronze_digit.py:
+    28-109, whose driver-side serial loop becomes a one-unit-per-task
+    ``mapInPandas`` fetch). Unit u-003's page 1 is served with two
+    leading 503s, so a green row also certifies the retry/backoff path
+    (those rows land with attempts = 3). Payloads are pure functions of
+    (unit, row index), so the oracle replays the whole feed in SQL."""
+    from aws_medallion_datalake_spark.sources.restfixture import (
+        CREDS,
+        FakeRestServer,
+    )
+    from aws_medallion_datalake_spark.sources.restsource import (
+        RestEndpoint,
+        normalize_bronze,
+        read_bronze,
+    )
+
+    with FakeRestServer(n_units=8, faults={("u-003", 1): (503, 2)}) as srv:
+        ep = RestEndpoint(
+            base_url=srv.base_url,
+            credentials=dict(CREDS),
+            backoff_base_s=0.01,
+        )
+        silver = normalize_bronze(
+            read_bronze(spark, ep), "rec_id string, metric int, grp string"
+        )
+        out = (
+            silver.groupBy("unit_id", "grp")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("metric").alias("sum_metric"),
+                F.max("attempts").alias("max_attempts"),
+            )
+            .orderBy("unit_id", "grp")
+        )
+        # materialize before the server context closes (the frame is
+        # lazy; 24 result rows, O(result) driver cost)
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+def _sql_rest_bronze():
+    # pure replay of restfixture.record/unit_rows: unit k serves
+    # (k % 7) + 12 rows; row j has grp ['alpha','beta','gamma'][j % 3]
+    # and metric (k*31 + j*7) % 101; page 1 (j in 5..9) of u-003 needed
+    # 3 attempts (two injected 503s), everything else 1.
+    return """
+        WITH recs AS (
+            SELECT k, j,
+                   ['alpha','beta','gamma'][(j % 3) + 1] AS grp,
+                   (k * 31 + j * 7) % 101 AS metric,
+                   CASE WHEN k = 3 AND j BETWEEN 5 AND 9 THEN 3 ELSE 1
+                   END AS attempts
+            FROM generate_series(0, 7) t(k),
+                 generate_series(0, 17) s(j)
+            WHERE j <= (k % 7) + 11
+        )
+        SELECT 'u-' || lpad(CAST(k AS VARCHAR), 3, '0') AS unit_id, grp,
+               count(*) AS n, sum(metric) AS sum_metric,
+               max(attempts) AS max_attempts
+        FROM recs GROUP BY k, grp ORDER BY unit_id, grp
+    """
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5916,6 +5983,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": q_orders_rollup,
         "rank_topn_per_group": q_rank_topn_per_group,
         # ---- position 51+ (not in the r5 window) ----
+        # brand-new this round (pytest-covered; rotate into the next
+        # window if one exists):
+        "rest_bronze": q_rest_bronze,
         # r04-green records (newest, rotate last):
         "embedding_topk": q_embedding_topk,
         "image_features_ann": q_image_features_ann,
@@ -6099,4 +6169,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _sql_media_features(),
         "image_quality_filter": _sql_image_quality_filter(),
         "image_dedup_verified": _sql_image_dedup_verified(),
+        # distributed REST bronze source, replayed in pure SQL from the
+        # deterministic fixture endpoint's row function
+        "rest_bronze": _sql_rest_bronze(),
     }

@@ -94,6 +94,38 @@ def main() -> None:
         a[::4096] = 1
         return int((time.time() - t0) * 1000)
 
+    def cpu_probe_s() -> float:
+        # 32-way sha256 throughput probe in fresh subprocesses (same
+        # shape as tools/maint_runner cpu_fresh): each worker hashes
+        # 600 MB. Calibration: the round-4 box ran this at ~0.49 s;
+        # round-5's box does 0.75 s on a quiet window and 1.5-1.7 s
+        # under its bursty CPU-steal episodes — the probe value in the
+        # artifact lets round-over-round totals be normalized for the
+        # box instead of misread as engine drift (BENCH/NOTES_r5.md).
+        import subprocess
+
+        script = (
+            "import hashlib,time,multiprocessing as mp\n"
+            "def w(_):\n"
+            "    b = bytes(1 << 20)\n"
+            "    h = hashlib.sha256()\n"
+            "    for _ in range(600):\n"
+            "        h.update(b)\n"
+            "    return 0\n"
+            "if __name__ == '__main__':\n"
+            "    t0 = time.time()\n"
+            f"    with mp.Pool({cpus}) as p:\n"
+            f"        p.map(w, range({cpus}))\n"
+            "    print(round(time.time() - t0, 3))\n"
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True
+        )
+        try:
+            return float(out.stdout.strip())
+        except ValueError:
+            return -1.0
+
     # bounded wait for a healthy window (SPARK_GRAFT_HEALTH_WAIT_SEC=0
     # disables): a run started while the host is degraded measures the
     # host, not the engine
@@ -105,6 +137,7 @@ def main() -> None:
     while probe_pre > 250 and time.time() < deadline:
         time.sleep(30)
         probe_pre = alloc_probe_ms()
+    cpu_probe_pre = cpu_probe_s()
     spark = get_session(f"local[{cpus}]", shuffle_partitions=max(8, cpus))
     spark.sparkContext.setLogLevel("ERROR")
     times: dict[str, float] = {}
@@ -292,6 +325,10 @@ def main() -> None:
                 # window, timings inflated 10-30x — see BENCH/NOTES_r2.md)
                 "alloc_probe_ms_pre": probe_pre,
                 "alloc_probe_ms_post": alloc_probe_ms(),
+                # box parallel-CPU health (32-way sha256; r4 box ≈ 0.49 s,
+                # r5 box 0.75 s quiet / 1.5+ s under CPU steal)
+                "cpu_probe_s_pre": cpu_probe_pre,
+                "cpu_probe_s_post": cpu_probe_s(),
             }
         )
     )

@@ -42,9 +42,15 @@ def run_rep(env: dict) -> dict:
 
 
 def is_clean(rep: dict, alloc_gate: int) -> bool:
+    # alloc gate (page-fault degradation) + cpu gate (bursty CPU steal:
+    # the r5 box probes 0.75 s quiet, 1.5+ s during steal episodes).
+    cpu_worst = max(
+        rep.get("cpu_probe_s_pre", 0.0), rep.get("cpu_probe_s_post", 0.0)
+    )
     return (
         max(rep.get("alloc_probe_ms_pre", 0), rep.get("alloc_probe_ms_post", 0))
         <= alloc_gate
+        and cpu_worst <= 1.0
     )
 
 
