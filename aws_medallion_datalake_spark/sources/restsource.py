@@ -206,9 +206,11 @@ def read_bronze(spark: SparkSession, ep: RestEndpoint,
         units = list_units(ep, token)
     if not units:
         return spark.createDataFrame([], BRONZE_SCHEMA)
+    # round-robin repartition (NOT hash-by-unit_id: a hash collision
+    # would put two units in one task and reintroduce the convoy)
     unit_df = spark.createDataFrame(
         [(u,) for u in units], "unit_id string"
-    ).repartition(len(units), "unit_id")
+    ).repartition(len(units))
     return unit_df.mapInPandas(_fetch_units_batches(ep, token), BRONZE_SCHEMA)
 
 
