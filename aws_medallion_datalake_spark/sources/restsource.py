@@ -145,7 +145,8 @@ def list_units(ep: RestEndpoint, token: str) -> list[str]:
 
 
 def _fetch_units_batches(ep: RestEndpoint, token: str):
-    """mapInPandas body: page through every unit in the incoming batch.
+    """mapInPandas body: page through every (unit, reference-date) in
+    the incoming batch (columns ``unit_id``, ``data_referencia``).
 
     Pagination follows the server's ``has_more`` flag; each page's rows
     are emitted as one raw_json value per record, enriched with the
@@ -157,13 +158,14 @@ def _fetch_units_batches(ep: RestEndpoint, token: str):
         headers = {"Authorization": token}
         for pdf in batches:
             out = []
-            for unit in pdf["unit_id"].astype(str):
+            for unit, ref_date in zip(
+                pdf["unit_id"].astype(str), pdf["data_referencia"].astype(str)
+            ):
                 page = 0
                 while True:
                     q = urllib.parse.urlencode(
                         {"unit": unit, "page": page,
-                         "dataInicio": ep.data_referencia,
-                         "dataFim": ep.data_referencia}
+                         "dataInicio": ref_date, "dataFim": ref_date}
                     )
                     payload, attempts = _get_with_retry(
                         f"{ep.base_url}{ep.data_path}?{q}", headers, ep
@@ -175,8 +177,7 @@ def _fetch_units_batches(ep: RestEndpoint, token: str):
                             (unit, page, seq,
                              json.dumps(rec, sort_keys=True),
                              ep.data_type, ep.api_source,
-                             ep.data_referencia, ep.extraction_date,
-                             attempts)
+                             ref_date, ep.extraction_date, attempts)
                         )
                     if not payload.get("has_more"):
                         break
@@ -201,17 +202,32 @@ def read_bronze(spark: SparkSession, ep: RestEndpoint,
     1000 executors the catalog (thousands of units) spreads across the
     whole cluster; locally it just round-robins.
     """
+    return read_bronze_backfill(spark, ep, [ep.data_referencia], units)
+
+
+def read_bronze_backfill(spark: SparkSession, ep: RestEndpoint,
+                         dates: Sequence[str],
+                         units: Sequence[str] | None = None) -> DataFrame:
+    """Backfill ingestion over a date range (reference twin:
+    scripts/bronze_digit_3months.py:63-76, which widens dataInicio/
+    dataFim to a 3-month window but still fetches ONE giant response
+    per unit on the driver). Reshaped for scale: the work list is the
+    (unit × reference-date) cross product, one day-window per task — a
+    90-day backfill over 1000 units becomes 90k independent fetches
+    that spread across the cluster, retry independently, and bound each
+    response's size to one unit-day."""
     token = fetch_token(ep)
     if units is None:
         units = list_units(ep, token)
-    if not units:
+    pairs = [(u, d) for u in units for d in dates]
+    if not pairs:
         return spark.createDataFrame([], BRONZE_SCHEMA)
-    # round-robin repartition (NOT hash-by-unit_id: a hash collision
-    # would put two units in one task and reintroduce the convoy)
-    unit_df = spark.createDataFrame(
-        [(u,) for u in units], "unit_id string"
-    ).repartition(len(units))
-    return unit_df.mapInPandas(_fetch_units_batches(ep, token), BRONZE_SCHEMA)
+    # round-robin repartition (NOT hash-by-key: a hash collision would
+    # put two work units in one task and reintroduce the convoy)
+    pair_df = spark.createDataFrame(
+        pairs, "unit_id string, data_referencia string"
+    ).repartition(min(len(pairs), 2048))
+    return pair_df.mapInPandas(_fetch_units_batches(ep, token), BRONZE_SCHEMA)
 
 
 def normalize_bronze(bronze: DataFrame, value_schema: str) -> DataFrame:

@@ -130,6 +130,27 @@ def test_empty_catalog_yields_empty_typed_frame(spark):
         assert df.schema == spark.createDataFrame([], BRONZE_SCHEMA).schema
 
 
+def test_backfill_crosses_units_and_dates(spark):
+    # (unit x date) work list: each pair fetches its full page run and
+    # stamps its own data_referencia (the endpoint serves the same
+    # deterministic window content for any date).
+    from aws_medallion_datalake_spark.sources.restsource import (
+        read_bronze_backfill,
+    )
+
+    dates = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    with FakeRestServer(n_units=4) as srv:
+        df = read_bronze_backfill(spark, _ep(srv), dates).cache()
+        per = (
+            df.groupBy("unit_id", "data_referencia").count().collect()
+        )
+        assert len(per) == 4 * 3
+        for r in per:
+            k = int(r.unit_id.split("-")[1])
+            assert r["count"] == unit_rows(k)
+        df.unpersist()
+
+
 def test_fetch_runs_on_executors_one_unit_per_task(spark):
     # The unit frame repartitions to one-unit-per-task so a slow unit
     # cannot convoy others; assert the partitioning survives to the
