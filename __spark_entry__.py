@@ -2835,6 +2835,89 @@ def _sql_neardup_components():
     """
 
 
+def q_neardup_retention(spark, sf_dir):
+    """Near-dup RETENTION POLICY: the keep/drop decision a training-data
+    pipeline executes over the dedup clusters — keep the longest member
+    of each component (ties: lowest doc_id), drop the rest. Composes
+    the connected-components operator with a corpus join: the exploded
+    member list (only docs inside dup clusters — a tiny fraction of the
+    corpus) broadcasts onto ``documents``, so the 100 TB side joins
+    shuffle-free; the per-component ranking then shuffles just the
+    cluster members. Output: one row per component with the keeper and
+    the sorted dropped-id list."""
+    comps = q_neardup_components(spark, sf_dir)
+    members = comps.select(
+        "component", F.explode(F.split("members", ",")).alias("m")
+    ).select("component", F.col("m").cast("long").alias("doc_id"))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "n_chars"
+    )
+    joined = docs.join(F.broadcast(members), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = joined.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("keeper_id"),
+            F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).alias(
+                "keeper_chars"
+            ),
+            F.count("*").alias("n_docs"),
+            (F.count("*") - F.lit(1)).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.when(F.col("rk") > 1, F.col("doc_id")))
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("dropped_ids"),
+        )
+        .orderBy("component")
+    )
+
+
+def _sql_neardup_retention():
+    pairs_sql = _sql_minhash_candidate_pairs()
+    return f"""
+        WITH RECURSIVE
+        pairs AS ({pairs_sql}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            WHERE jaccard >= {_NEARDUP_JACCARD}
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs WHERE jaccard >= {_NEARDUP_JACCARD}
+        ),
+        reach(node, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+        ranked AS (
+            SELECT c.component, d.doc_id, d.n_chars,
+                   row_number() OVER (
+                       PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, d.doc_id ASC
+                   ) AS rk
+            FROM comp c JOIN documents d ON d.doc_id = c.node
+        )
+        SELECT component,
+               max(CASE WHEN rk = 1 THEN doc_id END) AS keeper_id,
+               max(CASE WHEN rk = 1 THEN n_chars END) AS keeper_chars,
+               count(*) AS n_docs,
+               count(*) - 1 AS n_dropped,
+               string_agg(
+                   CASE WHEN rk > 1 THEN CAST(doc_id AS VARCHAR) END,
+                   ',' ORDER BY doc_id
+               ) AS dropped_ids
+        FROM ranked GROUP BY component ORDER BY component
+    """
+
+
 def q_image_gold_star(spark, sf_dir):
     """Engine-side S13: medallion pipeline → gold STAR SCHEMA (dims +
     facts + persisted quality table, gold_digit_fixed.py:34-146 /
@@ -5986,6 +6069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # brand-new this round (pytest-covered; rotate into the next
         # window if one exists):
         "rest_bronze": q_rest_bronze,
+        "neardup_retention": q_neardup_retention,
         # r04-green records (newest, rotate last):
         "embedding_topk": q_embedding_topk,
         "image_features_ann": q_image_features_ann,
@@ -6172,4 +6256,6 @@ def oracle_sql() -> dict[str, str]:
         # distributed REST bronze source, replayed in pure SQL from the
         # deterministic fixture endpoint's row function
         "rest_bronze": _sql_rest_bronze(),
+        # near-dup retention: components CTE + corpus join + ranking
+        "neardup_retention": _sql_neardup_retention(),
     }
