@@ -318,6 +318,21 @@ def _(spark, sf_dir):
     assert "TakeOrderedAndProject" in p, p
 
 
+@check("neardup_retention: cluster members broadcast onto the corpus, no big-side shuffle for the join")
+def _(spark, sf_dir):
+    # the corpus (documents) side must join the exploded member list by
+    # BROADCAST — a sort-merge there would shuffle the 100 TB side for
+    # a members frame that is O(duplicate docs). The only exchange on
+    # the corpus path is the per-component window/agg over the tiny
+    # joined subset. (The CC label propagation upstream is materialized
+    # via eager localCheckpoint during plan construction, so the
+    # returned frame's plan shows only the retention stage.)
+    p = plan_of(entry.q_neardup_retention(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "Window" in p, p
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_session("local[8]", shuffle_partitions=8)
